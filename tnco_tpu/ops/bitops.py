@@ -1,0 +1,60 @@
+"""JAX bitset-lane primitives.
+
+Index sets are ``uint32[..., W]`` lane arrays (bit ``j`` of word ``i`` =
+index ``32*i + j``), the TPU-native replacement for the reference's
+``boost::dynamic_bitset`` (include/tnco/bitset.hpp).  Set algebra is
+elementwise integer VPU work; widths (sum of log2 dims over set bits) are
+computed by expanding lanes to a 0/1 vector and dotting with a padded
+``log2_dims`` table, which XLA fuses into a handful of vector ops.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    'expand_bits', 'width', 'any_bits', 'popcount', 'pad_log2_dims',
+    'LANE_BITS'
+]
+
+LANE_BITS = 32
+
+
+def pad_log2_dims(log2_dims: np.ndarray, n_lanes: int,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    """Pads a ``log2_dims[n_inds]`` table to ``[n_lanes * 32]`` with zeros."""
+    log2_dims = np.asarray(log2_dims, dtype=np.float64)
+    out = np.zeros(n_lanes * LANE_BITS, dtype=np.float64)
+    out[:log2_dims.shape[0]] = log2_dims
+    return jnp.asarray(out, dtype=dtype)
+
+
+def expand_bits(lanes: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """``uint32[..., W]`` -> ``dtype[..., W*32]`` 0/1 expansion."""
+    shifts = jnp.arange(LANE_BITS, dtype=jnp.uint32)
+    bits = (lanes[..., :, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(*lanes.shape[:-1],
+                        lanes.shape[-1] * LANE_BITS).astype(dtype)
+
+
+def width(lanes: jnp.ndarray, log2_dims_padded: jnp.ndarray) -> jnp.ndarray:
+    """Sum of log2 dims over set bits: ``f32[...]``.
+
+    Equals ``log2(prod dims over the index set)`` — both the tensor *width*
+    (finite_width/cost_model/simple.hpp:38-57) and the log2 of the simple
+    contraction cost (infinite_memory/cost_model/simple.hpp:37-55).
+    """
+    return expand_bits(lanes, log2_dims_padded.dtype) @ log2_dims_padded
+
+
+def any_bits(lanes: jnp.ndarray) -> jnp.ndarray:
+    """True if any bit is set (reduction over the lane axis)."""
+    acc = lanes
+    for _ in range(lanes.ndim and 1):
+        acc = jnp.bitwise_or.reduce(lanes, axis=-1)
+    return acc != 0
+
+
+def popcount(lanes: jnp.ndarray) -> jnp.ndarray:
+    """Number of set bits, ``int32[...]``."""
+    cnt = jnp.bitwise_count(lanes).astype(jnp.int32)
+    return cnt.sum(axis=-1)

@@ -1,0 +1,81 @@
+"""Log2-domain cost models and stable total-cost arithmetic.
+
+The reference computes linear-domain costs with up to 1024-bit floats
+(include/tnco/fixed_float.hpp) because a contraction cost is a product of
+dimensions that can exceed 2^16384.  On TPU we keep every cost in the *log2
+domain*: a contraction's log2-cost is just the width of the union of its
+input index sets, and sums/differences of linear costs are evaluated with a
+scaled (max-shifted) exponential sum.  Exactness, where required, is restored
+on the host with Python bigints (see ``ContractionTree.total_cost_exact``).
+"""
+
+import jax.numpy as jnp
+
+from tnco_tpu.ops import bitops
+
+__all__ = [
+    'ccost_log2', 'log2_total_from_lcc', 'new_total_log2', 'mh_log2_accept'
+]
+
+# Floor for the scaled linear sum: if the true new total underflows this, the
+# move is a colossal improvement and will be accepted regardless.
+_SCALED_FLOOR = 2.0**-60
+
+
+def ccost_log2(union_lanes, log2_dims_padded, *, sparse_lanes=None,
+               log2_n_projs=None):
+    """log2 of the simple contraction cost for ``in1 | in2`` lanes.
+
+    - Dense: ``prod dims over (in1|in2)``
+      (infinite_memory/cost_model/simple.hpp:65-83).
+    - Sparse: ``prod(non-sparse) * min(prod(sparse), n_projs)``
+      (infinite_memory/cost_model/simple_sparse_inds.hpp:37-49).
+    """
+    if sparse_lanes is None:
+        return bitops.width(union_lanes, log2_dims_padded)
+    dense = bitops.width(union_lanes & ~sparse_lanes, log2_dims_padded)
+    sparse = bitops.width(union_lanes & sparse_lanes, log2_dims_padded)
+    return dense + jnp.minimum(sparse, log2_n_projs)
+
+
+def log2_total_from_lcc(lcc, n_leaves: int):
+    """Stable ``log2(sum_i 2^lcc[i])`` over internal nodes.
+
+    ``lcc`` is laid out leaves-first, so internal nodes are the static slice
+    ``lcc[n_leaves:]`` (leaves never change role under tree moves).
+    """
+    internal = lcc[n_leaves:]
+    if internal.shape[0] == 0:
+        # Single-tensor tree: total cost 0 (log2 = -inf); use a large
+        # negative sentinel that exp2s to exactly 0 in f32.
+        return jnp.asarray(-jnp.inf, dtype=lcc.dtype)
+    m = jnp.max(internal)
+    s = jnp.sum(jnp.exp2(internal - m))
+    return m + jnp.log2(s)
+
+
+def new_total_log2(lt, l_a, l_b, ln_a, ln_b):
+    """log2 of ``total - ccost_A - ccost_B + new_ccost_A + new_ccost_B``.
+
+    Max-shifted linear evaluation; ``total >= ccost_A + ccost_B`` always
+    holds (costs are non-negative), so the result is mathematically positive.
+    Catastrophic cancellation can only occur when the move removes nearly all
+    of the cost — in which case the (clamped) result is small and the move is
+    accepted anyway.
+    """
+    m = jnp.maximum(lt, jnp.maximum(ln_a, ln_b))
+    s = (jnp.exp2(lt - m) - jnp.exp2(l_a - m) - jnp.exp2(l_b - m) +
+         jnp.exp2(ln_a - m) + jnp.exp2(ln_b - m))
+    return m + jnp.log2(jnp.maximum(s, _SCALED_FLOOR))
+
+
+def mh_log2_accept(log2_u, beta, l_new, l_old):
+    """Metropolis-Hastings acceptance in the log2 domain.
+
+    The reference acceptance is ``(1 + delta/old)^(-beta)`` for ``delta > 0``
+    (optimize/prob/mh.hpp:45-59), which equals ``(new_total/old_total)^-beta``
+    because ``delta = new_total - old_total``.  Hence a single comparison:
+    ``log2(u) <= -beta * (log2_new - log2_old)``, which also covers
+    ``delta <= 0`` (probability 1) for any ``beta >= 0``.
+    """
+    return log2_u <= -beta * (l_new - l_old)
