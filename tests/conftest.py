@@ -7,8 +7,10 @@ drives per-test ``random_seed`` fixtures for reproducible fuzzing.
 
 import os
 
-# Must run before jax is imported anywhere.
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Must run before any jax backend is initialized.  The image's sitecustomize
+# pre-registers the remote 'axon' TPU backend and pins JAX_PLATFORMS=axon, so
+# overriding the env var alone is not enough — use the config API too.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
@@ -16,7 +18,10 @@ if 'xla_force_host_platform_device_count' not in _flags:
 
 from random import Random
 
+import jax
 import pytest
+
+jax.config.update('jax_platforms', 'cpu')
 
 _SEED = os.environ.get('PYTEST_SEED')
 _RNG = Random(None if _SEED is None else int(_SEED))
