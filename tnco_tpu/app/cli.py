@@ -1,0 +1,115 @@
+"""Command-line interface.
+
+Mirrors the reference CLI contract (tnco/app/cli.py:27-78, python-fire):
+``tnco optimize <tn> --betas='(0, 100)' --n-steps=100 --n-runs=8 ...`` with
+every ``Optimizer`` factory knob exposed as a flag and JSON as the default
+output format.  Built on argparse (fire-free).
+"""
+
+import argparse
+import ast
+import json
+import sys
+from typing import Any
+
+from tnco_tpu.app.app import Optimizer
+
+__all__ = ['main']
+
+
+def _literal(value: str) -> Any:
+    """Parses python-literal flag values ('(0, 100)', '10', 'None')."""
+    try:
+        return ast.literal_eval(value)
+    except (ValueError, SyntaxError):
+        return value
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog='tnco',
+        description='TPU-native tensor-network contraction optimizer.')
+    sub = parser.add_subparsers(dest='command', required=True)
+
+    opt = sub.add_parser('optimize', help='Optimize a tensor network.')
+    opt.add_argument('tn', help="Tensor network (any load_tn format, or "
+                     "'stdin').")
+    # optimize() arguments
+    opt.add_argument('--betas', type=_literal, required=True,
+                     help="Inverse temperatures: '(b0, b1)' ramp or a list.")
+    opt.add_argument('--n-steps', type=_literal, default=None)
+    opt.add_argument('--n-runs', type=_literal, default=1)
+    opt.add_argument('--n-projs', type=_literal, default=None)
+    opt.add_argument('--update-slices', type=_literal, default=10,
+                     help='Sweeps between reslicing (finite width only).')
+    opt.add_argument('--timeout', type=_literal, default=None)
+    # load_tn options
+    opt.add_argument('--fuse', type=_literal, default=4)
+    opt.add_argument('--decompose-hyper-inds', type=_literal, default=True)
+    opt.add_argument('--simplify-circuit', type=_literal, default=True)
+    opt.add_argument('--initial-state', type=_literal, default='0')
+    opt.add_argument('--final-state', type=_literal, default='0')
+    # Optimizer factory knobs (reference app/app.py:798-878)
+    opt.add_argument('--method', default='sa')
+    opt.add_argument('--max-width', type=_literal, default=None)
+    opt.add_argument('--n-jobs', type=_literal, default=-1)
+    opt.add_argument('--width-type', default='float32')
+    opt.add_argument('--cost-type', default='float64')
+    opt.add_argument('--output-format', default='json')
+    opt.add_argument('--output-filename', default=None)
+    opt.add_argument('--output-compression', default='auto')
+    opt.add_argument('--overwrite-output-file', type=_literal,
+                     default=False)
+    opt.add_argument('--atol', type=_literal, default=1e-5)
+    opt.add_argument('--seed', type=_literal, default=None)
+    opt.add_argument('--verbose', type=_literal, default=0)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.command == 'optimize':
+        optimizer = Optimizer(method=args.method,
+                              max_width=args.max_width,
+                              n_jobs=args.n_jobs,
+                              width_type=args.width_type,
+                              cost_type=args.cost_type,
+                              output_format=args.output_format,
+                              output_filename=args.output_filename,
+                              output_compression=args.output_compression,
+                              overwrite_output_file=args.
+                              overwrite_output_file,
+                              atol=args.atol,
+                              seed=args.seed,
+                              verbose=args.verbose)
+        betas = tuple(args.betas) if isinstance(args.betas,
+                                                (list, tuple)) else \
+            args.betas
+        tn = _literal(args.tn) if args.tn != 'stdin' else 'stdin'
+
+        kwargs = dict(betas=betas,
+                      n_steps=args.n_steps,
+                      n_runs=args.n_runs,
+                      n_projs=args.n_projs,
+                      timeout=args.timeout,
+                      fuse=args.fuse,
+                      decompose_hyper_inds=args.decompose_hyper_inds,
+                      simplify_circuit=args.simplify_circuit,
+                      initial_state=args.initial_state,
+                      final_state=args.final_state)
+        if args.max_width is not None and args.max_width < float('inf'):
+            kwargs['update_slices'] = args.update_slices
+
+        out = optimizer.optimize(tn, **kwargs)
+        if out is not None:
+            if isinstance(out, str):
+                print(out)
+            else:
+                print(json.dumps(str(out)))
+        return 0
+    return 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -170,8 +170,14 @@ class ContractionTree:
                  *,
                  output_inds=None,
                  check_shared_inds: bool = False,
+                 inds_order=None,
                  verbose: int = 0,
                  **kwargs) -> None:
+        """``inds_order``: optional explicit label -> bit-position order.
+
+        Replicas batched on device must share the bit layout; the replica
+        runner passes one canonical order per connected component.
+        """
         _cache = kwargs.pop('_cache', None)
         if kwargs:
             raise TypeError("Got unexpected keyword arguments.")
@@ -202,8 +208,15 @@ class ContractionTree:
             (node_rows, node_ts_inds) = self._build_from_path(
                 path, ts_inds, output_inds, check_shared_inds)
             dims = self._restrict_dims(dims, node_ts_inds)
-            self._inds_order = tuple(
-                _unique_everseen(_flatten(node_ts_inds)))
+            derived = tuple(_unique_everseen(_flatten(node_ts_inds)))
+            if inds_order is None:
+                self._inds_order = derived
+            else:
+                inds_order = tuple(inds_order)
+                if frozenset(inds_order) != frozenset(derived):
+                    raise ValueError("'inds_order' is not consistent with "
+                                     "the tree's indices.")
+                self._inds_order = inds_order
 
         # Label -> bit position
         inds_map = {x: i for i, x in enumerate(self._inds_order)}

@@ -123,8 +123,8 @@ def init_state(ctree: 'ctree_mod.ContractionTree', seed,
     lcc = compute_lcc(nodes, inds, log2_dims_padded,
                       sparse_lanes=sparse_lanes, log2_n_projs=log2_n_projs)
     lt = costs_ops.log2_total_from_lcc(lcc, ctree.n_leaves)
-    key = seed if isinstance(seed, jax.Array) and seed.dtype == jnp.uint32 \
-        else jax.random.PRNGKey(int(seed))
+    key = seed if isinstance(seed, jax.Array) else \
+        jax.random.PRNGKey(int(seed))
     return SAStateIM(nodes, inds, hyper, lcc, lt, lt, nodes, inds, key)
 
 

@@ -1,0 +1,184 @@
+"""Vmapped replica batches with mesh sharding and chunked annealing.
+
+Design (SURVEY.md §2.3 mapping):
+
+- ``n_runs`` loky processes            ->  leading replica axis, ``vmap``
+- SharedMemory status/stop buffers     ->  per-chunk host callbacks + a
+                                           cooperative wall-clock budget
+- ``sorted(results)`` best-of-runs     ->  ``argmin`` over the (sharded)
+                                           replica axis (an XLA all-reduce
+                                           over ICI when meshed)
+- per-run mt19937 seeds                ->  counter-based PRNG keys
+
+Replicas of one connected component share array shapes (same leaves and
+index count), so a batch is a single stacked pytree.
+"""
+
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tnco_tpu.kernels import sa_infinite as sa
+from tnco_tpu.ops import bitops
+
+__all__ = ['ReplicaRunner', 'replica_sharding', 'make_mesh']
+
+
+def make_mesh(devices=None, axis_name: str = 'r'):
+    """1-D replica mesh over all (or the given) devices."""
+    devices = jax.devices() if devices is None else list(devices)
+    return jax.sharding.Mesh(np.asarray(devices), (axis_name,))
+
+
+def replica_sharding(mesh, axis_name: str = 'r'):
+    """NamedSharding that splits the leading replica axis over the mesh."""
+    return jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(axis_name))
+
+
+class ReplicaRunner:
+    """Runs a batch of SA replicas (one connected component) on device.
+
+    Args:
+        ctrees: One initial ``ContractionTree`` per replica (same shape).
+        seeds: One integer seed (or PRNG key) per replica.
+        cmodel: Cost model providing ``device_params`` (sparse support).
+        disable_shared_inds: Kernel flag.
+        prob_kind: 'mh' | 'greedy' | 'base'.
+        mesh: Optional ``jax.sharding.Mesh`` to shard the replica axis over
+            (defaults to single-device execution).
+        dtype: Device log2-cost dtype.
+    """
+
+    def __init__(self,
+                 ctrees,
+                 seeds,
+                 *,
+                 cmodel=None,
+                 disable_shared_inds: bool = False,
+                 prob_kind: str = 'mh',
+                 mesh=None,
+                 dtype=jnp.float32) -> None:
+        ctrees = list(ctrees)
+        seeds = list(seeds)
+        if len(ctrees) != len(seeds):
+            raise ValueError("One seed per replica is required.")
+        if not ctrees:
+            raise ValueError("'ctrees' cannot be empty.")
+        shapes = {(len(c), c.inds_array.shape[1]) for c in ctrees}
+        if len(shapes) != 1:
+            raise ValueError("All replicas must share the tree shape.")
+
+        self.template = ctrees[0]
+        n_lanes = self.template.inds_array.shape[1]
+        self.cfg = sa.SweepConfig(n_leaves=self.template.n_leaves,
+                                  n_lanes=n_lanes,
+                                  disable_shared_inds=disable_shared_inds,
+                                  prob_kind=prob_kind)
+        self.log2d = bitops.pad_log2_dims(self.template.log2_dims_array,
+                                          n_lanes, dtype)
+        if cmodel is not None and getattr(cmodel, 'sparse_inds', None):
+            dev = cmodel.device_params(self.template.inds_order)
+            self.sparse_lanes = jnp.asarray(dev['sparse_lanes'])
+            self.log2_n_projs = dev['log2_n_projs']
+        else:
+            self.sparse_lanes = None
+            self.log2_n_projs = None
+
+        states = [
+            sa.init_state(c, s, self.log2d, sparse_lanes=self.sparse_lanes,
+                          log2_n_projs=self.log2_n_projs)
+            for c, s in zip(ctrees, seeds)
+        ]
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+        self.mesh = mesh
+        if mesh is not None:
+            shard = replica_sharding(mesh)
+            batch = jax.tree.map(
+                lambda x: jax.device_put(
+                    x,
+                    shard if x.ndim > 0 else
+                    jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec())), batch)
+        self.states = batch
+        self.n_replicas = len(ctrees)
+        self.sweeps_done = 0
+
+    def run(self,
+            betas,
+            *,
+            chunk_size: int = 128,
+            timeout: float | None = None,
+            callback=None) -> dict:
+        """Runs one sweep per beta, in fixed-size jitted chunks.
+
+        The chunk is the cooperative-stop granularity: after each chunk the
+        host checks the wall-clock budget and publishes live metrics
+        (replacing the reference's SharedMemory buffers + threading.Timer,
+        tnco/parallel.py:227-248).
+
+        Returns:
+            Metrics dict with per-replica ``log2_min_total`` (final) and the
+            number of sweeps executed.
+        """
+        betas = np.asarray(betas, dtype=np.float32)
+        start = time.perf_counter()
+        n = len(betas)
+        pos = 0
+        chunk_size = max(1, min(chunk_size, n))
+        # Pad to a whole number of chunks so only one program is compiled.
+        while pos < n:
+            if timeout is not None and time.perf_counter() - start > timeout:
+                break
+            chunk = betas[pos:pos + chunk_size]
+            if len(chunk) < chunk_size:
+                # Repeat the last beta; extra sweeps at the final
+                # temperature only help convergence and keep shapes static.
+                chunk = np.concatenate(
+                    [chunk,
+                     np.full(chunk_size - len(chunk), chunk[-1],
+                             dtype=np.float32)])
+            self.states, metrics = sa.run_sweeps_batch(
+                self.states, jnp.asarray(chunk), self.log2d, self.cfg,
+                self.sparse_lanes, self.log2_n_projs)
+            self.sweeps_done += chunk_size
+            pos += chunk_size
+            if callback is not None:
+                callback({
+                    'progress': min(pos, n) / n,
+                    'log2_min_total':
+                        np.asarray(metrics['log2_min_total'][:, -1]),
+                })
+        return {
+            'log2_min_total': np.asarray(self.states.min_log2_total),
+            'sweeps': self.sweeps_done,
+            'runtime_s': time.perf_counter() - start,
+        }
+
+    def best(self) -> tuple[int, float]:
+        """(replica index, log2 cost) of the best replica.
+
+        On a mesh this is the ICI all-reduce replacing the reference's
+        end-of-run ``sorted(results)`` (infinite_memory/sa.py:257).
+        """
+        mins = self.states.min_log2_total
+        idx = int(jnp.argmin(mins))
+        return idx, float(mins[idx])
+
+    def min_ctree(self, replica: int):
+        """Best tree found by ``replica`` as a host ``ContractionTree``."""
+        nodes = np.asarray(self.states.min_nodes[replica])
+        inds = np.asarray(self.states.min_inds[replica])
+        return self.template.replace_arrays(nodes, inds)
+
+    def ctree(self, replica: int):
+        nodes = np.asarray(self.states.nodes[replica])
+        inds = np.asarray(self.states.inds[replica])
+        return self.template.replace_arrays(nodes, inds)
+
+    def log2_min_totals(self) -> np.ndarray:
+        return np.asarray(self.states.min_log2_total)
