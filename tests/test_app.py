@@ -233,3 +233,37 @@ def test_cli_readme(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert 'tn' in out and 'res' in out
     assert int(Decimal(out['res'][0]['cost'])) == 10
+
+
+def test_optimize_finite_width_end_to_end():
+    # 2D 3x3 lattice, bond dim 2, width cap 2 -> slices must appear.
+    rows = []
+    idx = 0
+    names = {(r, c): f't{r}{c}' for r in range(3) for c in range(3)}
+    for r in range(3):
+        for c in range(3):
+            if c + 1 < 3:
+                rows.append((2, names[(r, c)], names[(r, c + 1)]))
+            if r + 1 < 3:
+                rows.append((2, names[(r, c)], names[(r + 1, c)]))
+    opt = Optimizer(method='sa', max_width=2.0, seed=11)
+    tn, res = opt.optimize(rows, betas=(0, 30), n_steps=40, n_runs=4,
+                           update_slices=5, fuse=False)
+    best = res[0]
+    assert hasattr(best, 'slices')
+    costs = [r.cost for r in res]
+    assert costs == sorted(costs)
+    # Path replays to a single tensor
+    ts_inds, _ = contract(best.path, tn.ts_inds, tn.output_inds,
+                          dims=dict(tn.dims))
+    assert len(ts_inds) == 1
+    json.loads(best.to_json())
+    # Every tensor along the best path fits max_width after slicing
+    from tnco_tpu.ctree import ContractionTree as CT
+    ctree = CT(best.path, tn.ts_inds, dict(tn.dims),
+               output_inds=tn.output_inds)
+    import math
+    dims = dict(tn.dims)
+    for xs in ctree.inds:
+        w = sum(math.log2(dims[x]) for x in frozenset(xs) - best.slices)
+        assert w <= 2.0 + 1e-3

@@ -14,17 +14,18 @@ Replicas of one connected component share array shapes (same leaves and
 index count), so a batch is a single stacked pytree.
 """
 
-import math
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tnco_tpu.kernels import sa_finite as saf
 from tnco_tpu.kernels import sa_infinite as sa
 from tnco_tpu.ops import bitops
 
-__all__ = ['ReplicaRunner', 'replica_sharding', 'make_mesh']
+__all__ = ['ReplicaRunner', 'ReplicaRunnerFW', 'replica_sharding',
+           'make_mesh']
 
 
 def make_mesh(devices=None, axis_name: str = 'r'):
@@ -179,6 +180,126 @@ class ReplicaRunner:
         nodes = np.asarray(self.states.nodes[replica])
         inds = np.asarray(self.states.inds[replica])
         return self.template.replace_arrays(nodes, inds)
+
+    def log2_min_totals(self) -> np.ndarray:
+        return np.asarray(self.states.min_log2_total)
+
+
+class ReplicaRunnerFW:
+    """Finite-width replica batch: slices live in the replica state.
+
+    Same execution model as :class:`ReplicaRunner` with the width-capped
+    kernel (:mod:`tnco_tpu.kernels.sa_finite`), including the periodic
+    reslice cadence (reference finite_width/sa.py:228:
+    ``update_slices=(n % update_slices == 0)``).
+    """
+
+    def __init__(self,
+                 ctrees,
+                 seeds,
+                 *,
+                 cmodel,
+                 skip_slices_lanes=None,
+                 disable_shared_inds: bool = False,
+                 prob_kind: str = 'mh',
+                 max_number_new_slices: int = 0,
+                 mesh=None,
+                 dtype=jnp.float32) -> None:
+        ctrees = list(ctrees)
+        seeds = list(seeds)
+        if len(ctrees) != len(seeds) or not ctrees:
+            raise ValueError("One seed per replica is required.")
+        shapes = {(len(c), c.inds_array.shape[1]) for c in ctrees}
+        if len(shapes) != 1:
+            raise ValueError("All replicas must share the tree shape.")
+
+        self.template = ctrees[0]
+        n_lanes = self.template.inds_array.shape[1]
+        self.cfg = saf.SweepConfigFW(
+            n_leaves=self.template.n_leaves,
+            n_lanes=n_lanes,
+            disable_shared_inds=disable_shared_inds,
+            prob_kind=prob_kind,
+            max_new_slices=int(max_number_new_slices))
+        self.log2d = bitops.pad_log2_dims(self.template.log2_dims_array,
+                                          n_lanes, dtype)
+        self.max_width = jnp.asarray(cmodel.max_width, dtype)
+        if getattr(cmodel, 'sparse_inds', None):
+            dev = cmodel.device_params(self.template.inds_order)
+            self.sparse_lanes = jnp.asarray(dev['sparse_lanes'])
+            self.log2_n_projs = dev['log2_n_projs']
+        else:
+            self.sparse_lanes = None
+            self.log2_n_projs = None
+        self.skip_lanes = (jnp.zeros(n_lanes, dtype=jnp.uint32)
+                           if skip_slices_lanes is None else
+                           jnp.asarray(skip_slices_lanes))
+
+        states = [
+            saf.init_state_fw(c, s, self.max_width, self.log2d,
+                              skip_lanes=self.skip_lanes,
+                              sparse_lanes=self.sparse_lanes,
+                              log2_n_projs=self.log2_n_projs)
+            for c, s in zip(ctrees, seeds)
+        ]
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        self.mesh = mesh
+        if mesh is not None:
+            shard = replica_sharding(mesh)
+            batch = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
+        self.states = batch
+        self.n_replicas = len(ctrees)
+        self.sweeps_done = 0
+
+    def run(self,
+            betas,
+            *,
+            update_slices: int = 10,
+            chunk_size: int = 128,
+            timeout: float | None = None,
+            callback=None) -> dict:
+        betas = np.asarray(betas, dtype=np.float32)
+        n = len(betas)
+        mask = ((np.arange(n) % max(1, update_slices)) == 0
+                if update_slices else np.zeros(n, dtype=bool))
+        start = time.perf_counter()
+        pos = 0
+        chunk_size = max(1, min(chunk_size, n))
+        while pos < n:
+            if timeout is not None and time.perf_counter() - start > timeout:
+                break
+            chunk = betas[pos:pos + chunk_size]
+            mchunk = mask[pos:pos + chunk_size]
+            if len(chunk) < chunk_size:
+                pad = chunk_size - len(chunk)
+                chunk = np.concatenate(
+                    [chunk, np.full(pad, chunk[-1], dtype=np.float32)])
+                mchunk = np.concatenate([mchunk, np.zeros(pad, dtype=bool)])
+            self.states, metrics = saf.run_sweeps_fw_batch(
+                self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
+                self.max_width, self.log2d, self.skip_lanes, self.cfg,
+                self.sparse_lanes, self.log2_n_projs)
+            self.sweeps_done += chunk_size
+            pos += chunk_size
+            if callback is not None:
+                callback({
+                    'progress': min(pos, n) / n,
+                    'log2_min_total':
+                        np.asarray(metrics['log2_min_total'][:, -1]),
+                })
+        return {
+            'log2_min_total': np.asarray(self.states.min_log2_total),
+            'sweeps': self.sweeps_done,
+            'runtime_s': time.perf_counter() - start,
+        }
+
+    def min_ctree(self, replica: int):
+        nodes = np.asarray(self.states.min_nodes[replica])
+        inds = np.asarray(self.states.min_inds[replica])
+        return self.template.replace_arrays(nodes, inds)
+
+    def min_slices_lanes(self, replica: int) -> np.ndarray:
+        return np.asarray(self.states.min_slices[replica])
 
     def log2_min_totals(self) -> np.ndarray:
         return np.asarray(self.states.min_log2_total)
