@@ -190,7 +190,7 @@ def load_tn(obj: Any,
 
         # QASM?
         first_line = next(
-            (ln for ln in obj.splitlines()
+            (ln.strip() for ln in obj.splitlines()
              if ln.strip() and not ln.strip().startswith('//')), '')
         if first_line.upper().startswith('OPENQASM'):
             from tnco_tpu.utils.qasm import parse_qasm
