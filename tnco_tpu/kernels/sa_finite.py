@@ -299,11 +299,12 @@ def sweep_fw(state: SAStateFW, beta, update_slices, max_width, log2d,
 
     def cond(carry):
         nodes = carry[0]
-        pos_b = carry[-2]
+        pos_b = carry[-3]
         return (pos_b != NULL) & (nodes[pos_b, 2] != NULL)
 
     def body(carry):
-        (nodes, inds, hyper, lcc, width, slices, lt, pos_b, key) = carry
+        (nodes, inds, hyper, lcc, width, slices, lt, pos_b, key,
+         moves) = carry
         key, k_pick, k_u, k_slices, k_u2 = jax.random.split(key, 5)
 
         b = pos_b
@@ -399,12 +400,13 @@ def sweep_fw(state: SAStateFW, beta, update_slices, max_width, log2d,
             lcc = lcc.at[b].set(jnp.where(accept, ln_b, l_b))
         lt = jnp.where(accept, l_new, lt)
 
-        return nodes, inds, hyper, lcc, width, slices, lt, a, key
+        return (nodes, inds, hyper, lcc, width, slices, lt, a, key,
+                moves + 1)
 
     carry = (state.nodes, state.inds, state.hyper, state.lcc, state.width,
-             state.slices, lt0, pos_b0, key)
-    (nodes, inds, hyper, lcc, width, slices, _, _,
-     key) = jax.lax.while_loop(cond, body, carry)
+             state.slices, lt0, pos_b0, key, jnp.int32(0))
+    (nodes, inds, hyper, lcc, width, slices, _, _, key,
+     moves) = jax.lax.while_loop(cond, body, carry)
 
     # Post-sweep reslice-if-better (greedy/optimizer.hpp:359-376)
     key, k_reslice = jax.random.split(key)
@@ -437,8 +439,10 @@ def sweep_fw(state: SAStateFW, beta, update_slices, max_width, log2d,
     min_inds = jnp.where(improved, inds, state.min_inds)
     min_slices = jnp.where(improved, slices, state.min_slices)
 
-    return SAStateFW(nodes, inds, hyper, lcc, width, slices, lt_final,
-                     min_log2_total, min_nodes, min_inds, min_slices, key)
+    new_state = SAStateFW(nodes, inds, hyper, lcc, width, slices, lt_final,
+                          min_log2_total, min_nodes, min_inds, min_slices,
+                          key)
+    return new_state, moves
 
 
 def _run_sweeps_fw(state: SAStateFW, betas, update_slices_mask, max_width,
@@ -448,13 +452,14 @@ def _run_sweeps_fw(state: SAStateFW, betas, update_slices_mask, max_width,
 
     def step(s, x):
         beta, upd = x
-        s = sweep_fw(s, beta, upd, max_width, log2d, skip_lanes, cfg,
-                     sparse_lanes, log2_n_projs)
-        return s, (s.log2_total, s.min_log2_total)
+        s, moves = sweep_fw(s, beta, upd, max_width, log2d, skip_lanes, cfg,
+                            sparse_lanes, log2_n_projs)
+        return s, (s.log2_total, s.min_log2_total, moves)
 
-    state, (lt_hist, min_hist) = jax.lax.scan(
+    state, (lt_hist, min_hist, moves_hist) = jax.lax.scan(
         step, state, (betas, update_slices_mask))
-    return state, {'log2_total': lt_hist, 'log2_min_total': min_hist}
+    return state, {'log2_total': lt_hist, 'log2_min_total': min_hist,
+                   'moves': moves_hist}
 
 
 run_sweeps_fw = fts.partial(jax.jit, static_argnames=('cfg',))(

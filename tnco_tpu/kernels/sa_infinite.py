@@ -157,11 +157,11 @@ def sweep(state: SAStateIM, beta, log2_dims_padded, cfg: SweepConfig,
                                     log2_n_projs=log2_n_projs)
 
     def cond(carry):
-        nodes, _, _, _, _, pos_b, _ = carry
+        nodes, _, _, _, _, pos_b, _, _ = carry
         return (pos_b != NULL) & (nodes[pos_b, 2] != NULL)
 
     def body(carry):
-        nodes, inds, hyper, lcc, lt, pos_b, key = carry
+        nodes, inds, hyper, lcc, lt, pos_b, key, moves = carry
         key, k_pick, k_u = jax.random.split(key, 3)
 
         b = pos_b
@@ -213,11 +213,11 @@ def sweep(state: SAStateIM, beta, log2_dims_padded, cfg: SweepConfig,
         lcc = lcc.at[b].set(jnp.where(accept, ln_b, l_b))
         lt = jnp.where(accept, l_new, lt)
 
-        return nodes, inds, hyper, lcc, lt, a, key
+        return nodes, inds, hyper, lcc, lt, a, key, moves + 1
 
     carry = (state.nodes, state.inds, state.hyper, state.lcc, lt0, pos_b0,
-             key)
-    nodes, inds, hyper, lcc, _, _, key = jax.lax.while_loop(
+             key, jnp.int32(0))
+    nodes, inds, hyper, lcc, _, _, key, moves = jax.lax.while_loop(
         cond, body, carry)
 
     # Re-derive the total exactly from the caches and update the min snapshot
@@ -228,8 +228,9 @@ def sweep(state: SAStateIM, beta, log2_dims_padded, cfg: SweepConfig,
     min_nodes = jnp.where(improved, nodes, state.min_nodes)
     min_inds = jnp.where(improved, inds, state.min_inds)
 
-    return SAStateIM(nodes, inds, hyper, lcc, lt_final, min_log2_total,
-                     min_nodes, min_inds, key)
+    new_state = SAStateIM(nodes, inds, hyper, lcc, lt_final, min_log2_total,
+                          min_nodes, min_inds, key)
+    return new_state, moves
 
 
 def _run_sweeps(state: SAStateIM, betas, log2_dims_padded, cfg: SweepConfig,
@@ -237,11 +238,13 @@ def _run_sweeps(state: SAStateIM, betas, log2_dims_padded, cfg: SweepConfig,
     """Runs one sweep per beta; returns final state + per-sweep metrics."""
 
     def step(s, beta):
-        s = sweep(s, beta, log2_dims_padded, cfg, sparse_lanes, log2_n_projs)
-        return s, (s.log2_total, s.min_log2_total)
+        s, moves = sweep(s, beta, log2_dims_padded, cfg, sparse_lanes,
+                         log2_n_projs)
+        return s, (s.log2_total, s.min_log2_total, moves)
 
-    state, (lt_hist, min_hist) = jax.lax.scan(step, state, betas)
-    return state, {'log2_total': lt_hist, 'log2_min_total': min_hist}
+    state, (lt_hist, min_hist, moves_hist) = jax.lax.scan(step, state, betas)
+    return state, {'log2_total': lt_hist, 'log2_min_total': min_hist,
+                   'moves': moves_hist}
 
 
 run_sweeps = fts.partial(jax.jit, static_argnames=('cfg',))(_run_sweeps)

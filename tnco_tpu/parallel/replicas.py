@@ -108,6 +108,7 @@ class ReplicaRunner:
         self.states = batch
         self.n_replicas = len(ctrees)
         self.sweeps_done = 0
+        self.moves_done = 0
 
     def run(self,
             betas,
@@ -147,6 +148,7 @@ class ReplicaRunner:
                 self.states, jnp.asarray(chunk), self.log2d, self.cfg,
                 self.sparse_lanes, self.log2_n_projs)
             self.sweeps_done += chunk_size
+            self.moves_done += int(np.sum(metrics['moves']))
             pos += chunk_size
             if callback is not None:
                 callback({
@@ -157,6 +159,7 @@ class ReplicaRunner:
         return {
             'log2_min_total': np.asarray(self.states.min_log2_total),
             'sweeps': self.sweeps_done,
+            'moves': self.moves_done,
             'runtime_s': time.perf_counter() - start,
         }
 
@@ -250,6 +253,7 @@ class ReplicaRunnerFW:
         self.states = batch
         self.n_replicas = len(ctrees)
         self.sweeps_done = 0
+        self.moves_done = 0
 
     def run(self,
             betas,
@@ -280,6 +284,7 @@ class ReplicaRunnerFW:
                 self.max_width, self.log2d, self.skip_lanes, self.cfg,
                 self.sparse_lanes, self.log2_n_projs)
             self.sweeps_done += chunk_size
+            self.moves_done += int(np.sum(metrics['moves']))
             pos += chunk_size
             if callback is not None:
                 callback({
@@ -290,6 +295,7 @@ class ReplicaRunnerFW:
         return {
             'log2_min_total': np.asarray(self.states.min_log2_total),
             'sweeps': self.sweeps_done,
+            'moves': self.moves_done,
             'runtime_s': time.perf_counter() - start,
         }
 
