@@ -21,41 +21,39 @@ def main() -> None:
     from tnco_tpu.utils.tn import get_random_contraction_path
 
     platform = jax.devices()[0].platform
-    n_replicas = 512 if platform != 'cpu' else 32
+    n_replicas = 4096 if platform != 'cpu' else 32
     n_sweeps = 256 if platform != 'cpu' else 32
+
+    from tnco_tpu.kernels import sa_batched as sb
 
     ts_inds, output_inds, dims = lattice_2d(8, 8)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
 
-    states = []
-    template = None
-    for r in range(n_replicas):
-        path = get_random_contraction_path(ts_inds, output_inds, seed=r)
-        ctree = ContractionTree(path, ts_inds, dims,
-                                output_inds=output_inds,
-                                check_shared_inds=True, inds_order=order)
-        template = template or ctree
-        states.append(
-            sa.init_state(
-                ctree, seed=r,
-                log2_dims_padded=bitops.pad_log2_dims(
-                    ctree.log2_dims_array, ctree.inds_array.shape[1])))
-    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-
-    cfg = sa.SweepConfig(n_leaves=template.n_leaves,
-                         n_lanes=template.inds_array.shape[1])
-    log2d = bitops.pad_log2_dims(template.log2_dims_array,
-                                 template.inds_array.shape[1])
+    n_paths = min(n_replicas, 64)
+    paths = [get_random_contraction_path(ts_inds, output_inds, seed=r)
+             for r in range(n_paths)]
+    ctrees = [
+        ContractionTree(paths[r % n_paths], ts_inds, dims,
+                        output_inds=output_inds, check_shared_inds=True,
+                        inds_order=order) for r in range(n_replicas)
+    ]
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = sa.SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    batch = sb.init_batch(ctrees, list(range(n_replicas)),
+                          np.asarray(log2d))
     betas = jnp.linspace(0.0, 30.0, n_sweeps, dtype=jnp.float32)
 
     # Warm-up / compile.  NOTE: on the remote-tunneled TPU platform,
     # block_until_ready does not reliably block — an actual host transfer
     # does, so all timings force one.
-    out, metrics = sa.run_sweeps_batch(batch, betas, log2d, cfg)
+    out, metrics = sb.run_sweeps_batched(batch, betas, log2d_w32, cfg)
     np.asarray(metrics['moves'])
 
     t0 = time.perf_counter()
-    out, metrics = sa.run_sweeps_batch(batch, betas, log2d, cfg)
+    out, metrics = sb.run_sweeps_batched(batch, betas, log2d_w32, cfg)
     moves = int(np.sum(np.asarray(metrics['moves'])))
     elapsed = time.perf_counter() - t0
     moves_per_sec = moves / elapsed

@@ -1,0 +1,81 @@
+"""Batched (lane-major) SA engine must reproduce the vmapped reference
+kernel bit-for-bit: same PRNG streams, same trees, same costs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tnco_tpu.ctree import ContractionTree
+from tnco_tpu.kernels import sa_batched as sb
+from tnco_tpu.kernels import sa_infinite as sa
+from tnco_tpu.ops import bitops
+from tnco_tpu.testing.utils import generate_random_tensors
+from tnco_tpu.utils.tn import get_random_contraction_path
+
+
+def _states(rng, random_seed, n_replicas=5, hyper=False):
+    ts_inds, output_inds, dims = generate_random_tensors(
+        rng, n_output_inds=2, n_hyper_edges=2 if hyper else 0,
+        n_hyper_output_inds=1 if hyper else 0)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    states, template = [], None
+    for r in range(n_replicas):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctree = ContractionTree(path, ts_inds, dims,
+                                output_inds=output_inds,
+                                check_shared_inds=True, inds_order=order)
+        template = template or ctree
+        states.append(sa.init_state(
+            ctree, seed=random_seed + r,
+            log2_dims_padded=bitops.pad_log2_dims(
+                ctree.log2_dims_array, ctree.inds_array.shape[1])))
+    cfg = sa.SweepConfig(n_leaves=template.n_leaves,
+                         n_lanes=template.inds_array.shape[1])
+    log2d = bitops.pad_log2_dims(template.log2_dims_array,
+                                 template.inds_array.shape[1])
+    return states, cfg, log2d, template
+
+
+@pytest.mark.parametrize('hyper', [False, True])
+@pytest.mark.parametrize('prob_kind', ['mh', 'greedy'])
+def test_batched_matches_vmapped(prob_kind, hyper, rng, random_seed):
+    states, cfg, log2d, _ = _states(rng, random_seed, hyper=hyper)
+    cfg = sa.SweepConfig(n_leaves=cfg.n_leaves, n_lanes=cfg.n_lanes,
+                         prob_kind=prob_kind)
+    betas = jnp.linspace(0.0, 15.0, 40, dtype=jnp.float32)
+
+    # Reference: vmapped per-replica kernel
+    vstack = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    vout, vmet = sa.run_sweeps_batch(vstack, betas, log2d, cfg)
+
+    # Lane-major engine
+    log2d_w32 = jnp.asarray(log2d).reshape(cfg.n_lanes, 32)
+    batch = sb.from_states(states)
+    bout, bmet = sb.run_sweeps_batched(batch, betas, log2d_w32, cfg)
+
+    np.testing.assert_array_equal(np.asarray(vout.nodes[:, :, 0]),
+                                  np.asarray(bout.c0).T)
+    np.testing.assert_array_equal(np.asarray(vout.nodes[:, :, 2]),
+                                  np.asarray(bout.par).T)
+    np.testing.assert_array_equal(
+        np.asarray(vout.inds),
+        np.moveaxis(np.asarray(bout.inds), -1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(vout.min_inds),
+        np.moveaxis(np.asarray(bout.min_inds), -1, 0))
+    np.testing.assert_allclose(np.asarray(vout.min_log2_total),
+                               np.asarray(bout.min_log2_total), rtol=1e-6)
+    # Same number of total move evaluations
+    assert int(np.sum(vmet['moves'])) == int(np.sum(bmet['moves']))
+
+    # Round-trip extraction matches per-replica states
+    s0 = sb.replica_state(bout, 0)
+    np.testing.assert_array_equal(np.asarray(s0.nodes),
+                                  np.asarray(vout.nodes[0]))
+    np.testing.assert_array_equal(np.asarray(s0.hyper),
+                                  np.asarray(vout.hyper[0]))

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tnco_tpu.kernels import sa_batched as sb
 from tnco_tpu.kernels import sa_finite as saf
 from tnco_tpu.kernels import sa_infinite as sa
 from tnco_tpu.ops import bitops
@@ -38,6 +39,29 @@ def replica_sharding(mesh, axis_name: str = 'r'):
     """NamedSharding that splits the leading replica axis over the mesh."""
     return jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(axis_name))
+
+
+def _shard_batch(batch: 'sb.SABatch', mesh) -> 'sb.SABatch':
+    """Shards a lane-major ``SABatch`` over the mesh's first axis.
+
+    Every leaf carries the replica axis last except ``keys`` ([B, 2]).
+    """
+    axis = mesh.axis_names[0]
+
+    def put(x, replica_axis):
+        spec = [None] * x.ndim
+        spec[replica_axis] = axis
+        return jax.device_put(
+            x, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(*spec)))
+
+    return sb.SABatch(
+        put(batch.c0, -1), put(batch.c1, -1), put(batch.par, -1),
+        put(batch.inds, -1), put(batch.hyper, -1), put(batch.lcc, -1),
+        put(batch.log2_total, -1), put(batch.min_log2_total, -1),
+        put(batch.min_c0, -1), put(batch.min_c1, -1),
+        put(batch.min_par, -1), put(batch.min_inds, -1),
+        put(batch.keys, 0))
 
 
 class ReplicaRunner:
@@ -85,26 +109,23 @@ class ReplicaRunner:
             dev = cmodel.device_params(self.template.inds_order)
             self.sparse_lanes = jnp.asarray(dev['sparse_lanes'])
             self.log2_n_projs = dev['log2_n_projs']
+            self.sparse_wb = self.sparse_lanes[:, None]
         else:
             self.sparse_lanes = None
             self.log2_n_projs = None
+            self.sparse_wb = None
 
-        states = [
-            sa.init_state(c, s, self.log2d, sparse_lanes=self.sparse_lanes,
-                          log2_n_projs=self.log2_n_projs)
-            for c, s in zip(ctrees, seeds)
-        ]
-        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        # Lane-major batched engine (bit-identical to the vmapped kernel,
+        # see tests/test_sa_batched.py) — built on host, uploaded once.
+        self.log2d_w32 = jnp.asarray(self.log2d).reshape(n_lanes, 32)
+        batch = sb.init_batch(ctrees, seeds, np.asarray(self.log2d),
+                              sparse_lanes=None if self.sparse_lanes is None
+                              else np.asarray(self.sparse_lanes),
+                              log2_n_projs=self.log2_n_projs)
 
         self.mesh = mesh
         if mesh is not None:
-            shard = replica_sharding(mesh)
-            batch = jax.tree.map(
-                lambda x: jax.device_put(
-                    x,
-                    shard if x.ndim > 0 else
-                    jax.sharding.NamedSharding(
-                        mesh, jax.sharding.PartitionSpec())), batch)
+            batch = _shard_batch(batch, mesh)
         self.states = batch
         self.n_replicas = len(ctrees)
         self.sweeps_done = 0
@@ -144,9 +165,9 @@ class ReplicaRunner:
                     [chunk,
                      np.full(chunk_size - len(chunk), chunk[-1],
                              dtype=np.float32)])
-            self.states, metrics = sa.run_sweeps_batch(
-                self.states, jnp.asarray(chunk), self.log2d, self.cfg,
-                self.sparse_lanes, self.log2_n_projs)
+            self.states, metrics = sb.run_sweeps_batched(
+                self.states, jnp.asarray(chunk), self.log2d_w32, self.cfg,
+                self.sparse_wb, self.log2_n_projs)
             self.sweeps_done += chunk_size
             self.moves_done += int(np.sum(metrics['moves']))
             pos += chunk_size
@@ -154,7 +175,7 @@ class ReplicaRunner:
                 callback({
                     'progress': min(pos, n) / n,
                     'log2_min_total':
-                        np.asarray(metrics['log2_min_total'][:, -1]),
+                        np.asarray(metrics['log2_min_total'][-1]),
                 })
         return {
             'log2_min_total': np.asarray(self.states.min_log2_total),
@@ -173,16 +194,24 @@ class ReplicaRunner:
         idx = int(jnp.argmin(mins))
         return idx, float(mins[idx])
 
+    def _tree_of(self, c0, c1, par, inds, replica: int):
+        nodes = np.stack([
+            np.asarray(c0[:, replica]),
+            np.asarray(c1[:, replica]),
+            np.asarray(par[:, replica])
+        ], axis=1)
+        return self.template.replace_arrays(
+            nodes, np.asarray(inds[..., replica]))
+
     def min_ctree(self, replica: int):
         """Best tree found by ``replica`` as a host ``ContractionTree``."""
-        nodes = np.asarray(self.states.min_nodes[replica])
-        inds = np.asarray(self.states.min_inds[replica])
-        return self.template.replace_arrays(nodes, inds)
+        s = self.states
+        return self._tree_of(s.min_c0, s.min_c1, s.min_par, s.min_inds,
+                             replica)
 
     def ctree(self, replica: int):
-        nodes = np.asarray(self.states.nodes[replica])
-        inds = np.asarray(self.states.inds[replica])
-        return self.template.replace_arrays(nodes, inds)
+        s = self.states
+        return self._tree_of(s.c0, s.c1, s.par, s.inds, replica)
 
     def log2_min_totals(self) -> np.ndarray:
         return np.asarray(self.states.min_log2_total)
