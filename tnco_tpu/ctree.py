@@ -459,6 +459,16 @@ class ContractionTree:
         return ok if return_message else ok[0]
 
     def _is_valid_impl(self, check_shared_inds):
+        # Prefer the native validator (tnco_tpu/native/core.cpp) when built.
+        try:
+            from tnco_tpu import native
+            res = native.validate(self._nodes, self._inds,
+                                  check_shared_inds)
+        except ImportError:  # pragma: no cover
+            res = None
+        if res is not None:
+            return res
+
         nodes = self._nodes
         n = len(nodes)
         c0, c1, par = nodes[:, 0], nodes[:, 1], nodes[:, 2]

@@ -1,0 +1,418 @@
+// tnco-tpu native host core (C++17, ctypes ABI).
+//
+// Host-side exactness and CPU fallbacks mirroring the reference's native
+// surface (include/tnco/*.hpp): flat-tree validation, exact big-integer
+// total-cost audit (replacing MPFR float1024, include/tnco/fixed_float.hpp),
+// and a multithreaded CPU SA engine (the reference's single-thread C++ SA
+// kernel x joblib processes, run here as std::thread replicas).
+//
+// Data model matches the device kernels: nodes int32[N,3] (c0,c1,parent,
+// -1=null, leaves first, root last), index sets uint32[N,W] bitset lanes.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int32_t kNull = -1;
+
+// ---------------------------------------------------------------------------
+// Minimal unsigned bigint: sum of products of dimensions (exact audit).
+// ---------------------------------------------------------------------------
+struct BigUint {
+  // little-endian 32-bit limbs
+  std::vector<uint32_t> limbs;
+
+  BigUint() : limbs{0} {}
+  explicit BigUint(uint64_t v) {
+    limbs.push_back(static_cast<uint32_t>(v));
+    limbs.push_back(static_cast<uint32_t>(v >> 32));
+    trim();
+  }
+
+  void trim() {
+    while (limbs.size() > 1 && limbs.back() == 0) limbs.pop_back();
+  }
+
+  bool is_zero() const { return limbs.size() == 1 && limbs[0] == 0; }
+
+  void mul_u32(uint32_t m) {
+    uint64_t carry = 0;
+    for (auto& limb : limbs) {
+      uint64_t cur = static_cast<uint64_t>(limb) * m + carry;
+      limb = static_cast<uint32_t>(cur);
+      carry = cur >> 32;
+    }
+    while (carry) {
+      limbs.push_back(static_cast<uint32_t>(carry));
+      carry >>= 32;
+    }
+    trim();
+  }
+
+  void add(const BigUint& other) {
+    const size_t n = std::max(limbs.size(), other.limbs.size());
+    limbs.resize(n, 0);
+    uint64_t carry = 0;
+    for (size_t i = 0; i < n; ++i) {
+      uint64_t cur = static_cast<uint64_t>(limbs[i]) + carry +
+                     (i < other.limbs.size() ? other.limbs[i] : 0);
+      limbs[i] = static_cast<uint32_t>(cur);
+      carry = cur >> 32;
+    }
+    if (carry) limbs.push_back(static_cast<uint32_t>(carry));
+  }
+
+  // log2 with ~double precision (top 128 bits as long double mantissa)
+  double log2() const {
+    if (is_zero()) return -std::numeric_limits<double>::infinity();
+    long double mant = 0.0L;
+    int taken = 0;
+    size_t i = limbs.size();
+    while (i > 0 && taken < 4) {
+      --i;
+      mant = mant * 4294967296.0L + limbs[i];
+      ++taken;
+    }
+    // i limbs remain below the mantissa
+    return static_cast<double>(std::log2(mant) + 32.0L * i);
+  }
+
+  // decimal string (repeated division by 1e9)
+  std::string to_decimal() const {
+    if (is_zero()) return "0";
+    std::vector<uint32_t> work(limbs);
+    std::string out;
+    while (!(work.size() == 1 && work[0] == 0)) {
+      uint64_t rem = 0;
+      for (size_t i = work.size(); i-- > 0;) {
+        uint64_t cur = (rem << 32) | work[i];
+        work[i] = static_cast<uint32_t>(cur / 1000000000ULL);
+        rem = cur % 1000000000ULL;
+      }
+      while (work.size() > 1 && work.back() == 0) work.pop_back();
+      char buf[16];
+      if (work.size() == 1 && work[0] == 0) {
+        std::snprintf(buf, sizeof(buf), "%llu",
+                      static_cast<unsigned long long>(rem));
+      } else {
+        std::snprintf(buf, sizeof(buf), "%09llu",
+                      static_cast<unsigned long long>(rem));
+      }
+      out.insert(0, buf);
+    }
+    return out;
+  }
+};
+
+struct TreeView {
+  const int32_t* nodes;  // [n, 3]
+  int64_t n;
+
+  int32_t c0(int64_t i) const { return nodes[3 * i]; }
+  int32_t c1(int64_t i) const { return nodes[3 * i + 1]; }
+  int32_t parent(int64_t i) const { return nodes[3 * i + 2]; }
+  bool is_leaf(int64_t i) const { return c0(i) == kNull; }
+};
+
+BigUint contraction_cost(const uint32_t* lanes_a, const uint32_t* lanes_b,
+                         int64_t w, const int64_t* dims) {
+  BigUint cost(1);
+  for (int64_t word = 0; word < w; ++word) {
+    uint32_t bits = lanes_a[word] | lanes_b[word];
+    while (bits) {
+      const int bit = __builtin_ctz(bits);
+      bits &= bits - 1;
+      cost.mul_u32(static_cast<uint32_t>(dims[32 * word + bit]));
+    }
+  }
+  return cost;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Validates the flat tree + per-contraction index rules.
+// Returns 0 if valid, else a positive error code:
+//  1 bad node links, 2 last not root, 3 root count != 1, 4 leaves not
+//  first, 5 bad node count, 6 parent/child mismatch, 7 invalid contraction
+//  (xor not subset / out not subset), 8 missing shared index.
+int32_t tnco_validate(const int32_t* nodes, int64_t n,
+                      const uint32_t* inds, int64_t w,
+                      int32_t check_shared) {
+  TreeView t{nodes, n};
+  int64_t n_leaves = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t a = t.c0(i), b = t.c1(i), p = t.parent(i);
+    if ((a == kNull) != (b == kNull)) return 1;
+    for (int32_t x : {a, b, p}) {
+      if (x != kNull && (x < 0 || x >= n)) return 1;
+    }
+    if (a != kNull && a == b) return 1;
+    if (a != kNull && p != kNull && (p == a || p == b)) return 1;
+    if (t.is_leaf(i)) ++n_leaves;
+  }
+  if (t.parent(n - 1) != kNull) return 2;
+  int64_t roots = 0;
+  for (int64_t i = 0; i < n; ++i) roots += (t.parent(i) == kNull);
+  if (roots != 1) return 3;
+  for (int64_t i = 0; i < n_leaves; ++i) {
+    if (!t.is_leaf(i)) return 4;
+  }
+  if (n != 2 * n_leaves - 1) return 5;
+
+  std::vector<int32_t> child_claims(n, 0), parent_claims(n, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    if (!t.is_leaf(i)) {
+      ++child_claims[t.c0(i)];
+      ++child_claims[t.c1(i)];
+    }
+    if (t.parent(i) != kNull) ++parent_claims[t.parent(i)];
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (child_claims[i] != (t.parent(i) == kNull ? 0 : 1)) return 6;
+    if (parent_claims[i] != (t.is_leaf(i) ? 0 : 2)) return 6;
+  }
+
+  for (int64_t i = 0; i < n; ++i) {
+    if (t.is_leaf(i)) continue;
+    const uint32_t* xa = inds + w * t.c0(i);
+    const uint32_t* xb = inds + w * t.c1(i);
+    const uint32_t* xo = inds + w * i;
+    bool shared = false;
+    for (int64_t k = 0; k < w; ++k) {
+      const uint32_t sym = xa[k] ^ xb[k];
+      const uint32_t uni = xa[k] | xb[k];
+      if (sym & ~xo[k]) return 7;
+      if (xo[k] & ~uni) return 7;
+      shared |= (xa[k] & xb[k]) != 0;
+    }
+    if (check_shared && !shared) return 8;
+  }
+  return 0;
+}
+
+// Exact total cost: writes the decimal string into out (returns length
+// needed; out may be null to query). Also writes log2 into *log2_out.
+int64_t tnco_total_cost(const int32_t* nodes, int64_t n,
+                        const uint32_t* inds, int64_t w,
+                        const int64_t* dims, double* log2_out, char* out,
+                        int64_t out_cap) {
+  TreeView t{nodes, n};
+  BigUint total(0);
+  for (int64_t i = 0; i < n; ++i) {
+    if (t.is_leaf(i)) continue;
+    BigUint c =
+        contraction_cost(inds + w * t.c0(i), inds + w * t.c1(i), w, dims);
+    total.add(c);
+  }
+  if (log2_out) *log2_out = total.log2();
+  const std::string dec = total.to_decimal();
+  const int64_t needed = static_cast<int64_t>(dec.size()) + 1;
+  if (out && out_cap >= needed) {
+    std::memcpy(out, dec.c_str(), needed);
+  }
+  return needed;
+}
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// CPU SA engine: one replica (mt19937, log2-domain doubles).
+// ---------------------------------------------------------------------------
+struct SAReplica {
+  int64_t n, w, n_leaves;
+  std::vector<int32_t> c0, c1, par;
+  std::vector<uint32_t> inds, hyper;
+  std::vector<double> lcc;
+  const double* log2d;  // [w*32]
+  std::mt19937 prng;
+
+  double width_union(const uint32_t* a, const uint32_t* b) const {
+    double acc = 0.0;
+    for (int64_t k = 0; k < w; ++k) {
+      uint32_t bits = a[k] | b[k];
+      while (bits) {
+        const int bit = __builtin_ctz(bits);
+        bits &= bits - 1;
+        acc += log2d[32 * k + bit];
+      }
+    }
+    return acc;
+  }
+
+  void rebuild_caches() {
+    for (int64_t i = 0; i < n; ++i) {
+      if (c0[i] == kNull) {
+        lcc[i] = -std::numeric_limits<double>::infinity();
+        std::fill(hyper.begin() + w * i, hyper.begin() + w * (i + 1), 0u);
+      } else {
+        lcc[i] = width_union(&inds[w * c0[i]], &inds[w * c1[i]]);
+        for (int64_t k = 0; k < w; ++k) {
+          hyper[w * i + k] =
+              inds[w * i + k] & inds[w * c0[i] + k] & inds[w * c1[i] + k];
+        }
+      }
+    }
+  }
+
+  double log2_total() const {
+    double m = -std::numeric_limits<double>::infinity();
+    for (int64_t i = n_leaves; i < n; ++i) m = std::max(m, lcc[i]);
+    if (!std::isfinite(m)) return m;
+    double s = 0.0;
+    for (int64_t i = n_leaves; i < n; ++i) s += std::exp2(lcc[i] - m);
+    return m + std::log2(s);
+  }
+
+  // One leaf-to-root sweep; returns the number of proposals evaluated.
+  int64_t sweep(double beta, double& lt) {
+    std::uniform_real_distribution<double> uniform;
+    int64_t moves = 0;
+    int32_t b = static_cast<int32_t>(prng() % n_leaves);
+    b = par[b];
+    if (b == kNull) return 0;
+    std::vector<uint32_t> new_inds_b(w);
+    while (par[b] != kNull) {
+      ++moves;
+      const int32_t a = par[b];
+      const int32_t c = (c0[a] == b) ? c1[a] : c0[a];
+      const int32_t cb0 = c0[b], cb1 = c1[b];
+      bool i0 = false, i1 = false;
+      for (int64_t k = 0; k < w; ++k) {
+        i0 |= (inds[w * cb0 + k] & inds[w * c + k]) != 0;
+        i1 |= (inds[w * cb1 + k] & inds[w * c + k]) != 0;
+      }
+      int32_t d, e;
+      if (i0 && i1) {
+        const bool flip = prng() & 1u;
+        d = flip ? cb0 : cb1;
+        e = flip ? cb1 : cb0;
+      } else {
+        d = i0 ? cb0 : cb1;
+        e = i0 ? cb1 : cb0;
+      }
+      for (int64_t k = 0; k < w; ++k) {
+        new_inds_b[k] = (inds[w * d + k] ^ inds[w * c + k]) |
+                        hyper[w * a + k] | hyper[w * b + k];
+      }
+      const double ln_b = width_union(&inds[w * d], &inds[w * c]);
+      const double ln_a = width_union(new_inds_b.data(), &inds[w * e]);
+      const double l_a = lcc[a], l_b = lcc[b];
+      const double mx = std::max({lt, ln_a, ln_b});
+      const double s = std::exp2(lt - mx) - std::exp2(l_a - mx) -
+                       std::exp2(l_b - mx) + std::exp2(ln_a - mx) +
+                       std::exp2(ln_b - mx);
+      const double l_new = mx + std::log2(std::max(s, 0x1p-60));
+      const double u = uniform(prng);
+      const bool accept =
+          std::log2(std::max(u, 0x1p-60)) <= -beta * (l_new - lt);
+      if (accept) {
+        // swap C <-> E
+        (c0[a] == c ? c0[a] : c1[a]) = e;
+        (c0[b] == e ? c0[b] : c1[b]) = c;
+        par[c] = b;
+        par[e] = a;
+        std::copy(new_inds_b.begin(), new_inds_b.end(),
+                  inds.begin() + w * b);
+        for (int64_t k = 0; k < w; ++k) {
+          hyper[w * a + k] =
+              inds[w * a + k] & inds[w * b + k] & inds[w * e + k];
+          hyper[w * b + k] =
+              inds[w * b + k] & inds[w * d + k] & inds[w * c + k];
+        }
+        lcc[a] = ln_a;
+        lcc[b] = ln_b;
+        lt = l_new;
+      }
+      b = a;
+    }
+    return moves;
+  }
+};
+
+}  // namespace
+
+// Runs n_replicas independent SA chains over n_threads OS threads.
+// nodes/inds: per-replica arrays [R, N, 3] / [R, N, W] updated in place
+// with each replica's BEST tree; best_log2 [R] gets the best cost;
+// returns total move evaluations.
+int64_t tnco_sa_run(int32_t* nodes, uint32_t* inds, int64_t n_replicas,
+                    int64_t n, int64_t w, const double* log2_dims,
+                    const double* betas, int64_t n_sweeps,
+                    const uint64_t* seeds, double* best_log2,
+                    int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  }
+  n_threads = std::min<int64_t>(n_threads, n_replicas);
+  std::atomic<int64_t> next{0};
+  std::atomic<int64_t> total_moves{0};
+  const int64_t n_leaves = (n + 1) / 2;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t r = next.fetch_add(1);
+      if (r >= n_replicas) return;
+      SAReplica rep;
+      rep.n = n;
+      rep.w = w;
+      rep.n_leaves = n_leaves;
+      rep.log2d = log2_dims;
+      rep.c0.resize(n);
+      rep.c1.resize(n);
+      rep.par.resize(n);
+      int32_t* nd = nodes + 3 * n * r;
+      for (int64_t i = 0; i < n; ++i) {
+        rep.c0[i] = nd[3 * i];
+        rep.c1[i] = nd[3 * i + 1];
+        rep.par[i] = nd[3 * i + 2];
+      }
+      rep.inds.assign(inds + w * n * r, inds + w * n * (r + 1));
+      rep.hyper.resize(n * w);
+      rep.lcc.resize(n);
+      rep.prng.seed(seeds[r]);
+      rep.rebuild_caches();
+
+      double lt = rep.log2_total();
+      double best = lt;
+      std::vector<int32_t> bc0 = rep.c0, bc1 = rep.c1, bpar = rep.par;
+      std::vector<uint32_t> binds = rep.inds;
+      int64_t moves = 0;
+      for (int64_t k = 0; k < n_sweeps; ++k) {
+        moves += rep.sweep(betas[k], lt);
+        if (lt < best) {
+          best = lt;
+          bc0 = rep.c0;
+          bc1 = rep.c1;
+          bpar = rep.par;
+          binds = rep.inds;
+        }
+      }
+      total_moves.fetch_add(moves);
+      for (int64_t i = 0; i < n; ++i) {
+        nd[3 * i] = bc0[i];
+        nd[3 * i + 1] = bc1[i];
+        nd[3 * i + 2] = bpar[i];
+      }
+      std::copy(binds.begin(), binds.end(), inds + w * n * r);
+      best_log2[r] = best;
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int64_t i = 0; i < n_threads; ++i) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return total_moves.load();
+}
+
+}  // extern "C"
