@@ -1,0 +1,133 @@
+"""Host Parallel fan-out and mesh-sharded replica tests."""
+
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from tnco_tpu.ctree import ContractionTree
+from tnco_tpu.optimize.infinite_memory import SimpleCostModel
+from tnco_tpu.parallel import make_mesh, Parallel, ReplicaRunner
+from tnco_tpu.testing.utils import generate_random_tensors
+from tnco_tpu.utils.tn import get_random_contraction_path
+
+
+def test_host_parallel_basic():
+    def core(seed, *, idx, status, stop, metric):
+        status[idx] = 1.0
+        metric[idx] = seed * 2.0
+        return seed + 100
+
+    out = Parallel(core, seed=[1, 2, 3], n_jobs=2,
+                   buffers=[('metric', 'f')])
+    assert out == [101, 102, 103]
+
+
+def test_host_parallel_timeout_stop():
+    def core(seed, *, idx, status, stop):
+        n = 0
+        while not stop[idx] and n < 500:
+            time.sleep(0.01)
+            n += 1
+        return n
+
+    t0 = time.perf_counter()
+    out = Parallel(core, seed=[0, 1], n_jobs=2, timeout=0.2)
+    assert time.perf_counter() - t0 < 3.0
+    assert all(n < 500 for n in out)
+
+    with pytest.raises(ValueError):
+        Parallel(core, seed=[0], n_jobs=0)
+
+
+def test_swap_with_nn_roundtrip(rng, random_seed):
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_output_inds=1)
+    paths = get_random_contraction_path(ts_inds, output_inds,
+                                        merge_paths=False, seed=random_seed)
+    (path,) = [p for p in paths if p]
+    ctree = ContractionTree(path, ts_inds, dims, output_inds=output_inds)
+    nodes0 = ctree.nodes_array.copy()
+    # Pick a node with a grandparent; remember its uncle
+    pos = next(i for i in range(len(ctree))
+               if ctree.nodes_array[i, 2] != -1 and
+               ctree.nodes_array[ctree.nodes_array[i, 2], 2] != -1)
+    parent0 = nodes0[pos, 2]
+    grand0 = nodes0[parent0, 2]
+    uncle0 = (nodes0[grand0, 1]
+              if nodes0[grand0, 0] == parent0 else nodes0[grand0, 0])
+    ctree.swap_with_nn(pos)
+    # Tree structure stays consistent (index sets are the optimizer's job:
+    # a bare swap leaves them stale, like the reference tree.hpp move)
+    nodes = ctree.nodes_array
+    for i in range(len(ctree)):
+        p = nodes[i, 2]
+        if p != -1:
+            assert i in (nodes[p, 0], nodes[p, 1])
+    assert not np.array_equal(nodes, nodes0)
+    # Swapping the displaced uncle back restores the original links
+    ctree.swap_with_nn(uncle0)
+    np.testing.assert_array_equal(ctree.nodes_array, nodes0)
+
+
+def test_mesh_sharded_runner(rng, random_seed):
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_tensors=10,
+                                                         n_output_inds=1)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(16):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    mesh = make_mesh(jax.devices()[:8])
+    runner = ReplicaRunner(ctrees, list(range(16)),
+                           cmodel=SimpleCostModel(), mesh=mesh)
+    out = runner.run(np.linspace(0, 10, 16), chunk_size=16)
+    assert out['sweeps'] == 16
+
+    # Same computation without the mesh gives identical results
+    runner1 = ReplicaRunner(ctrees, list(range(16)),
+                            cmodel=SimpleCostModel())
+    out1 = runner1.run(np.linspace(0, 10, 16), chunk_size=16)
+    np.testing.assert_allclose(out['log2_min_total'],
+                               out1['log2_min_total'], rtol=1e-6)
+    assert runner.best()[1] == pytest.approx(runner1.best()[1], rel=1e-6)
+
+
+def test_engines_agree(rng, random_seed):
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_tensors=8,
+                                                         n_output_inds=1)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(4):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    betas = np.linspace(0, 10, 24)
+    outs = {}
+    for engine in ('batched', 'vmapped'):
+        runner = ReplicaRunner(ctrees, list(range(4)),
+                               cmodel=SimpleCostModel(), engine=engine)
+        runner.run(betas, chunk_size=24)
+        outs[engine] = (runner.log2_min_totals(),
+                        runner.min_ctree(0), runner.ctree(1),
+                        runner.moves_done)
+    np.testing.assert_allclose(outs['batched'][0], outs['vmapped'][0],
+                               rtol=1e-6)
+    assert outs['batched'][1] == outs['vmapped'][1]
+    assert outs['batched'][2] == outs['vmapped'][2]
+    assert outs['batched'][3] == outs['vmapped'][3]

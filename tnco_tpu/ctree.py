@@ -524,6 +524,33 @@ class ContractionTree:
             return False, "Contraction is not valid."
         return True, ""
 
+    # -- Tree move ------------------------------------------------------------
+
+    def swap_with_nn(self, pos_d: int) -> None:
+        """Swaps node ``pos_d`` with its uncle (the single tree move).
+
+        In-place rewiring only — index sets are the optimizer's job.
+        Reference: include/tnco/tree.hpp:141-192 (no-op on root/top nodes).
+        """
+        nodes = self._nodes
+        if pos_d >= len(nodes):
+            return
+        pos_b = nodes[pos_d, 2]
+        if pos_b == NULL:
+            return
+        pos_a = nodes[pos_b, 2]
+        if pos_a == NULL:
+            return
+        pos_c = (nodes[pos_a, 1]
+                 if nodes[pos_a, 0] == pos_b else nodes[pos_a, 0])
+        # A's child C -> D; B's child D -> C
+        slot_a = 0 if nodes[pos_a, 0] == pos_c else 1
+        slot_b = 0 if nodes[pos_b, 0] == pos_d else 1
+        nodes[pos_a, slot_a] = pos_d
+        nodes[pos_b, slot_b] = pos_c
+        nodes[pos_c, 2] = pos_b
+        nodes[pos_d, 2] = pos_a
+
     # -- Path round-trip ---------------------------------------------------------
 
     def path(self) -> list[tuple[int, int]]:

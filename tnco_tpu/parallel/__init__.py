@@ -7,6 +7,9 @@ are a vmapped device batch — thousands per chip — sharded over a
 annealing for wall-clock budgeting and host-visible live metrics.
 """
 
-from tnco_tpu.parallel.replicas import ReplicaRunner, replica_sharding
+from tnco_tpu.parallel.host import Buffer, Parallel
+from tnco_tpu.parallel.replicas import (make_mesh, ReplicaRunner,
+                                        replica_sharding)
 
-__all__ = ['ReplicaRunner', 'replica_sharding']
+__all__ = ['ReplicaRunner', 'replica_sharding', 'make_mesh', 'Parallel',
+           'Buffer']

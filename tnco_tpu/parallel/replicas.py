@@ -41,6 +41,17 @@ def replica_sharding(mesh, axis_name: str = 'r'):
         mesh, jax.sharding.PartitionSpec(axis_name))
 
 
+def _to_vmapped(batch: 'sb.SABatch') -> 'sa.SAStateIM':
+    """Lane-major SABatch -> replica-major stacked SAStateIM pytree."""
+    nodes = jnp.stack([batch.c0.T, batch.c1.T, batch.par.T], axis=2)
+    min_nodes = jnp.stack(
+        [batch.min_c0.T, batch.min_c1.T, batch.min_par.T], axis=2)
+    return sa.SAStateIM(nodes, jnp.moveaxis(batch.inds, -1, 0),
+                        jnp.moveaxis(batch.hyper, -1, 0), batch.lcc.T,
+                        batch.log2_total, batch.min_log2_total, min_nodes,
+                        jnp.moveaxis(batch.min_inds, -1, 0), batch.keys)
+
+
 def _shard_batch(batch: 'sb.SABatch', mesh) -> 'sb.SABatch':
     """Shards a lane-major ``SABatch`` over the mesh's first axis.
 
@@ -86,7 +97,17 @@ class ReplicaRunner:
                  disable_shared_inds: bool = False,
                  prob_kind: str = 'mh',
                  mesh=None,
+                 engine: str = 'auto',
                  dtype=jnp.float32) -> None:
+        """``engine``: 'auto' | 'batched' | 'vmapped'.
+
+        The lane-major masked-dense engine does O(N*W) work per move,
+        fully vectorized over lanes — a big win for small/medium trees.
+        For very large trees (e.g. Sycamore-scale, N*W > ~3e4 words) the
+        gather-based vmapped kernel touching O(W) rows per move wins;
+        'auto' picks by state size.  Both engines produce bit-identical
+        trajectories (tests/test_sa_batched.py).
+        """
         ctrees = list(ctrees)
         seeds = list(seeds)
         if len(ctrees) != len(seeds):
@@ -115,17 +136,34 @@ class ReplicaRunner:
             self.log2_n_projs = None
             self.sparse_wb = None
 
-        # Lane-major batched engine (bit-identical to the vmapped kernel,
-        # see tests/test_sa_batched.py) — built on host, uploaded once.
+        if engine == 'auto':
+            engine = ('batched'
+                      if len(self.template) * n_lanes <= 32768 else
+                      'vmapped')
+        if engine not in ('batched', 'vmapped'):
+            raise ValueError(f"Unknown engine: {engine!r}")
+        self.engine = engine
+
         self.log2d_w32 = jnp.asarray(self.log2d).reshape(n_lanes, 32)
+        # Batch built on host, uploaded once (both engines share the
+        # lane-major layout; the vmapped engine converts per chunk).
         batch = sb.init_batch(ctrees, seeds, np.asarray(self.log2d),
                               sparse_lanes=None if self.sparse_lanes is None
                               else np.asarray(self.sparse_lanes),
                               log2_n_projs=self.log2_n_projs)
 
+        if engine == 'vmapped':
+            # Replica-major stacked SAStateIM pytree
+            batch = _to_vmapped(batch)
+
         self.mesh = mesh
         if mesh is not None:
-            batch = _shard_batch(batch, mesh)
+            if engine == 'vmapped':
+                shard = replica_sharding(mesh)
+                batch = jax.tree.map(
+                    lambda x: jax.device_put(x, shard), batch)
+            else:
+                batch = _shard_batch(batch, mesh)
         self.states = batch
         self.n_replicas = len(ctrees)
         self.sweeps_done = 0
@@ -165,17 +203,23 @@ class ReplicaRunner:
                     [chunk,
                      np.full(chunk_size - len(chunk), chunk[-1],
                              dtype=np.float32)])
-            self.states, metrics = sb.run_sweeps_batched(
-                self.states, jnp.asarray(chunk), self.log2d_w32, self.cfg,
-                self.sparse_wb, self.log2_n_projs)
+            if self.engine == 'batched':
+                self.states, metrics = sb.run_sweeps_batched(
+                    self.states, jnp.asarray(chunk), self.log2d_w32,
+                    self.cfg, self.sparse_wb, self.log2_n_projs)
+                last_min = metrics['log2_min_total'][-1]
+            else:
+                self.states, metrics = sa.run_sweeps_batch(
+                    self.states, jnp.asarray(chunk), self.log2d, self.cfg,
+                    self.sparse_lanes, self.log2_n_projs)
+                last_min = metrics['log2_min_total'][:, -1]
             self.sweeps_done += chunk_size
             self.moves_done += int(np.sum(metrics['moves']))
             pos += chunk_size
             if callback is not None:
                 callback({
                     'progress': min(pos, n) / n,
-                    'log2_min_total':
-                        np.asarray(metrics['log2_min_total'][-1]),
+                    'log2_min_total': np.asarray(last_min),
                 })
         return {
             'log2_min_total': np.asarray(self.states.min_log2_total),
@@ -206,11 +250,18 @@ class ReplicaRunner:
     def min_ctree(self, replica: int):
         """Best tree found by ``replica`` as a host ``ContractionTree``."""
         s = self.states
+        if self.engine == 'vmapped':
+            return self.template.replace_arrays(
+                np.asarray(s.min_nodes[replica]),
+                np.asarray(s.min_inds[replica]))
         return self._tree_of(s.min_c0, s.min_c1, s.min_par, s.min_inds,
                              replica)
 
     def ctree(self, replica: int):
         s = self.states
+        if self.engine == 'vmapped':
+            return self.template.replace_arrays(
+                np.asarray(s.nodes[replica]), np.asarray(s.inds[replica]))
         return self._tree_of(s.c0, s.c1, s.par, s.inds, replica)
 
     def log2_min_totals(self) -> np.ndarray:
