@@ -267,3 +267,28 @@ def test_optimize_finite_width_end_to_end():
     for xs in ctree.inds:
         w = sum(math.log2(dims[x]) for x in frozenset(xs) - best.slices)
         assert w <= 2.0 + 1e-3
+
+
+def test_cli_determinism_across_hashseeds(tmp_path):
+    # Reference tests/test_determinism.sh:16-45: same --seed, different
+    # PYTHONHASHSEED -> identical JSON modulo runtime.
+    import os
+    import subprocess
+    import sys
+
+    outs = []
+    for hashseed in ('1', '4242'):
+        env = dict(os.environ)
+        env['PYTHONHASHSEED'] = hashseed
+        env['TNCO_TPU_PLATFORM'] = 'cpu'
+        proc = subprocess.run(
+            [sys.executable, '-m', 'tnco_tpu.app.cli', 'optimize',
+             '2 a b\n2 b c\n2 c d', '--betas=(0, 30)', '--n-steps=30',
+             '--n-runs=2', '--seed=11', '--fuse=False'],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert proc.returncode == 0, proc.stderr
+        outs.append(json.loads(proc.stdout))
+    for out in outs:
+        for r in out['res']:
+            r.pop('runtime_s')
+    assert outs[0] == outs[1]

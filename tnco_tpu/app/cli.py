@@ -67,6 +67,14 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # Allow forcing the JAX platform (e.g. TNCO_TPU_PLATFORM=cpu) even when
+    # a site customization pre-registers an accelerator plugin.
+    import os
+    platform = os.environ.get('TNCO_TPU_PLATFORM')
+    if platform:
+        import jax
+        jax.config.update('jax_platforms', platform)
+
     args = _build_parser().parse_args(argv)
 
     if args.command == 'optimize':

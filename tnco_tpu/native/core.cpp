@@ -389,6 +389,10 @@ int64_t tnco_sa_run(int32_t* nodes, uint32_t* inds, int64_t n_replicas,
       int64_t moves = 0;
       for (int64_t k = 0; k < n_sweeps; ++k) {
         moves += rep.sweep(betas[k], lt);
+        // Re-derive the total from the per-node caches: the incremental
+        // update drifts (and can hit the cancellation floor) on large
+        // networks — same discipline as the device kernels.
+        lt = rep.log2_total();
         if (lt < best) {
           best = lt;
           bc0 = rep.c0;
