@@ -1,0 +1,442 @@
+"""Lane-major batched finite-width SA engine.
+
+The finite-width counterpart of :mod:`tnco_tpu.kernels.sa_batched`: replica
+-minor state with one-hot masked dense ops instead of gather/scatter HLOs,
+plus the slice lanes and width caches of
+:mod:`tnco_tpu.kernels.sa_finite`.  PRNG usage per replica mirrors
+``sa_finite.sweep_fw`` exactly (5-way splits per walk step, one reslice key
+per sweep), so trajectories are bit-identical to the vmapped engine.
+"""
+
+from dataclasses import dataclass
+import functools as fts
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tnco_tpu.kernels.sa_batched import (_log2_total_b, _width_b)
+from tnco_tpu.kernels.sa_finite import SweepConfigFW, _WIDTH_EPS
+from tnco_tpu.ops import costs as costs_ops
+
+__all__ = ['SABatchFW', 'init_batch_fw', 'run_sweeps_fw_batched',
+           'replica_state_fw']
+
+
+@jax.tree_util.register_pytree_node_class
+class SABatchFW:
+    """Replica-minor finite-width state.
+
+    Extends the IM batch with ``slices/min_slices: uint32[W, B]`` and
+    ``width: f32[N, B]`` (pre-slicing widths).
+    """
+
+    __slots__ = ('c0', 'c1', 'par', 'inds', 'hyper', 'lcc', 'width',
+                 'slices', 'log2_total', 'min_log2_total', 'min_c0',
+                 'min_c1', 'min_par', 'min_inds', 'min_slices', 'keys')
+
+    def __init__(self, c0, c1, par, inds, hyper, lcc, width, slices,
+                 log2_total, min_log2_total, min_c0, min_c1, min_par,
+                 min_inds, min_slices, keys):
+        self.c0 = c0
+        self.c1 = c1
+        self.par = par
+        self.inds = inds
+        self.hyper = hyper
+        self.lcc = lcc
+        self.width = width
+        self.slices = slices
+        self.log2_total = log2_total
+        self.min_log2_total = min_log2_total
+        self.min_c0 = min_c0
+        self.min_c1 = min_c1
+        self.min_par = min_par
+        self.min_inds = min_inds
+        self.min_slices = min_slices
+        self.keys = keys
+
+    def tree_flatten(self):
+        return ((self.c0, self.c1, self.par, self.inds, self.hyper,
+                 self.lcc, self.width, self.slices, self.log2_total,
+                 self.min_log2_total, self.min_c0, self.min_c1,
+                 self.min_par, self.min_inds, self.min_slices, self.keys),
+                None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+
+def from_states_fw(states) -> SABatchFW:
+    """Stacks per-replica ``SAStateFW`` into a replica-minor batch."""
+    stack = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-1), *states)
+    nodes, min_nodes = stack.nodes, stack.min_nodes
+    keys = jnp.stack([s.key for s in states])
+    return SABatchFW(nodes[:, 0, :], nodes[:, 1, :], nodes[:, 2, :],
+                     stack.inds, stack.hyper, stack.lcc, stack.width,
+                     stack.slices, stack.log2_total, stack.min_log2_total,
+                     min_nodes[:, 0, :], min_nodes[:, 1, :],
+                     min_nodes[:, 2, :], stack.min_inds, stack.min_slices,
+                     keys)
+
+
+def replica_state_fw(batch: SABatchFW, i: int):
+    """Extracts replica ``i`` back into a ``SAStateFW``."""
+    from tnco_tpu.kernels.sa_finite import SAStateFW
+
+    nodes = jnp.stack([batch.c0[:, i], batch.c1[:, i], batch.par[:, i]],
+                      axis=1)
+    min_nodes = jnp.stack(
+        [batch.min_c0[:, i], batch.min_c1[:, i], batch.min_par[:, i]],
+        axis=1)
+    return SAStateFW(nodes, batch.inds[..., i], batch.hyper[..., i],
+                     batch.lcc[:, i], batch.width[:, i],
+                     batch.slices[..., i], batch.log2_total[i],
+                     batch.min_log2_total[i], min_nodes,
+                     batch.min_inds[..., i], batch.min_slices[..., i],
+                     batch.keys[i])
+
+
+def _lcc_fw_b(c0, c1, inds, slices, log2d_w32, sparse_wb, log2_n_projs):
+    """[N, B] slice-aware log2 cost per node (leaves -> -inf)."""
+    internal = c0 != -1
+    c0s = jnp.where(internal, c0, 0)
+    c1s = jnp.where(internal, c1, 0)
+    inds_c0 = jnp.take_along_axis(inds, c0s[:, None, :], axis=0)
+    inds_c1 = jnp.take_along_axis(inds, c1s[:, None, :], axis=0)
+    union = inds_c0 | inds_c1 | slices[None, :, :]
+
+    def w_one(u):
+        return _width_b(u, log2d_w32, sparse_wb=sparse_wb,
+                        log2_n_projs=log2_n_projs)
+
+    lcc = jax.vmap(w_one)(union)  # over node axis
+    return jnp.where(internal, lcc, -jnp.inf).astype(log2d_w32.dtype)
+
+
+def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
+                     skip_wb, sparse_wb, log2_n_projs):
+    """Lane-major greedy slicer (see sa_finite.greedy_slices).
+
+    Mirrors the vmapped slicer exactly, including per-replica jitter keys.
+    Returns ``uint32[W, B]`` slice lanes.
+    """
+    n, w, b = inds.shape
+    n_bits = w * 32
+    dtype = log2d_w32.dtype
+    log2d_flat = log2d_w32.reshape(n_bits)
+
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def expand(lanes_wb):  # [w, b] -> [n_bits, b]
+        bits = (lanes_wb[:, None, :] >> shifts[None, :, None]) & \
+            jnp.uint32(1)
+        return bits.reshape(n_bits, b).astype(dtype)
+
+    big = (width > max_width + _WIDTH_EPS).astype(dtype)  # [n, b]
+    # n_big[i, b] = sum_nodes big * bit  — per word to bound memory
+    n_big = jnp.concatenate([
+        jnp.einsum(
+            'nb,njb->jb',
+            big,
+            ((inds[:, word, None, :] >> shifts[None, :, None]) &
+             jnp.uint32(1)).astype(dtype)) for word in range(w)
+    ], axis=0)  # [n_bits, b]
+
+    jitter = jax.vmap(
+        lambda k: jax.random.uniform(k, (n_bits,), dtype=dtype))(
+            keys_jitter).T  # [n_bits, b]
+    score = n_big * 1e6 + log2d_flat[:, None] + 1e-4 * jitter
+    order = jnp.argsort(-score, axis=0)  # [n_bits, b]
+
+    log2d_sorted = jnp.take_along_axis(
+        jnp.broadcast_to(log2d_flat[:, None], (n_bits, b)), order, axis=0)
+    skip_full = jnp.broadcast_to(skip_wb.reshape(w, 1), (w, b))
+    skip_sorted = jnp.take_along_axis(expand(skip_full), order, axis=0)
+    if sparse_wb is not None:
+        sparse_full = jnp.broadcast_to(sparse_wb.reshape(w, 1), (w, b))
+        sparse_sorted = jnp.take_along_axis(expand(sparse_full), order,
+                                            axis=0)
+    else:
+        sparse_sorted = None
+
+    def w_of(lanes_wb):
+        return _width_b(lanes_wb, log2d_w32, sparse_wb=sparse_wb,
+                        log2_n_projs=log2_n_projs)
+
+    def body(t, slices):
+        xs = inds[t]  # [w, b]
+        sliced = xs & ~slices
+        sw = w_of(sliced)  # [b]
+
+        cand_sorted = jnp.take_along_axis(expand(sliced), order,
+                                          axis=0) * (1.0 - skip_sorted)
+
+        if sparse_sorted is None:
+            removed = cand_sorted * log2d_sorted
+            cum = jnp.cumsum(removed, axis=0) - removed
+            w_before = sw[None, :] - cum
+        else:
+            dense_rm = cand_sorted * log2d_sorted * (1 - sparse_sorted)
+            sp_rm = cand_sorted * log2d_sorted * sparse_sorted
+            cum_d = jnp.cumsum(dense_rm, axis=0) - dense_rm
+            cum_s = jnp.cumsum(sp_rm, axis=0) - sp_rm
+            w_d0 = _width_b(sliced & ~sparse_wb, log2d_w32)
+            w_s0 = _width_b(sliced & sparse_wb, log2d_w32)
+            w_before = (w_d0[None, :] - cum_d +
+                        jnp.minimum(w_s0[None, :] - cum_s, log2_n_projs))
+
+        need = sw > max_width + _WIDTH_EPS
+        selected_sorted = ((cand_sorted > 0) &
+                           (w_before > max_width + _WIDTH_EPS) &
+                           need[None, :])
+        # scatter back to index space per lane
+        selected = jnp.zeros((n_bits, b), jnp.bool_)
+        selected = jax.vmap(
+            lambda sel, ord_, out: out.at[ord_].set(sel),
+            in_axes=(1, 1, 1), out_axes=1)(selected_sorted, order,
+                                           selected)
+        sel_bits = selected.reshape(w, 32, b)
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+        sel_lanes = jnp.sum(
+            sel_bits * weights[None, :, None], axis=1,
+            dtype=jnp.uint32)
+        return slices | sel_lanes
+
+    slices0 = jnp.zeros((w, b), dtype=jnp.uint32)
+    return jax.lax.fori_loop(0, n, body, slices0)
+
+
+def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
+                      skip_wb, cfg: SweepConfigFW, iota_n, sparse_wb,
+                      log2_n_projs):
+    (c0, c1, par, inds, hyper, lcc, width, slices, _lt_prev, min_lt,
+     min_c0, min_c1, min_par, min_inds, min_slices, keys) = carry
+    n_leaves = cfg.n_leaves
+    n, w, b = inds.shape
+
+    split2 = jax.vmap(lambda k: tuple(jax.random.split(k)))
+    split5 = jax.vmap(lambda k: tuple(jax.random.split(k, 5)))
+    randleaf = jax.vmap(lambda k: jax.random.randint(k, (), 0, n_leaves))
+    bern = jax.vmap(jax.random.bernoulli)
+    unif = jax.vmap(lambda k: jax.random.uniform(k, dtype=jnp.float32))
+
+    keys, k_leaf = split2(keys)
+    leaf = randleaf(k_leaf)
+
+    def row_mask(pos):
+        return iota_n == pos[None, :]
+
+    def grow_i(arr, mask):
+        return jnp.sum(jnp.where(mask, arr, 0), axis=0)
+
+    def grow_f(arr, mask):
+        return jnp.sum(jnp.where(mask, arr, 0.0), axis=0)
+
+    def grow_u(arr, mask):
+        return jnp.sum(jnp.where(mask[:, None, :], arr, jnp.uint32(0)),
+                       axis=0, dtype=jnp.uint32)
+
+    def wfn(lanes_wb):
+        return _width_b(lanes_wb, log2d_w32, sparse_wb=sparse_wb,
+                        log2_n_projs=log2_n_projs)
+
+    lt0 = _log2_total_b(lcc, n_leaves)
+    pos_b0 = grow_i(par, row_mask(leaf))
+
+    if cfg.prob_kind == 'mh':
+        def accept_fn(log2_u, l_new, l_old):
+            return log2_u <= -beta * (l_new - l_old)
+    elif cfg.prob_kind == 'greedy':
+        def accept_fn(log2_u, l_new, l_old):
+            return l_new <= l_old
+    else:
+        def accept_fn(log2_u, l_new, l_old):
+            return jnp.ones_like(l_new, dtype=bool)
+
+    def cond(cy):
+        return jnp.any(cy[-1])
+
+    def body(cy):
+        (c0, c1, par, inds, hyper, lcc, width, slices, lt, pos_b, keys,
+         moves, active) = cy
+        keys_new, k_pick, k_u, k_slices, k_u2 = split5(keys)
+        del k_slices, k_u2  # rescue branch not supported in lane-major
+
+        bq = pos_b
+        m_b = row_mask(bq)
+        a = grow_i(par, m_b)
+        c0b = grow_i(c0, m_b)
+        c1b = grow_i(c1, m_b)
+        m_a = row_mask(a)
+        c0a = grow_i(c0, m_a)
+        c1a = grow_i(c1, m_a)
+        c = jnp.where(c0a == bq, c1a, c0a)
+        m_c = row_mask(c)
+
+        inds_c = grow_u(inds, m_c)
+        inds0 = grow_u(inds, row_mask(c0b))
+        inds1 = grow_u(inds, row_mask(c1b))
+        i0 = jnp.any(inds0 & inds_c, axis=0)
+        i1 = jnp.any(inds1 & inds_c, axis=0)
+        both = i0 & i1
+        rand_bit = bern(k_pick)
+        take0 = jnp.where(cfg.disable_shared_inds | both, rand_bit, i0)
+        e = jnp.where(take0, c1b, c0b)
+        m_e = row_mask(e)
+        t0m = take0[None, :]
+        inds_d = jnp.where(t0m, inds0, inds1)
+        inds_e = jnp.where(t0m, inds1, inds0)
+
+        inds_a = grow_u(inds, m_a)
+        hyp_a = grow_u(hyper, m_a)
+        hyp_b = grow_u(hyper, m_b)
+        new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
+
+        new_width_b = wfn(new_inds_b)
+        new_sliced_width_b = wfn(new_inds_b & ~slices)
+        fits = new_sliced_width_b <= max_width + _WIDTH_EPS
+
+        l_a = grow_f(lcc, m_a)
+        l_b = grow_f(lcc, m_b)
+        ln_b = wfn(inds_d | inds_c | slices)
+        ln_a = wfn(new_inds_b | inds_e | slices)
+        l_new = costs_ops.new_total_log2(lt, l_a, l_b, ln_a, ln_b)
+
+        u = unif(k_u)
+        accept = active & fits & accept_fn(jnp.log2(u), l_new, lt)
+        acc = accept[None, :]
+
+        c_bcast = jnp.broadcast_to(c[None, :], c0.shape)
+        e_bcast = jnp.broadcast_to(e[None, :], c0.shape)
+        upd = acc & (m_a | m_b)
+        c0 = jnp.where(upd & (c0 == c_bcast), e_bcast,
+                       jnp.where(upd & (c0 == e_bcast), c_bcast, c0))
+        c1 = jnp.where(upd & (c1 == c_bcast), e_bcast,
+                       jnp.where(upd & (c1 == e_bcast), c_bcast, c1))
+        par = jnp.where(acc & m_c,
+                        jnp.broadcast_to(bq[None, :], par.shape),
+                        jnp.where(acc & m_e,
+                                  jnp.broadcast_to(a[None, :], par.shape),
+                                  par))
+
+        accw = acc[:, None, :]
+        inds = jnp.where(accw & m_b[:, None, :], new_inds_b[None], inds)
+        hyper = jnp.where(accw & m_a[:, None, :],
+                          (inds_a & new_inds_b & inds_e)[None], hyper)
+        hyper = jnp.where(accw & m_b[:, None, :],
+                          (new_inds_b & inds_d & inds_c)[None], hyper)
+        lcc = jnp.where(acc & m_a, ln_a[None, :],
+                        jnp.where(acc & m_b, ln_b[None, :], lcc))
+        width = jnp.where(acc & m_b, new_width_b[None, :], width)
+        lt = jnp.where(accept, l_new, lt)
+
+        pos_b = jnp.where(active, a, pos_b)
+        keys = jnp.where(
+            active.reshape(active.shape + (1,) * (keys.ndim - 1)),
+            keys_new, keys)
+        moves = moves + jnp.sum(active.astype(jnp.int32))
+
+        par_next = grow_i(par, row_mask(pos_b))
+        next_active = active & (pos_b != -1) & (par_next != -1)
+        return (c0, c1, par, inds, hyper, lcc, width, slices, lt, pos_b,
+                keys, moves, next_active)
+
+    par_b0 = grow_i(par, row_mask(pos_b0))
+    active0 = (pos_b0 != -1) & (par_b0 != -1)
+    cy = (c0, c1, par, inds, hyper, lcc, width, slices, lt0, pos_b0, keys,
+          jnp.int32(0), active0)
+    (c0, c1, par, inds, hyper, lcc, width, slices, _, _, keys, moves,
+     _) = jax.lax.while_loop(cond, body, cy)
+
+    # Post-sweep reslice-if-better (mirrors sa_finite: one key per sweep)
+    keys, k_reslice = split2(keys)
+
+    def do_reslice(args):
+        c0_, inds_, width_, slices_, lcc_ = args
+        new_slices = _greedy_slices_b(c0_, inds_, width_, k_reslice,
+                                      max_width, log2d_w32, skip_wb,
+                                      sparse_wb, log2_n_projs)
+        new_lcc = _lcc_fw_b(c0_, c1, inds_, new_slices, log2d_w32,
+                            sparse_wb, log2_n_projs)
+        better = (_log2_total_b(new_lcc, n_leaves) <
+                  _log2_total_b(lcc_, n_leaves))
+        bet_w = better[None, None, :] if new_slices.ndim == 3 else \
+            better[None, :]
+        return (jnp.where(bet_w, new_slices, slices_),
+                jnp.where(better[None, :], new_lcc, lcc_))
+
+    def skip_reslice(args):
+        *_, slices_, lcc_ = args
+        return slices_, lcc_
+
+    has_slices = jnp.any(slices != 0)
+    slices, lcc = jax.lax.cond(update_slices & has_slices, do_reslice,
+                               skip_reslice,
+                               (c0, inds, width, slices, lcc))
+
+    lt_final = _log2_total_b(lcc, n_leaves)
+    improved = lt_final < min_lt
+    impn = improved[None, :]
+    impw = improved[None, None, :]
+    min_lt = jnp.where(improved, lt_final, min_lt)
+    min_c0 = jnp.where(impn, c0, min_c0)
+    min_c1 = jnp.where(impn, c1, min_c1)
+    min_par = jnp.where(impn, par, min_par)
+    min_inds = jnp.where(impw, inds, min_inds)
+    min_slices = jnp.where(impn, slices, min_slices)
+
+    return ((c0, c1, par, inds, hyper, lcc, width, slices, lt_final,
+             min_lt, min_c0, min_c1, min_par, min_inds, min_slices, keys),
+            moves)
+
+
+def _run_fw(batch: SABatchFW, betas, update_slices_mask, max_width,
+            log2d_w32, skip_wb, cfg: SweepConfigFW, sparse_wb=None,
+            log2_n_projs=None):
+    if cfg.max_new_slices:
+        raise NotImplementedError(
+            "max_number_new_slices > 0 requires the vmapped engine.")
+    n = batch.c0.shape[0]
+    iota_n = jnp.arange(n, dtype=jnp.int32)[:, None]
+    max_width = jnp.asarray(max_width, log2d_w32.dtype)
+
+    def step(carry, x):
+        beta, upd = x
+        carry, moves = _sweep_fw_batched(carry, beta, upd, max_width,
+                                         log2d_w32, skip_wb, cfg, iota_n,
+                                         sparse_wb, log2_n_projs)
+        return carry, (carry[8], carry[9], moves)
+
+    carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.hyper,
+             batch.lcc, batch.width, batch.slices, batch.log2_total,
+             batch.min_log2_total, batch.min_c0, batch.min_c1,
+             batch.min_par, batch.min_inds, batch.min_slices, batch.keys)
+    carry, (lt_hist, min_hist, moves_hist) = jax.lax.scan(
+        step, carry, (betas, update_slices_mask))
+    out = SABatchFW(*carry)
+    return out, {'log2_total': lt_hist, 'log2_min_total': min_hist,
+                 'moves': moves_hist}
+
+
+run_sweeps_fw_batched = fts.partial(jax.jit,
+                                    static_argnames=('cfg',))(_run_fw)
+
+
+def init_batch_fw(ctrees, seeds, max_width, log2_dims_padded, *,
+                  skip_lanes=None, sparse_lanes=None, log2_n_projs=None,
+                  dtype=np.float32) -> SABatchFW:
+    """Host-built finite-width batch (initial slices derived per replica
+    with the device slicer for stream parity)."""
+    from tnco_tpu.kernels import sa_finite as saf
+
+    states = [
+        saf.init_state_fw(c, s, max_width,
+                          jnp.asarray(log2_dims_padded, jnp.float32),
+                          skip_lanes=skip_lanes,
+                          sparse_lanes=sparse_lanes,
+                          log2_n_projs=log2_n_projs)
+        for c, s in zip(ctrees, seeds)
+    ]
+    return from_states_fw(states)

@@ -22,6 +22,7 @@ import numpy as np
 
 from tnco_tpu.kernels import sa_batched as sb
 from tnco_tpu.kernels import sa_finite as saf
+from tnco_tpu.kernels import sa_finite_batched as sfb
 from tnco_tpu.kernels import sa_infinite as sa
 from tnco_tpu.ops import bitops
 
@@ -287,6 +288,7 @@ class ReplicaRunnerFW:
                  prob_kind: str = 'mh',
                  max_number_new_slices: int = 0,
                  mesh=None,
+                 engine: str = 'auto',
                  dtype=jnp.float32) -> None:
         ctrees = list(ctrees)
         seeds = list(seeds)
@@ -318,6 +320,20 @@ class ReplicaRunnerFW:
                            if skip_slices_lanes is None else
                            jnp.asarray(skip_slices_lanes))
 
+        if engine == 'auto':
+            engine = ('batched'
+                      if (len(self.template) * n_lanes <= 32768 and
+                          max_number_new_slices == 0) else 'vmapped')
+        if engine == 'batched' and max_number_new_slices:
+            raise ValueError(
+                "engine='batched' does not support max_number_new_slices.")
+        if engine not in ('batched', 'vmapped'):
+            raise ValueError(f"Unknown engine: {engine!r}")
+        self.engine = engine
+        self.log2d_w32 = jnp.asarray(self.log2d).reshape(n_lanes, 32)
+        self.sparse_wb = (None if self.sparse_lanes is None else
+                          self.sparse_lanes[:, None])
+
         states = [
             saf.init_state_fw(c, s, self.max_width, self.log2d,
                               skip_lanes=self.skip_lanes,
@@ -325,11 +341,31 @@ class ReplicaRunnerFW:
                               log2_n_projs=self.log2_n_projs)
             for c, s in zip(ctrees, seeds)
         ]
-        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        if engine == 'batched':
+            batch = sfb.from_states_fw(states)
+        else:
+            batch = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         self.mesh = mesh
         if mesh is not None:
             shard = replica_sharding(mesh)
-            batch = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
+            if engine == 'vmapped':
+                batch = jax.tree.map(lambda x: jax.device_put(x, shard),
+                                     batch)
+            else:
+                axis = mesh.axis_names[0]
+
+                def put(x, replica_axis):
+                    spec = [None] * x.ndim
+                    spec[replica_axis] = axis
+                    return jax.device_put(
+                        x, jax.sharding.NamedSharding(
+                            mesh, jax.sharding.PartitionSpec(*spec)))
+
+                leaves, treedef = jax.tree.flatten(batch)
+                # keys is the last leaf ([B, 2]); all others replica-last
+                leaves = ([put(x, -1) for x in leaves[:-1]] +
+                          [put(leaves[-1], 0)])
+                batch = jax.tree.unflatten(treedef, leaves)
         self.states = batch
         self.n_replicas = len(ctrees)
         self.sweeps_done = 0
@@ -359,18 +395,25 @@ class ReplicaRunnerFW:
                 chunk = np.concatenate(
                     [chunk, np.full(pad, chunk[-1], dtype=np.float32)])
                 mchunk = np.concatenate([mchunk, np.zeros(pad, dtype=bool)])
-            self.states, metrics = saf.run_sweeps_fw_batch(
-                self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
-                self.max_width, self.log2d, self.skip_lanes, self.cfg,
-                self.sparse_lanes, self.log2_n_projs)
+            if self.engine == 'batched':
+                self.states, metrics = sfb.run_sweeps_fw_batched(
+                    self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
+                    self.max_width, self.log2d_w32, self.skip_lanes,
+                    self.cfg, self.sparse_wb, self.log2_n_projs)
+                last_min = metrics['log2_min_total'][-1]
+            else:
+                self.states, metrics = saf.run_sweeps_fw_batch(
+                    self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
+                    self.max_width, self.log2d, self.skip_lanes, self.cfg,
+                    self.sparse_lanes, self.log2_n_projs)
+                last_min = metrics['log2_min_total'][:, -1]
             self.sweeps_done += chunk_size
             self.moves_done += int(np.sum(metrics['moves']))
             pos += chunk_size
             if callback is not None:
                 callback({
                     'progress': min(pos, n) / n,
-                    'log2_min_total':
-                        np.asarray(metrics['log2_min_total'][:, -1]),
+                    'log2_min_total': np.asarray(last_min),
                 })
         return {
             'log2_min_total': np.asarray(self.states.min_log2_total),
@@ -380,11 +423,22 @@ class ReplicaRunnerFW:
         }
 
     def min_ctree(self, replica: int):
-        nodes = np.asarray(self.states.min_nodes[replica])
-        inds = np.asarray(self.states.min_inds[replica])
+        s = self.states
+        if self.engine == 'batched':
+            nodes = np.stack([
+                np.asarray(s.min_c0[:, replica]),
+                np.asarray(s.min_c1[:, replica]),
+                np.asarray(s.min_par[:, replica])
+            ], axis=1)
+            return self.template.replace_arrays(
+                nodes, np.asarray(s.min_inds[..., replica]))
+        nodes = np.asarray(s.min_nodes[replica])
+        inds = np.asarray(s.min_inds[replica])
         return self.template.replace_arrays(nodes, inds)
 
     def min_slices_lanes(self, replica: int) -> np.ndarray:
+        if self.engine == 'batched':
+            return np.asarray(self.states.min_slices[..., replica])
         return np.asarray(self.states.min_slices[replica])
 
     def log2_min_totals(self) -> np.ndarray:
