@@ -14,7 +14,6 @@ from decimal import Decimal
 import gzip
 from importlib import import_module
 import io
-import itertools as its
 import json
 from pathlib import Path
 import pickle

@@ -12,10 +12,8 @@ instead of loky processes; chunked annealing implements the wall-clock
 
 from dataclasses import dataclass
 from decimal import Decimal
-import functools as fts
 import itertools as its
 import json
-import operator as op
 from sys import stderr
 from time import perf_counter
 from typing import Any

@@ -9,7 +9,7 @@ String codec matches the reference (bitset.hpp:40-46): character ``j`` of the
 string is bit ``j`` (``'01'`` means bit 1 set).
 """
 
-from collections.abc import Callable, Iterable
+from collections.abc import Callable
 from typing import Any
 
 import numpy as np

@@ -17,9 +17,6 @@ are ``(x ^ y) | surviving-hyper | output`` with a per-index hyper counter.
 """
 
 from collections.abc import Callable, Iterable
-import functools as fts
-import math
-import operator as op
 from types import MappingProxyType
 from typing import Any
 

@@ -23,9 +23,6 @@ replica runners yet (the XLA lane-major engine in ``sa_batched`` is the
 production path at 2.4x the 1e7 moves/s/chip target).
 """
 
-from dataclasses import dataclass
-import functools as fts
-
 import jax
 import jax.numpy as jnp
 import numpy as np

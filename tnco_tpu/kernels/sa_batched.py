@@ -14,7 +14,6 @@ reductions that XLA fuses.  Cost per move is O(N·W) instead of O(W), but
 fully vectorized over hundreds of lanes — a large net win on TPU.
 """
 
-from dataclasses import dataclass
 import functools as fts
 
 import jax

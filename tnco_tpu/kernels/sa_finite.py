@@ -31,9 +31,7 @@ import functools as fts
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from tnco_tpu import ctree as ctree_mod
 from tnco_tpu.kernels.sa_infinite import compute_hyper
 from tnco_tpu.ops import bitops
 from tnco_tpu.ops import costs as costs_ops

@@ -8,7 +8,6 @@ plus the slice lanes and width caches of
 per sweep), so trajectories are bit-identical to the vmapped engine.
 """
 
-from dataclasses import dataclass
 import functools as fts
 
 import jax

@@ -10,7 +10,6 @@ reference wrapper (tnco/optimize/finite_width/optimizer.py:31-352):
 from decimal import Decimal
 from typing import Any
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

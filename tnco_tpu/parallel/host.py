@@ -109,7 +109,6 @@ def Parallel(core: Callable,
 
     def _progress():
         import sys
-        import time
         while not progress_stop.wait(1.0):
             done = int(completed.data.sum())
             mean_status = float(status.data.mean())

@@ -12,8 +12,6 @@ import math
 import operator as op
 from random import Random
 
-import numpy as np
-
 __all__ = [
     'generate_random_inds', 'generate_random_tensors',
     'is_valid_contraction_tree', 'exact_contraction_costs',
