@@ -17,11 +17,23 @@ work with the same masked-dense formulation:
 VMEM budget is ~``10 * N * W * block_b * 4`` bytes; the caller should fall
 back to the XLA engine when that exceeds a few MB.
 
-STATUS: experimental — lowers through Mosaic but the remote TPU compile of
-the fused fori+while kernel currently crashes/hangs; not wired into the
-replica runners yet (the XLA lane-major engine in ``sa_batched`` is the
-production path at 2.4x the 1e7 moves/s/chip target).
+STATUS: experimental, DISABLED by default.  Two independent Mosaic issues
+observed on this toolchain (jax 0.9.0 / remote Mosaic compile):
+
+1. ``lax.while_loop`` with vector carries fails to legalize
+   (``scf.yield``);
+2. with scalar carries + vector state in VMEM scratch refs, the kernel
+   compiles but the in-loop ref *reads* appear to be hoisted as
+   loop-invariant — the loop never observes its own writes and spins
+   forever, wedging the whole chip (requires a device reset).
+
+Until the toolchain is fixed, calling :func:`run_sweeps_pallas` on a real
+TPU requires ``TNCO_TPU_ENABLE_PALLAS=1``; interpret mode is always
+allowed.  The XLA lane-major engine in ``sa_batched`` is the production
+path.
 """
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -262,6 +274,13 @@ def run_sweeps_pallas(batch: SABatch, betas, log2_dims_padded,
     Sparse cost models are not supported here (use the XLA engine).
     Returns ``(new_batch, metrics)`` with per-block move counts.
     """
+    if not interpret and not os.environ.get('TNCO_TPU_ENABLE_PALLAS'):
+        raise RuntimeError(
+            "The Pallas SA kernel is disabled on real TPUs: the current "
+            "Mosaic toolchain miscompiles its stateful loops into an "
+            "infinite on-device spin (see module docstring). Set "
+            "TNCO_TPU_ENABLE_PALLAS=1 to try anyway, or use "
+            "interpret=True.")
     n, b = batch.c0.shape
     w = batch.inds.shape[1]
     if b % block_b:
