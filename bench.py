@@ -21,7 +21,7 @@ def main() -> None:
     from tnco_tpu.utils.tn import get_random_contraction_path
 
     platform = jax.devices()[0].platform
-    n_replicas = 4096 if platform != 'cpu' else 32
+    n_replicas = 8192 if platform != 'cpu' else 32
     n_sweeps = 256 if platform != 'cpu' else 32
 
     from tnco_tpu.kernels import sa_batched as sb

@@ -79,3 +79,40 @@ def test_batched_matches_vmapped(prob_kind, hyper, rng, random_seed):
                                   np.asarray(vout.nodes[0]))
     np.testing.assert_array_equal(np.asarray(s0.hyper),
                                   np.asarray(vout.hyper[0]))
+
+
+def test_streamed_engine_valid(rng, random_seed):
+    """Continuous-stream engine: valid trees, consistent costs, quality
+    comparable to the lockstep engines."""
+    from tnco_tpu.testing.utils import (exact_log2_total,
+                                        is_valid_contraction_tree)
+
+    states, cfg, log2d, template = _states(rng, random_seed, n_replicas=6)
+    log2d_w32 = jnp.asarray(log2d).reshape(cfg.n_lanes, 32)
+    batch = sb.from_states(states)
+    n_sweeps = 40
+    betas = jnp.linspace(0.0, 15.0, n_sweeps, dtype=jnp.float32)
+
+    pos_b = jnp.full(6, -1, jnp.int32)
+    cnt = jnp.zeros(6, jnp.int32)
+    out = batch
+    for _ in range(20):
+        out, met = sb.run_stream_batched(out, betas, 64, log2d_w32, cfg,
+                                         pos_b, cnt)
+        pos_b, cnt = met['pos_b'], met['sweep_cnt']
+        if int(jnp.min(cnt)) >= n_sweeps:
+            break
+    assert int(jnp.min(cnt)) >= n_sweeps
+
+    for i in range(6):
+        s = sb.replica_state(out, i)
+        cur = template.replace_arrays(np.asarray(s.nodes),
+                                      np.asarray(s.inds))
+        is_valid_contraction_tree(cur)
+        best = template.replace_arrays(
+            np.asarray(jnp.stack([out.min_c0[:, i], out.min_c1[:, i],
+                                  out.min_par[:, i]], axis=1)),
+            np.asarray(out.min_inds[..., i]))
+        is_valid_contraction_tree(best)
+        assert float(out.min_log2_total[i]) == pytest.approx(
+            exact_log2_total(best), abs=1e-3)

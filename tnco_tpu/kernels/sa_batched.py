@@ -382,3 +382,191 @@ def _run(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
 
 
 run_sweeps_batched = fts.partial(jax.jit, static_argnames=('cfg',))(_run)
+
+
+def _stream_iter(carry, log2d_w32, betas, cfg: SweepConfig, iota_n,
+                 sparse_wb, log2_n_projs):
+    """One iteration of the continuous move stream.
+
+    Unlike the lockstep sweep (where the while-loop runs until the deepest
+    replica's walk finishes and shallow lanes idle), every lane here is
+    always busy: a lane that reaches the root closes its sweep (min
+    snapshot + new leaf + next beta) in that iteration and immediately
+    continues.  Per-lane semantics are unchanged — K sweeps over the beta
+    ramp — only the lane synchronization (and hence the RNG stream) differs
+    from the lockstep engines.
+    """
+    (c0, c1, par, inds, hyper, lcc, min_lt, min_c0, min_c1, min_par,
+     min_inds, keys, pos_b, sweep_cnt, moves) = carry
+    n_leaves = cfg.n_leaves
+    n_sweeps = betas.shape[0]
+
+    split3 = jax.vmap(lambda k: tuple(jax.random.split(k, 3)))
+    randleaf = jax.vmap(lambda k: jax.random.randint(k, (), 0, n_leaves))
+    bern = jax.vmap(jax.random.bernoulli)
+    unif = jax.vmap(lambda k: jax.random.uniform(k, dtype=jnp.float32))
+
+    def row_mask(pos):
+        return iota_n == pos[None, :]
+
+    def grow_i(arr, mask):
+        return jnp.sum(jnp.where(mask, arr, 0), axis=0)
+
+    def grow_f(arr, mask):
+        return jnp.sum(jnp.where(mask, arr, 0.0), axis=0)
+
+    def grow_u(arr, mask):
+        return jnp.sum(jnp.where(mask[:, None, :], arr, jnp.uint32(0)),
+                       axis=0, dtype=jnp.uint32)
+
+    def width(lanes_wb):
+        return _width_b(lanes_wb, log2d_w32, sparse_wb=sparse_wb,
+                        log2_n_projs=log2_n_projs)
+
+    keys, k_a, k_b = split3(keys)
+
+    running = sweep_cnt < n_sweeps
+    # Exact total every iteration: kills drift and avoids carrying lt.
+    lt = _log2_total_b(lcc, n_leaves)
+
+    m_pos = row_mask(pos_b)
+    par_pos = grow_i(par, m_pos)
+    at_boundary = running & ((pos_b == NULL) | (par_pos == NULL))
+    walking = running & ~at_boundary
+
+    # ---- Sweep boundary: min snapshot + new leaf --------------------------
+    improved = at_boundary & (lt < min_lt)
+    min_lt = jnp.where(improved, lt, min_lt)
+
+    def snap(args):
+        min_c0, min_c1, min_par, min_inds = args
+        impn = improved[None, :]
+        impw = improved[None, None, :]
+        return (jnp.where(impn, c0, min_c0), jnp.where(impn, c1, min_c1),
+                jnp.where(impn, par, min_par),
+                jnp.where(impw, inds, min_inds))
+
+    min_c0, min_c1, min_par, min_inds = jax.lax.cond(
+        jnp.any(improved), snap, lambda a: a,
+        (min_c0, min_c1, min_par, min_inds))
+
+    leaf = randleaf(k_a)
+    new_pos = grow_i(par, row_mask(leaf))
+    pos_b = jnp.where(at_boundary, new_pos, pos_b)
+    sweep_cnt = jnp.where(at_boundary, sweep_cnt + 1, sweep_cnt)
+
+    # ---- Walk step for lanes mid-sweep ------------------------------------
+    beta = jnp.take(betas, jnp.clip(sweep_cnt - 1, 0, n_sweeps - 1))
+
+    b = jnp.where(walking, pos_b, 0)
+    m_b = row_mask(b)
+    a = grow_i(par, m_b)
+    c0b = grow_i(c0, m_b)
+    c1b = grow_i(c1, m_b)
+    m_a = row_mask(a)
+    c0a = grow_i(c0, m_a)
+    c1a = grow_i(c1, m_a)
+    c = jnp.where(c0a == b, c1a, c0a)
+    m_c = row_mask(c)
+
+    inds_c = grow_u(inds, m_c)
+    inds0 = grow_u(inds, row_mask(c0b))
+    inds1 = grow_u(inds, row_mask(c1b))
+    i0 = jnp.any(inds0 & inds_c, axis=0)
+    i1 = jnp.any(inds1 & inds_c, axis=0)
+    both = i0 & i1
+    rand_bit = bern(k_a)
+    take0 = jnp.where(cfg.disable_shared_inds | both, rand_bit, i0)
+    e = jnp.where(take0, c1b, c0b)
+    m_e = row_mask(e)
+    t0m = take0[None, :]
+    inds_d = jnp.where(t0m, inds0, inds1)
+    inds_e = jnp.where(t0m, inds1, inds0)
+
+    inds_a = grow_u(inds, m_a)
+    hyp_a = grow_u(hyper, m_a)
+    hyp_b = grow_u(hyper, m_b)
+    new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
+
+    l_a = grow_f(lcc, m_a)
+    l_b = grow_f(lcc, m_b)
+    ln_b = width(inds_d | inds_c)
+    ln_a = width(new_inds_b | inds_e)
+    l_new = costs_ops.new_total_log2(lt, l_a, l_b, ln_a, ln_b)
+
+    u = unif(k_b)
+    if cfg.prob_kind == 'mh':
+        acc = jnp.log2(u) <= -beta * (l_new - lt)
+    elif cfg.prob_kind == 'greedy':
+        acc = l_new <= lt
+    else:
+        acc = jnp.ones_like(l_new, dtype=bool)
+    accept = walking & acc
+    accn = accept[None, :]
+
+    c_bcast = jnp.broadcast_to(c[None, :], c0.shape)
+    e_bcast = jnp.broadcast_to(e[None, :], c0.shape)
+    b_bcast = jnp.broadcast_to(b[None, :], c0.shape)
+    a_bcast = jnp.broadcast_to(a[None, :], c0.shape)
+    upd = accn & (m_a | m_b)
+    c0 = jnp.where(upd & (c0 == c_bcast), e_bcast,
+                   jnp.where(upd & (c0 == e_bcast), c_bcast, c0))
+    c1 = jnp.where(upd & (c1 == c_bcast), e_bcast,
+                   jnp.where(upd & (c1 == e_bcast), c_bcast, c1))
+    par = jnp.where(accn & m_c, b_bcast,
+                    jnp.where(accn & m_e, a_bcast, par))
+
+    accw = accn[:, None, :]
+    inds = jnp.where(accw & m_b[:, None, :], new_inds_b[None], inds)
+    hyper = jnp.where(accw & m_a[:, None, :],
+                      (inds_a & new_inds_b & inds_e)[None], hyper)
+    hyper = jnp.where(accw & m_b[:, None, :],
+                      (new_inds_b & inds_d & inds_c)[None], hyper)
+    lcc = jnp.where(accn & m_a, ln_a[None, :],
+                    jnp.where(accn & m_b, ln_b[None, :], lcc))
+
+    pos_b = jnp.where(walking, a, pos_b)
+    moves = moves + jnp.sum(walking.astype(jnp.int32))
+
+    return (c0, c1, par, inds, hyper, lcc, min_lt, min_c0, min_c1,
+            min_par, min_inds, keys, pos_b, sweep_cnt, moves)
+
+
+def _run_stream(batch: SABatch, betas, n_iters: int, log2d_w32,
+                cfg: SweepConfig, pos_b, sweep_cnt, sparse_wb=None,
+                log2_n_projs=None):
+    n = batch.c0.shape[0]
+    iota_n = jnp.arange(n, dtype=jnp.int32)[:, None]
+
+    def step(carry, _):
+        carry = _stream_iter(carry, log2d_w32, betas, cfg, iota_n,
+                             sparse_wb, log2_n_projs)
+        return carry, None
+
+    carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.hyper,
+             batch.lcc, batch.min_log2_total, batch.min_c0, batch.min_c1,
+             batch.min_par, batch.min_inds, batch.keys,
+             pos_b, sweep_cnt, jnp.int32(0))
+    carry, _ = jax.lax.scan(step, carry, None, length=n_iters)
+    (c0, c1, par, inds, hyper, lcc, min_lt, min_c0, min_c1, min_par,
+     min_inds, keys, pos_b, sweep_cnt, moves) = carry
+    lt = _log2_total_b(lcc, cfg.n_leaves)
+    # Final boundary handling: lanes that just reached the root still owe
+    # a min comparison for their last sweep.
+    at_root = (pos_b == NULL) | (
+        jnp.sum(jnp.where(jnp.arange(n, dtype=jnp.int32)[:, None] ==
+                          pos_b[None, :], par, 0), axis=0) == NULL)
+    improved = at_root & (lt < min_lt)
+    min_lt = jnp.where(improved, lt, min_lt)
+    impn, impw = improved[None, :], improved[None, None, :]
+    min_c0 = jnp.where(impn, c0, min_c0)
+    min_c1 = jnp.where(impn, c1, min_c1)
+    min_par = jnp.where(impn, par, min_par)
+    min_inds = jnp.where(impw, inds, min_inds)
+    out = SABatch(c0, c1, par, inds, hyper, lcc, lt, min_lt, min_c0,
+                  min_c1, min_par, min_inds, keys)
+    return out, {'moves': moves, 'pos_b': pos_b, 'sweep_cnt': sweep_cnt}
+
+
+run_stream_batched = fts.partial(
+    jax.jit, static_argnames=('cfg', 'n_iters'))(_run_stream)
