@@ -1,0 +1,141 @@
+"""Quality benchmark: best log2(flops) at a fixed wall-clock budget.
+
+Compares the TPU replica-batch engines against the native multithreaded
+CPU engine (the reference's execution model: independent mt19937 SA chains
+on all cores) on the same network, same time budget.
+
+Usage::
+
+    python -m benchmarks.quality --config lattice --seconds 30
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def run_quality(name: str, seconds: float, seed: int = 0,
+                n_tpu_replicas: int | None = None,
+                n_cpu_replicas: int = 256) -> dict:
+    import jax.numpy as jnp
+
+    from benchmarks.run import build_config
+    from tnco_tpu import native
+    from tnco_tpu.ctree import ContractionTree
+    from tnco_tpu.optimize.infinite_memory import SimpleCostModel
+    from tnco_tpu.parallel import ReplicaRunner
+    from tnco_tpu.utils.tn import get_random_contraction_path
+
+    (ts_inds, output_inds, dims), max_width = build_config(name, seed)
+    if max_width is not None:
+        raise ValueError('quality protocol currently covers the '
+                         'infinite-memory configs')
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+
+    n_paths = 32
+    paths = [
+        get_random_contraction_path(ts_inds, output_inds,
+                                    merge_paths=False, seed=seed + r)
+        for r in range(n_paths)
+    ]
+
+    def tree(r):
+        return ContractionTree([p for p in paths[r % n_paths] if p][0],
+                               ts_inds, dims, output_inds=output_inds,
+                               check_shared_inds=True, inds_order=order)
+
+    template = tree(0)
+    n_nodes = len(template)
+
+    # Both engines anneal beta linearly with *elapsed wall-clock fraction*
+    # so the schedule completes within the budget regardless of engine
+    # speed (the quality driver, not a fixed sweep count).
+    beta_max = 60.0
+
+    # --- TPU: replica batch, chunked until the budget expires -------------
+    if n_tpu_replicas is None:
+        n_tpu_replicas = 1024 if n_nodes * \
+            template.inds_array.shape[1] <= 32768 else 64
+    ctrees = [tree(r) for r in range(n_tpu_replicas)]
+    runner = ReplicaRunner(ctrees, list(range(n_tpu_replicas)),
+                           cmodel=SimpleCostModel())
+    chunk_sweeps = 128
+    # Warm-up compile outside the budget
+    runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
+               chunk_size=chunk_sweeps)
+    t0 = time.perf_counter()
+    while True:
+        frac0 = (time.perf_counter() - t0) / seconds
+        if frac0 >= 1.0:
+            break
+        # Estimated fraction covered by this chunk: assume it takes as
+        # long as the average so far (coarse but self-correcting).
+        betas = np.linspace(min(frac0, 1.0) * beta_max,
+                            min(frac0 + 0.05, 1.0) * beta_max,
+                            chunk_sweeps).astype(np.float32)
+        runner.run(betas, chunk_size=chunk_sweeps)
+    tpu_time = time.perf_counter() - t0
+    tpu_best = float(np.min(runner.log2_min_totals()))
+    tpu_moves = runner.moves_done
+
+    # --- CPU: native engine on all cores, chunked similarly ---------------
+    cpu_best = None
+    cpu_moves = 0
+    cpu_time = 0.0
+    if native.available():
+        nodes = np.stack(
+            [tree(r).nodes_array.copy() for r in range(n_cpu_replicas)])
+        inds = np.stack(
+            [tree(r).inds_array.copy() for r in range(n_cpu_replicas)])
+        seeds = np.arange(n_cpu_replicas, dtype=np.uint64)
+        chunk_sweeps_cpu = 64
+        bests = np.full(n_cpu_replicas, np.inf)
+        t0 = time.perf_counter()
+        while True:
+            frac0 = (time.perf_counter() - t0) / seconds
+            if frac0 >= 1.0:
+                break
+            betas_chunk = np.linspace(min(frac0, 1.0) * beta_max,
+                                      min(frac0 + 0.05, 1.0) * beta_max,
+                                      chunk_sweeps_cpu)
+            best, moves, nodes, inds = native.sa_run(
+                nodes, inds, template.log2_dims_array, betas_chunk, seeds,
+                n_threads=0)
+            bests = np.minimum(bests, best)
+            cpu_moves += moves
+        cpu_time = time.perf_counter() - t0
+        cpu_best = float(bests.min())
+
+    return {
+        'config': name,
+        'n_nodes': n_nodes,
+        'seconds': seconds,
+        'tpu_engine': runner.engine,
+        'tpu_replicas': n_tpu_replicas,
+        'tpu_best_log2_flops': tpu_best,
+        'tpu_moves': tpu_moves,
+        'tpu_time_s': tpu_time,
+        'cpu_replicas': n_cpu_replicas,
+        'cpu_best_log2_flops': cpu_best,
+        'cpu_moves': cpu_moves,
+        'cpu_time_s': cpu_time,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--config', default='lattice')
+    parser.add_argument('--seconds', type=float, default=30.0)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--tpu-replicas', type=int, default=None)
+    parser.add_argument('--cpu-replicas', type=int, default=256)
+    args = parser.parse_args()
+    res = run_quality(args.config, args.seconds, args.seed,
+                      args.tpu_replicas, args.cpu_replicas)
+    print(json.dumps(res, indent=1))
+
+
+if __name__ == '__main__':
+    main()

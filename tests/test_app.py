@@ -292,3 +292,16 @@ def test_cli_determinism_across_hashseeds(tmp_path):
         for r in out['res']:
             r.pop('runtime_s')
     assert outs[0] == outs[1]
+
+
+def test_cli_sample(capsys):
+    from tnco_tpu.app.cli import main
+    rc = main([
+        'sample', 'OPENQASM 2.0; qreg q[2]; h q[0]; cx q[0], q[1];',
+        '--n-samples=40', '--seed=5', '--fuse=False',
+        '--decompose-hyper-inds=False', '--betas=(0, 30)', '--n-steps=30'
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert set(out['hits']) <= {'00', '11'}
+    assert abs(sum(out['hits'].values()) - 1.0) < 1e-9

@@ -63,6 +63,21 @@ def _build_parser() -> argparse.ArgumentParser:
     opt.add_argument('--atol', type=_literal, default=1e-5)
     opt.add_argument('--seed', type=_literal, default=None)
     opt.add_argument('--verbose', type=_literal, default=0)
+
+    smp = sub.add_parser('sample',
+                         help='Sample bitstrings from a circuit (BGL).')
+    smp.add_argument('circuit',
+                     help="QASM string/filename, or 'stdin' for QASM.")
+    smp.add_argument('--n-samples', type=_literal, default=1)
+    smp.add_argument('--betas', type=_literal, default=(0, 50))
+    smp.add_argument('--n-steps', type=_literal, default=50)
+    smp.add_argument('--n-runs', type=_literal, default=1)
+    smp.add_argument('--fuse', type=_literal, default=4)
+    smp.add_argument('--simplify-circuit', type=_literal, default=True)
+    smp.add_argument('--decompose-hyper-inds', type=_literal, default=True)
+    smp.add_argument('--normalize', type=_literal, default=True)
+    smp.add_argument('--seed', type=_literal, default=None)
+    smp.add_argument('--verbose', type=_literal, default=0)
     return parser
 
 
@@ -115,6 +130,36 @@ def main(argv=None) -> int:
                 print(out)
             else:
                 print(json.dumps(str(out)))
+        return 0
+
+    if args.command == 'sample':
+        from pathlib import Path
+
+        from tnco_tpu.app.circuit import Sampler
+        from tnco_tpu.utils.qasm import parse_qasm
+
+        text = args.circuit
+        if text == 'stdin':
+            text = sys.stdin.read()
+        elif Path(text).expanduser().is_file():
+            text = Path(text).expanduser().read_text()
+        gates = parse_qasm(text)
+
+        sampler = Sampler(seed=args.seed, verbose=args.verbose)
+        hits, qubits = sampler.sample(
+            gates,
+            n_samples=args.n_samples,
+            fuse=args.fuse,
+            simplify=args.simplify_circuit,
+            decompose_hyper_inds=args.decompose_hyper_inds,
+            normalize=args.normalize,
+            betas=tuple(args.betas) if isinstance(args.betas,
+                                                  (list, tuple)) else
+            args.betas,
+            n_steps=args.n_steps,
+            n_runs=args.n_runs)
+        print(json.dumps({'qubits': [repr(q) for q in qubits],
+                          'hits': hits}))
         return 0
     return 1
 
