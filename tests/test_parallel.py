@@ -131,3 +131,40 @@ def test_engines_agree(rng, random_seed):
     assert outs['batched'][1] == outs['vmapped'][1]
     assert outs['batched'][2] == outs['vmapped'][2]
     assert outs['batched'][3] == outs['vmapped'][3]
+
+
+def test_native_engine_runner(rng, random_seed):
+    from tnco_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+    from tnco_tpu.testing.utils import (exact_log2_total,
+                                        is_valid_contraction_tree)
+
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_tensors=10,
+                                                         n_output_inds=1)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(4):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    runner = ReplicaRunner(ctrees, list(range(4)),
+                           cmodel=SimpleCostModel(), engine='native')
+    out = runner.run(np.linspace(0, 30, 100), chunk_size=50)
+    assert out['moves'] > 0
+    bests = runner.log2_min_totals()
+    for i in range(4):
+        tree = runner.min_ctree(i)
+        is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
+        assert bests[i] == pytest.approx(exact_log2_total(tree), abs=1e-6)
+        assert bests[i] <= exact_log2_total(ctrees[i]) + 1e-6
+        # current tree also valid
+        is_valid_contraction_tree(runner.ctree(i), ts_inds, output_inds,
+                                  dims)
+    idx, val = runner.best()
+    assert val == pytest.approx(float(bests.min()))

@@ -76,7 +76,8 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int64
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64
         ]
         _LIB = lib
         return _LIB
@@ -136,20 +137,24 @@ def total_cost(nodes: np.ndarray, inds: np.ndarray, dims: np.ndarray):
 
 
 def sa_run(nodes: np.ndarray, inds: np.ndarray, log2_dims: np.ndarray,
-           betas, seeds, n_threads: int = 0):
+           betas, seeds, n_threads: int = 0, *, return_final: bool = False):
     """Multithreaded CPU SA over a replica batch.
 
     Args:
-        nodes: ``int32[R, N, 3]`` — updated in place with each replica's
-            best tree.
-        inds: ``uint32[R, N, W]`` — updated in place.
+        nodes: ``int32[R, N, 3]`` — updated in place: with each replica's
+            best tree (default), or its final tree when ``return_final``.
+        inds: ``uint32[R, N, W]`` — updated in place (same convention).
         log2_dims: ``float64[n_inds]``.
         betas: one beta per sweep.
         seeds: ``uint64[R]``.
         n_threads: 0 = all cores.
+        return_final: chunked-resume mode — the in-place arrays keep the
+            final trees and the best trees are returned separately.
 
     Returns:
-        ``(best_log2 float64[R], total_moves int)`` or None if unavailable.
+        ``(best_log2, total_moves, nodes, inds)`` or, with
+        ``return_final``, ``(best_log2, total_moves, nodes, inds,
+        best_nodes, best_inds)``; None if the library is unavailable.
     """
     lib = _load()
     if lib is None:
@@ -163,8 +168,17 @@ def sa_run(nodes: np.ndarray, inds: np.ndarray, log2_dims: np.ndarray,
     betas = np.ascontiguousarray(betas, dtype=np.float64)
     seeds = np.ascontiguousarray(seeds, dtype=np.uint64)
     best = np.zeros(r, dtype=np.float64)
+    if return_final:
+        best_nodes = np.zeros_like(nodes)
+        best_inds = np.zeros_like(inds)
+        bn, bi = best_nodes.ctypes.data, best_inds.ctypes.data
+    else:
+        best_nodes = best_inds = None
+        bn = bi = None
     moves = lib.tnco_sa_run(nodes.ctypes.data, inds.ctypes.data, r, n, w,
                             log2d.ctypes.data, betas.ctypes.data,
                             len(betas), seeds.ctypes.data,
-                            best.ctypes.data, int(n_threads))
+                            best.ctypes.data, bn, bi, int(n_threads))
+    if return_final:
+        return best, int(moves), nodes, inds, best_nodes, best_inds
     return best, int(moves), nodes, inds

@@ -342,13 +342,16 @@ struct SAReplica {
 }  // namespace
 
 // Runs n_replicas independent SA chains over n_threads OS threads.
-// nodes/inds: per-replica arrays [R, N, 3] / [R, N, W] updated in place
-// with each replica's BEST tree; best_log2 [R] gets the best cost;
-// returns total move evaluations.
+// nodes/inds: per-replica arrays [R, N, 3] / [R, N, W]; updated in place
+// with each replica's FINAL tree when best_nodes/best_inds are provided
+// (chunked resume), else with its BEST tree (legacy one-shot mode).
+// best_nodes/best_inds (optional, same shapes) receive the best trees;
+// best_log2 [R] gets the best cost; returns total move evaluations.
 int64_t tnco_sa_run(int32_t* nodes, uint32_t* inds, int64_t n_replicas,
                     int64_t n, int64_t w, const double* log2_dims,
                     const double* betas, int64_t n_sweeps,
                     const uint64_t* seeds, double* best_log2,
+                    int32_t* best_nodes, uint32_t* best_inds,
                     int64_t n_threads) {
   if (n_threads <= 0) {
     n_threads = std::max(1u, std::thread::hardware_concurrency());
@@ -402,12 +405,26 @@ int64_t tnco_sa_run(int32_t* nodes, uint32_t* inds, int64_t n_replicas,
         }
       }
       total_moves.fetch_add(moves);
-      for (int64_t i = 0; i < n; ++i) {
-        nd[3 * i] = bc0[i];
-        nd[3 * i + 1] = bc1[i];
-        nd[3 * i + 2] = bpar[i];
+      if (best_nodes && best_inds) {
+        // Chunked mode: arrays keep the final tree; bests go aside.
+        for (int64_t i = 0; i < n; ++i) {
+          nd[3 * i] = rep.c0[i];
+          nd[3 * i + 1] = rep.c1[i];
+          nd[3 * i + 2] = rep.par[i];
+          best_nodes[3 * n * r + 3 * i] = bc0[i];
+          best_nodes[3 * n * r + 3 * i + 1] = bc1[i];
+          best_nodes[3 * n * r + 3 * i + 2] = bpar[i];
+        }
+        std::copy(rep.inds.begin(), rep.inds.end(), inds + w * n * r);
+        std::copy(binds.begin(), binds.end(), best_inds + w * n * r);
+      } else {
+        for (int64_t i = 0; i < n; ++i) {
+          nd[3 * i] = bc0[i];
+          nd[3 * i + 1] = bc1[i];
+          nd[3 * i + 2] = bpar[i];
+        }
+        std::copy(binds.begin(), binds.end(), inds + w * n * r);
       }
-      std::copy(binds.begin(), binds.end(), inds + w * n * r);
       best_log2[r] = best;
     }
   };

@@ -138,12 +138,29 @@ class ReplicaRunner:
             self.sparse_wb = None
 
         if engine == 'auto':
-            engine = ('batched'
-                      if len(self.template) * n_lanes <= 32768 else
-                      'vmapped')
-        if engine not in ('batched', 'vmapped'):
+            from tnco_tpu import native
+            if len(self.template) * n_lanes <= 32768:
+                engine = 'batched'
+            elif (native.available() and self.sparse_lanes is None and
+                  not disable_shared_inds and prob_kind == 'mh'):
+                # Very large networks: the multithreaded CPU engine's
+                # O(W)-per-move pointer walk beats the device engines
+                # today (see docs/ROADMAP.md).
+                engine = 'native'
+            else:
+                engine = 'vmapped'
+        if engine not in ('batched', 'vmapped', 'native'):
             raise ValueError(f"Unknown engine: {engine!r}")
         self.engine = engine
+
+        if engine == 'native':
+            self._init_native(ctrees, seeds)
+            self.n_replicas = len(ctrees)
+            self.sweeps_done = 0
+            self.moves_done = 0
+            self.mesh = mesh
+            self.states = None
+            return
 
         self.log2d_w32 = jnp.asarray(self.log2d).reshape(n_lanes, 32)
         # Batch built on host, uploaded once (both engines share the
@@ -170,6 +187,60 @@ class ReplicaRunner:
         self.sweeps_done = 0
         self.moves_done = 0
 
+    def _init_native(self, ctrees, seeds) -> None:
+        """Host-side replica arrays for the native CPU engine."""
+        self._nat_nodes = np.stack(
+            [c.nodes_array.copy() for c in ctrees])
+        self._nat_inds = np.stack([c.inds_array.copy() for c in ctrees])
+        self._nat_best_nodes = self._nat_nodes.copy()
+        self._nat_best_inds = self._nat_inds.copy()
+        self._nat_seeds = np.asarray([int(s) for s in seeds],
+                                     dtype=np.uint64)
+        self._nat_chunk = 0
+        self._nat_best = np.array([
+            float(np.log2(float(c.total_cost_exact()))) if
+            c.total_cost_exact() > 0 else -np.inf for c in ctrees
+        ])
+
+    def _run_native(self, betas, chunk_size, timeout, callback) -> dict:
+        from tnco_tpu import native
+
+        betas = np.asarray(betas, dtype=np.float64)
+        n = len(betas)
+        start = time.perf_counter()
+        pos = 0
+        chunk_size = max(1, min(chunk_size, n))
+        log2d = self.template.log2_dims_array
+        while pos < n:
+            if timeout is not None and \
+                    time.perf_counter() - start > timeout:
+                break
+            chunk = betas[pos:pos + chunk_size]
+            # Fresh per-chunk mt19937 streams (chunk index mixed in).
+            seeds = self._nat_seeds + np.uint64(
+                1000003 * (self._nat_chunk + 1))
+            (best, moves, self._nat_nodes, self._nat_inds, bn,
+             bi) = native.sa_run(self._nat_nodes, self._nat_inds, log2d,
+                                 chunk, seeds, n_threads=0,
+                                 return_final=True)
+            improved = best < self._nat_best
+            self._nat_best = np.where(improved, best, self._nat_best)
+            self._nat_best_nodes[improved] = bn[improved]
+            self._nat_best_inds[improved] = bi[improved]
+            self._nat_chunk += 1
+            self.sweeps_done += len(chunk)
+            self.moves_done += moves
+            pos += chunk_size
+            if callback is not None:
+                callback({'progress': min(pos, n) / n,
+                          'log2_min_total': self._nat_best.copy()})
+        return {
+            'log2_min_total': self._nat_best.copy(),
+            'sweeps': self.sweeps_done,
+            'moves': self.moves_done,
+            'runtime_s': time.perf_counter() - start,
+        }
+
     def run(self,
             betas,
             *,
@@ -187,6 +258,8 @@ class ReplicaRunner:
             Metrics dict with per-replica ``log2_min_total`` (final) and the
             number of sweeps executed.
         """
+        if self.engine == 'native':
+            return self._run_native(betas, chunk_size, timeout, callback)
         betas = np.asarray(betas, dtype=np.float32)
         start = time.perf_counter()
         n = len(betas)
@@ -235,6 +308,9 @@ class ReplicaRunner:
         On a mesh this is the ICI all-reduce replacing the reference's
         end-of-run ``sorted(results)`` (infinite_memory/sa.py:257).
         """
+        if self.engine == 'native':
+            idx = int(np.argmin(self._nat_best))
+            return idx, float(self._nat_best[idx])
         mins = self.states.min_log2_total
         idx = int(jnp.argmin(mins))
         return idx, float(mins[idx])
@@ -250,6 +326,10 @@ class ReplicaRunner:
 
     def min_ctree(self, replica: int):
         """Best tree found by ``replica`` as a host ``ContractionTree``."""
+        if self.engine == 'native':
+            return self.template.replace_arrays(
+                self._nat_best_nodes[replica],
+                self._nat_best_inds[replica])
         s = self.states
         if self.engine == 'vmapped':
             return self.template.replace_arrays(
@@ -259,6 +339,9 @@ class ReplicaRunner:
                              replica)
 
     def ctree(self, replica: int):
+        if self.engine == 'native':
+            return self.template.replace_arrays(
+                self._nat_nodes[replica], self._nat_inds[replica])
         s = self.states
         if self.engine == 'vmapped':
             return self.template.replace_arrays(
@@ -266,6 +349,8 @@ class ReplicaRunner:
         return self._tree_of(s.c0, s.c1, s.par, s.inds, replica)
 
     def log2_min_totals(self) -> np.ndarray:
+        if self.engine == 'native':
+            return self._nat_best.copy()
         return np.asarray(self.states.min_log2_total)
 
 
