@@ -18,6 +18,7 @@ from typing import Any
 
 from tnco_tpu.app.app import (BaseContractionResults, BaseOptimizer,
                               JSONEncoder as BaseJSONEncoder)
+from tnco_tpu.app.infinite_memory.sa import _build_run_paths
 from tnco_tpu.bitset import Bitset
 from tnco_tpu.ctree import ContractionTree
 from tnco_tpu.optimize.finite_width import SimpleCostModel
@@ -103,13 +104,7 @@ class Optimizer(BaseOptimizer):
         if self.verbose == 1:
             print("# Optimizing ...", file=stderr, flush=True, end='')
 
-        run_paths = [
-            tn_utils.get_random_contraction_path(tn.ts_inds,
-                                                 tn.output_inds,
-                                                 merge_paths=False,
-                                                 seed=seed)
-            for seed in seeds
-        ]
+        run_paths = _build_run_paths(tn, seeds, self.n_jobs)
         n_components = len(run_paths[0]) if run_paths else 0
         components = tn_utils.get_connected_components(tn.ts_inds)
 

@@ -99,14 +99,7 @@ class Optimizer(BaseOptimizer):
         if self.verbose == 1:
             print("# Optimizing ...", file=stderr, flush=True, end='')
 
-        # Per-run random initial paths, one list per connected component.
-        run_paths = [
-            tn_utils.get_random_contraction_path(tn.ts_inds,
-                                                 tn.output_inds,
-                                                 merge_paths=False,
-                                                 seed=seed)
-            for seed in seeds
-        ]
+        run_paths = _build_run_paths(tn, seeds, self.n_jobs)
         n_components = len(run_paths[0]) if run_paths else 0
 
         # Canonical per-component index order so replicas share bit layout.
@@ -170,3 +163,26 @@ class Optimizer(BaseOptimizer):
             print(" Done!", file=stderr, flush=True)
 
         return self._dump_results(tn, sorted(results))
+
+
+def _build_run_paths(tn, seeds, n_jobs):
+    """Per-run random initial paths (one list per connected component).
+
+    The reference's ``n_jobs`` fans the whole optimization over processes;
+    here the device batch does the annealing, so ``n_jobs`` parallelizes
+    the remaining host-side work: the per-run opt_einsum greedy paths.
+    """
+    def one(seed):
+        return tn_utils.get_random_contraction_path(tn.ts_inds,
+                                                    tn.output_inds,
+                                                    merge_paths=False,
+                                                    seed=seed)
+
+    if n_jobs != 1 and len(seeds) >= 32:
+        try:
+            from joblib import delayed, Parallel as JoblibParallel
+            return JoblibParallel(n_jobs=n_jobs, prefer='processes')(
+                delayed(one)(seed) for seed in seeds)
+        except ImportError:
+            pass
+    return [one(seed) for seed in seeds]
