@@ -6,7 +6,13 @@ prints ONE JSON line with moves/sec vs the 1e7 moves/sec/chip baseline.
 """
 
 import json
+import os
 import time
+
+# Persistent compilation cache: makes repeated bench runs start fast.
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.join(os.path.dirname(__file__) or '.',
+                                   '.jax_cache'))
 
 
 def main() -> None:
@@ -32,11 +38,14 @@ def main() -> None:
     n_paths = min(n_replicas, 64)
     paths = [get_random_contraction_path(ts_inds, output_inds, seed=r)
              for r in range(n_paths)]
-    ctrees = [
-        ContractionTree(paths[r % n_paths], ts_inds, dims,
-                        output_inds=output_inds, check_shared_inds=True,
-                        inds_order=order) for r in range(n_replicas)
+    trees = [
+        ContractionTree(p, ts_inds, dims, output_inds=output_inds,
+                        check_shared_inds=True, inds_order=order)
+        for p in paths
     ]
+    # Reuse tree objects across replicas (seeds differentiate runs);
+    # init_batch only reads their arrays.
+    ctrees = [trees[r % n_paths] for r in range(n_replicas)]
     template = ctrees[0]
     n_lanes = template.inds_array.shape[1]
     cfg = sa.SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)

@@ -123,3 +123,22 @@ def test_sparse_cost_model(rng, random_seed):
     assert opt.is_valid()
     assert int(opt.min_total_cost) <= int(
         Optimizer(ctree, cm3, seed=1).total_cost)
+
+
+def test_disable_shared_inds(rng, random_seed):
+    # With the guarantee disabled, D/E are always randomized and trees may
+    # contract tensors without shared indices - still structurally valid.
+    opt = _make_opt(rng, random_seed, disable_shared_inds=True)
+    prob = BaseProbability()  # always accept: maximum churn
+    for _ in range(15):
+        opt.update(prob)
+    ok, msg = opt.is_valid(return_message=True)
+    assert ok, msg
+    # Exact audit still holds
+    import math
+    assert opt.log2_total_cost == pytest.approx(
+        math.log2(int(opt.total_cost)), abs=1e-3)
+    # And pickling keeps the flag
+    import pickle
+    clone = pickle.loads(pickle.dumps(opt))
+    assert clone.disable_shared_inds
