@@ -331,7 +331,8 @@ def run_sweeps_pallas(batch: SABatch, betas, log2_dims_padded,
         out_specs=out_specs,
         out_shape=out_shapes,
         input_output_aliases=aliases,
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=(pltpu.InterpretParams(random_seed=1234)
+                   if interpret else False),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(jnp.asarray(betas, jnp.float32), log2d_col, seeds, *state_in)
 
