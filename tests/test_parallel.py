@@ -168,3 +168,37 @@ def test_native_engine_runner(rng, random_seed):
                                   dims)
     idx, val = runner.best()
     assert val == pytest.approx(float(bests.min()))
+
+
+def test_exchange_best(rng, random_seed):
+    from tnco_tpu.parallel.replicas import exchange_best
+    from tnco_tpu.testing.utils import is_valid_contraction_tree
+
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_tensors=8,
+                                                         n_output_inds=1)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(8):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    runner = ReplicaRunner(ctrees, list(range(8)),
+                           cmodel=SimpleCostModel(), engine='batched')
+    runner.run(np.linspace(0, 5, 16), chunk_size=16)
+    before = np.asarray(runner.states.log2_total)
+    runner.states = exchange_best(runner.states, fraction=0.5)
+    after = np.asarray(runner.states.log2_total)
+    assert after.max() <= before.max() + 1e-6
+    assert after.min() == pytest.approx(before.min())
+    # Continue running and stay valid
+    runner.run(np.linspace(5, 10, 16), chunk_size=16)
+    for i in range(8):
+        is_valid_contraction_tree(runner.ctree(i), ts_inds, output_inds,
+                                  dims)
+        is_valid_contraction_tree(runner.min_ctree(i), ts_inds,
+                                  output_inds, dims)

@@ -528,3 +528,39 @@ class ReplicaRunnerFW:
 
     def log2_min_totals(self) -> np.ndarray:
         return np.asarray(self.states.min_log2_total)
+
+
+def exchange_best(states: 'sb.SABatch', fraction: float = 0.25
+                  ) -> 'sb.SABatch':
+    """Population exchange: restart the worst lanes from the best tree.
+
+    Between annealing chunks, replaces the *current* tree of the worst
+    ``fraction`` of replicas (by current total cost) with the best
+    replica's current tree; min snapshots are untouched.  This is the
+    replica-batch upgrade of the reference's fully-independent runs — on a
+    mesh the argmin/broadcast ride ICI collectives.  Lane-major batches
+    only.
+    """
+    import jax.numpy as jnp
+
+    lt = states.log2_total
+    b = lt.shape[0]
+    k = max(1, int(b * fraction))
+    best = jnp.argmin(lt)
+    # Worst-k mask by cost threshold
+    thresh = jnp.sort(lt)[b - k]
+    worst = lt >= thresh
+
+    def mix(cur, axis):
+        if axis == -1:
+            src = jnp.take(cur, best, axis=-1)[..., None]
+            mask = worst.reshape((1,) * (cur.ndim - 1) + (b,))
+            return jnp.where(mask, src, cur)
+        return cur
+
+    return sb.SABatch(
+        mix(states.c0, -1), mix(states.c1, -1), mix(states.par, -1),
+        mix(states.inds, -1), mix(states.hyper, -1), mix(states.lcc, -1),
+        jnp.where(worst, lt[best], lt), states.min_log2_total,
+        states.min_c0, states.min_c1, states.min_par, states.min_inds,
+        states.keys)
