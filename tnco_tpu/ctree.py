@@ -231,17 +231,20 @@ class ContractionTree:
             dims_vec = np.array([dims[x] for x in self._inds_order],
                                 dtype=np.int64)
 
-        # Pack arrays
+        # Pack arrays (vectorized: one scatter-or over all set bits)
         n_nodes = len(node_rows)
         w = n_lanes(n_inds)
         nodes_arr = np.asarray(node_rows, dtype=np.int32).reshape(n_nodes, 3)
         inds_arr = np.zeros((n_nodes, w), dtype=np.uint32)
-        for t, xs in enumerate(node_ts_inds):
-            mask = 0
-            for x in xs:
-                mask |= 1 << inds_map[x]
-            for i in range(w):
-                inds_arr[t, i] = (mask >> (32 * i)) & 0xFFFFFFFF
+        rows = np.fromiter(
+            (t for t, xs in enumerate(node_ts_inds) for _ in xs),
+            dtype=np.int64)
+        positions = np.fromiter(
+            (inds_map[x] for xs in node_ts_inds for x in xs),
+            dtype=np.int64)
+        np.bitwise_or.at(
+            inds_arr, (rows, positions >> 5),
+            (np.uint32(1) << (positions & 31).astype(np.uint32)))
 
         self._nodes = nodes_arr
         self._inds = inds_arr
