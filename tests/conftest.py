@@ -23,8 +23,12 @@ import pytest
 
 jax.config.update('jax_platforms', 'cpu')
 
-_SEED = os.environ.get('PYTEST_SEED')
-_RNG = Random(None if _SEED is None else int(_SEED))
+# Fixed default for reproducible CI; export PYTEST_SEED to fuzz.  (The
+# engine-equality tests compare f32 trajectories across different XLA
+# reduction layouts; a borderline Metropolis accept can legitimately flip
+# for ~1 in 10^4 moves, so unseeded runs would rarely flake.)
+_SEED = os.environ.get('PYTEST_SEED', '20260816')
+_RNG = Random(int(_SEED))
 
 
 @pytest.fixture
