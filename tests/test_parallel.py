@@ -202,3 +202,49 @@ def test_exchange_best(rng, random_seed):
                                   dims)
         is_valid_contraction_tree(runner.min_ctree(i), ts_inds,
                                   output_inds, dims)
+
+
+def test_native_fw_engine_runner(rng, random_seed):
+    from tnco_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+    from tnco_tpu.optimize.finite_width import (
+        SimpleCostModel as FWCostModel)
+    from tnco_tpu.parallel.replicas import ReplicaRunnerFW
+    from tnco_tpu.testing.utils import is_valid_contraction_tree
+
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_tensors=10,
+                                                         n_output_inds=1)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(4):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    max_width = 3.0
+    runner = ReplicaRunnerFW(ctrees, list(range(4)),
+                             cmodel=FWCostModel(max_width=max_width),
+                             engine='native')
+    out = runner.run(np.linspace(0, 20, 60), update_slices=10,
+                     chunk_size=30)
+    assert out['moves'] > 0
+    import math
+    for i in range(4):
+        tree = runner.min_ctree(i)
+        is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
+        # width bound holds after slicing
+        from tnco_tpu.bitset import Bitset
+        sl = runner.min_slices_lanes(i)
+        labels = frozenset(
+            order[p] for p in Bitset.from_lanes(sl,
+                                                tree.n_inds).positions())
+        dmap = tree.dims
+        for xs in tree.inds:
+            width = sum(math.log2(dmap[x])
+                        for x in frozenset(xs) - labels)
+            assert width <= max_width + 1e-3

@@ -182,3 +182,58 @@ def sa_run(nodes: np.ndarray, inds: np.ndarray, log2_dims: np.ndarray,
     if return_final:
         return best, int(moves), nodes, inds, best_nodes, best_inds
     return best, int(moves), nodes, inds
+
+
+def sa_run_fw(nodes, inds, slices, log2_dims, skip_lanes, max_width,
+              betas, seeds, reslice_every: int = 10, n_threads: int = 0,
+              *, return_final: bool = False):
+    """Multithreaded CPU finite-width SA over a replica batch.
+
+    Args mirror :func:`sa_run` plus ``slices`` (``uint32[R, W]``, in/out),
+    ``skip_lanes`` (``uint32[W]``), ``max_width`` and the reslice cadence.
+    Dense cost model, ``max_number_new_slices = 0``.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, '_fw_bound'):
+        lib.tnco_sa_run_fw.restype = ctypes.c_int64
+        lib.tnco_sa_run_fw.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64
+        ]
+        lib._fw_bound = True
+    nodes = np.ascontiguousarray(nodes, dtype=np.int32)
+    inds = np.ascontiguousarray(inds, dtype=np.uint32)
+    slices = np.ascontiguousarray(slices, dtype=np.uint32)
+    r, n, w = inds.shape
+    log2d = np.zeros(w * 32, dtype=np.float64)
+    log2_dims = np.asarray(log2_dims, dtype=np.float64)
+    log2d[:len(log2_dims)] = log2_dims
+    skip = np.zeros(w, dtype=np.uint32)
+    skip[:] = np.asarray(skip_lanes, dtype=np.uint32)
+    betas = np.ascontiguousarray(betas, dtype=np.float64)
+    seeds = np.ascontiguousarray(seeds, dtype=np.uint64)
+    best = np.zeros(r, dtype=np.float64)
+    if return_final:
+        best_nodes = np.zeros_like(nodes)
+        best_inds = np.zeros_like(inds)
+        best_slices = np.zeros_like(slices)
+        bn, bi, bs = (best_nodes.ctypes.data, best_inds.ctypes.data,
+                      best_slices.ctypes.data)
+    else:
+        best_nodes = best_inds = best_slices = None
+        bn = bi = bs = None
+    moves = lib.tnco_sa_run_fw(
+        nodes.ctypes.data, inds.ctypes.data, slices.ctypes.data, r, n, w,
+        log2d.ctypes.data, skip.ctypes.data, float(max_width),
+        betas.ctypes.data, len(betas), int(reslice_every),
+        seeds.ctypes.data, best.ctypes.data, bn, bi, bs, int(n_threads))
+    if return_final:
+        return (best, int(moves), nodes, inds, slices, best_nodes,
+                best_inds, best_slices)
+    return best, int(moves), nodes, inds, slices

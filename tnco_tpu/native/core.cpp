@@ -341,6 +341,202 @@ struct SAReplica {
 
 }  // namespace
 
+namespace {
+
+// ---------------------------------------------------------------------------
+// Finite-width extension: slices + width caches + greedy reslice
+// (mirrors kernels/sa_finite.py; dense cost model, max_new_slices = 0).
+// ---------------------------------------------------------------------------
+struct SAReplicaFW : SAReplica {
+  std::vector<uint32_t> slices;   // [w]
+  std::vector<uint32_t> skip;     // [w]
+  std::vector<double> width_pre;  // [n] pre-slicing widths
+  double max_width = 0.0;
+
+  double width_lanes(const uint32_t* xs, const uint32_t* minus) const {
+    double acc = 0.0;
+    for (int64_t k = 0; k < w; ++k) {
+      uint32_t bits = xs[k] & ~(minus ? minus[k] : 0u);
+      while (bits) {
+        const int bit = __builtin_ctz(bits);
+        bits &= bits - 1;
+        acc += log2d[32 * k + bit];
+      }
+    }
+    return acc;
+  }
+
+  double ccost_fw(const uint32_t* a, const uint32_t* b) const {
+    // width of (a | b | slices)
+    double acc = 0.0;
+    for (int64_t k = 0; k < w; ++k) {
+      uint32_t bits = a[k] | b[k] | slices[k];
+      while (bits) {
+        const int bit = __builtin_ctz(bits);
+        bits &= bits - 1;
+        acc += log2d[32 * k + bit];
+      }
+    }
+    return acc;
+  }
+
+  void rebuild_caches_fw() {
+    width_pre.resize(n);
+    for (int64_t i = 0; i < n; ++i) {
+      width_pre[i] = width_lanes(&inds[w * i], nullptr);
+      if (c0[i] == kNull) {
+        lcc[i] = -std::numeric_limits<double>::infinity();
+        std::fill(hyper.begin() + w * i, hyper.begin() + w * (i + 1), 0u);
+      } else {
+        lcc[i] = ccost_fw(&inds[w * c0[i]], &inds[w * c1[i]]);
+        for (int64_t k = 0; k < w; ++k) {
+          hyper[w * i + k] =
+              inds[w * i + k] & inds[w * c0[i] + k] & inds[w * c1[i] + k];
+        }
+      }
+    }
+  }
+
+  // Greedy slice derivation (kernels/sa_finite.greedy_slices semantics).
+  std::vector<uint32_t> greedy_slices() {
+    std::vector<uint32_t> out(w, 0u);
+    std::vector<int64_t> n_big(32 * w, 0);
+    for (int64_t i = 0; i < n; ++i) {
+      if (width_pre[i] > max_width + 1e-4) {
+        for (int64_t k = 0; k < w; ++k) {
+          uint32_t bits = inds[w * i + k];
+          while (bits) {
+            const int bit = __builtin_ctz(bits);
+            bits &= bits - 1;
+            ++n_big[32 * k + bit];
+          }
+        }
+      }
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      if (width_pre[i] <= max_width + 1e-4) continue;
+      // sliced width under current out
+      double sw = 0.0;
+      std::vector<int> cand;
+      for (int64_t k = 0; k < w; ++k) {
+        uint32_t bits = inds[w * i + k] & ~out[k];
+        while (bits) {
+          const int bit = __builtin_ctz(bits);
+          bits &= bits - 1;
+          const int pos = 32 * k + bit;
+          sw += log2d[pos];
+          if (!(skip[k] >> bit & 1u)) cand.push_back(pos);
+        }
+      }
+      if (sw <= max_width + 1e-4) continue;
+      std::shuffle(cand.begin(), cand.end(), prng);
+      std::stable_sort(cand.begin(), cand.end(),
+                       [&](int x, int y) {
+                         if (n_big[x] != n_big[y]) {
+                           return n_big[x] > n_big[y];
+                         }
+                         return log2d[x] > log2d[y];
+                       });
+      for (int pos : cand) {
+        if (sw <= max_width + 1e-4) break;
+        out[pos / 32] |= 1u << (pos % 32);
+        sw -= log2d[pos];
+      }
+    }
+    return out;
+  }
+
+  // One width-capped sweep; optionally reslice afterwards.
+  int64_t sweep_fw(double beta, double& lt, bool update_slices) {
+    std::uniform_real_distribution<double> uniform;
+    int64_t moves = 0;
+    int32_t b = static_cast<int32_t>(prng() % n_leaves);
+    b = par[b];
+    if (b == kNull) return 0;
+    std::vector<uint32_t> new_inds_b(w);
+    while (par[b] != kNull) {
+      ++moves;
+      const int32_t a = par[b];
+      const int32_t c = (c0[a] == b) ? c1[a] : c0[a];
+      const int32_t cb0 = c0[b], cb1 = c1[b];
+      bool i0 = false, i1 = false;
+      for (int64_t k = 0; k < w; ++k) {
+        i0 |= (inds[w * cb0 + k] & inds[w * c + k]) != 0;
+        i1 |= (inds[w * cb1 + k] & inds[w * c + k]) != 0;
+      }
+      int32_t d, e;
+      if (i0 && i1) {
+        const bool flip = prng() & 1u;
+        d = flip ? cb0 : cb1;
+        e = flip ? cb1 : cb0;
+      } else {
+        d = i0 ? cb0 : cb1;
+        e = i0 ? cb1 : cb0;
+      }
+      for (int64_t k = 0; k < w; ++k) {
+        new_inds_b[k] = (inds[w * d + k] ^ inds[w * c + k]) |
+                        hyper[w * a + k] | hyper[w * b + k];
+      }
+      const double new_sliced_width =
+          width_lanes(new_inds_b.data(), slices.data());
+      if (new_sliced_width <= max_width + 1e-4) {
+        const double ln_b = ccost_fw(&inds[w * d], &inds[w * c]);
+        const double ln_a = ccost_fw(new_inds_b.data(), &inds[w * e]);
+        const double l_a = lcc[a], l_b = lcc[b];
+        const double mx = std::max({lt, ln_a, ln_b});
+        const double s = std::exp2(lt - mx) - std::exp2(l_a - mx) -
+                         std::exp2(l_b - mx) + std::exp2(ln_a - mx) +
+                         std::exp2(ln_b - mx);
+        const double l_new = mx + std::log2(std::max(s, 0x1p-60));
+        const double u = uniform(prng);
+        if (std::log2(std::max(u, 0x1p-60)) <= -beta * (l_new - lt)) {
+          (c0[a] == c ? c0[a] : c1[a]) = e;
+          (c0[b] == e ? c0[b] : c1[b]) = c;
+          par[c] = b;
+          par[e] = a;
+          std::copy(new_inds_b.begin(), new_inds_b.end(),
+                    inds.begin() + w * b);
+          for (int64_t k = 0; k < w; ++k) {
+            hyper[w * a + k] =
+                inds[w * a + k] & inds[w * b + k] & inds[w * e + k];
+            hyper[w * b + k] =
+                inds[w * b + k] & inds[w * d + k] & inds[w * c + k];
+          }
+          lcc[a] = ln_a;
+          lcc[b] = ln_b;
+          width_pre[b] = width_lanes(&inds[w * b], nullptr);
+          lt = l_new;
+        }
+      }
+      b = a;
+    }
+
+    bool has_slices = false;
+    for (int64_t k = 0; k < w; ++k) has_slices |= slices[k] != 0;
+    if (update_slices && has_slices) {
+      auto new_slices = greedy_slices();
+      auto old_slices = slices;
+      auto old_lcc = lcc;
+      slices = new_slices;
+      for (int64_t i = 0; i < n; ++i) {
+        if (c0[i] != kNull) {
+          lcc[i] = ccost_fw(&inds[w * c0[i]], &inds[w * c1[i]]);
+        }
+      }
+      const double new_lt = log2_total();
+      if (new_lt < lt) {
+        lt = new_lt;
+      } else {
+        slices = std::move(old_slices);
+        lcc = std::move(old_lcc);
+      }
+    }
+    return moves;
+  }
+};
+
+}  // namespace
+
 // Runs n_replicas independent SA chains over n_threads OS threads.
 // nodes/inds: per-replica arrays [R, N, 3] / [R, N, W]; updated in place
 // with each replica's FINAL tree when best_nodes/best_inds are provided
@@ -424,6 +620,112 @@ int64_t tnco_sa_run(int32_t* nodes, uint32_t* inds, int64_t n_replicas,
           nd[3 * i + 2] = bpar[i];
         }
         std::copy(binds.begin(), binds.end(), inds + w * n * r);
+      }
+      best_log2[r] = best;
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int64_t i = 0; i < n_threads; ++i) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return total_moves.load();
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Finite-width variant: per-replica slices co-optimized with the tree.
+// slices: uint32 [R, W] in/out (final slices when chunked, else best);
+// best_slices (optional with best_nodes/best_inds): best slice sets.
+// reslice_every: sweeps between greedy reslices (0 = never).
+int64_t tnco_sa_run_fw(int32_t* nodes, uint32_t* inds, uint32_t* slices,
+                       int64_t n_replicas, int64_t n, int64_t w,
+                       const double* log2_dims, const uint32_t* skip_lanes,
+                       double max_width, const double* betas,
+                       int64_t n_sweeps, int64_t reslice_every,
+                       const uint64_t* seeds, double* best_log2,
+                       int32_t* best_nodes, uint32_t* best_inds,
+                       uint32_t* best_slices, int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  }
+  n_threads = std::min<int64_t>(n_threads, n_replicas);
+  std::atomic<int64_t> next{0};
+  std::atomic<int64_t> total_moves{0};
+  const int64_t n_leaves = (n + 1) / 2;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t r = next.fetch_add(1);
+      if (r >= n_replicas) return;
+      SAReplicaFW rep;
+      rep.n = n;
+      rep.w = w;
+      rep.n_leaves = n_leaves;
+      rep.log2d = log2_dims;
+      rep.max_width = max_width;
+      rep.c0.resize(n);
+      rep.c1.resize(n);
+      rep.par.resize(n);
+      int32_t* nd = nodes + 3 * n * r;
+      for (int64_t i = 0; i < n; ++i) {
+        rep.c0[i] = nd[3 * i];
+        rep.c1[i] = nd[3 * i + 1];
+        rep.par[i] = nd[3 * i + 2];
+      }
+      rep.inds.assign(inds + w * n * r, inds + w * n * (r + 1));
+      rep.hyper.resize(n * w);
+      rep.lcc.resize(n);
+      rep.slices.assign(slices + w * r, slices + w * (r + 1));
+      rep.skip.assign(skip_lanes, skip_lanes + w);
+      rep.prng.seed(seeds[r]);
+      rep.rebuild_caches_fw();
+
+      double lt = rep.log2_total();
+      double best = lt;
+      std::vector<int32_t> bc0 = rep.c0, bc1 = rep.c1, bpar = rep.par;
+      std::vector<uint32_t> binds = rep.inds, bslices = rep.slices;
+      int64_t moves = 0;
+      for (int64_t k = 0; k < n_sweeps; ++k) {
+        const bool upd =
+            reslice_every > 0 && (k % reslice_every) == 0;
+        moves += rep.sweep_fw(betas[k], lt, upd);
+        lt = rep.log2_total();
+        if (lt < best) {
+          best = lt;
+          bc0 = rep.c0;
+          bc1 = rep.c1;
+          bpar = rep.par;
+          binds = rep.inds;
+          bslices = rep.slices;
+        }
+      }
+      total_moves.fetch_add(moves);
+      const bool chunked = best_nodes && best_inds && best_slices;
+      for (int64_t i = 0; i < n; ++i) {
+        if (chunked) {
+          nd[3 * i] = rep.c0[i];
+          nd[3 * i + 1] = rep.c1[i];
+          nd[3 * i + 2] = rep.par[i];
+          best_nodes[3 * n * r + 3 * i] = bc0[i];
+          best_nodes[3 * n * r + 3 * i + 1] = bc1[i];
+          best_nodes[3 * n * r + 3 * i + 2] = bpar[i];
+        } else {
+          nd[3 * i] = bc0[i];
+          nd[3 * i + 1] = bc1[i];
+          nd[3 * i + 2] = bpar[i];
+        }
+      }
+      if (chunked) {
+        std::copy(rep.inds.begin(), rep.inds.end(), inds + w * n * r);
+        std::copy(binds.begin(), binds.end(), best_inds + w * n * r);
+        std::copy(rep.slices.begin(), rep.slices.end(), slices + w * r);
+        std::copy(bslices.begin(), bslices.end(), best_slices + w * r);
+      } else {
+        std::copy(binds.begin(), binds.end(), inds + w * n * r);
+        std::copy(bslices.begin(), bslices.end(), slices + w * r);
       }
       best_log2[r] = best;
     }

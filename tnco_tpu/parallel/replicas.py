@@ -406,15 +406,31 @@ class ReplicaRunnerFW:
                            jnp.asarray(skip_slices_lanes))
 
         if engine == 'auto':
-            engine = ('batched'
-                      if (len(self.template) * n_lanes <= 32768 and
-                          max_number_new_slices == 0) else 'vmapped')
+            from tnco_tpu import native
+            if (len(self.template) * n_lanes <= 32768 and
+                    max_number_new_slices == 0):
+                engine = 'batched'
+            elif (native.available() and self.sparse_lanes is None and
+                  not disable_shared_inds and prob_kind == 'mh' and
+                  max_number_new_slices == 0):
+                engine = 'native'
+            else:
+                engine = 'vmapped'
         if engine == 'batched' and max_number_new_slices:
             raise ValueError(
                 "engine='batched' does not support max_number_new_slices.")
-        if engine not in ('batched', 'vmapped'):
+        if engine not in ('batched', 'vmapped', 'native'):
             raise ValueError(f"Unknown engine: {engine!r}")
         self.engine = engine
+
+        if engine == 'native':
+            self._init_native_fw(ctrees, seeds)
+            self.n_replicas = len(ctrees)
+            self.sweeps_done = 0
+            self.moves_done = 0
+            self.mesh = mesh
+            self.states = None
+            return
         self.log2d_w32 = jnp.asarray(self.log2d).reshape(n_lanes, 32)
         self.sparse_wb = (None if self.sparse_lanes is None else
                           self.sparse_lanes[:, None])
@@ -456,6 +472,69 @@ class ReplicaRunnerFW:
         self.sweeps_done = 0
         self.moves_done = 0
 
+    def _init_native_fw(self, ctrees, seeds) -> None:
+        self._nat_nodes = np.stack(
+            [c.nodes_array.copy() for c in ctrees])
+        self._nat_inds = np.stack([c.inds_array.copy() for c in ctrees])
+        # Initial slices from the device slicer, one replica at a time
+        # (host numpy path; same greedy semantics).
+        slices = []
+        for c, s in zip(ctrees, seeds):
+            st = saf.init_state_fw(c, int(s) & 0x7FFFFFFF,
+                                   self.max_width, self.log2d,
+                                   skip_lanes=self.skip_lanes)
+            slices.append(np.asarray(st.slices))
+        self._nat_slices = np.stack(slices)
+        self._nat_best_nodes = self._nat_nodes.copy()
+        self._nat_best_inds = self._nat_inds.copy()
+        self._nat_best_slices = self._nat_slices.copy()
+        self._nat_seeds = np.asarray([int(s) for s in seeds],
+                                     dtype=np.uint64)
+        self._nat_chunk = 0
+        self._nat_best = np.full(len(ctrees), np.inf)
+
+    def _run_native_fw(self, betas, update_slices, chunk_size, timeout,
+                       callback) -> dict:
+        from tnco_tpu import native
+
+        betas = np.asarray(betas, dtype=np.float64)
+        n = len(betas)
+        start = time.perf_counter()
+        pos = 0
+        chunk_size = max(1, min(chunk_size, n))
+        log2d = self.template.log2_dims_array
+        skip = np.asarray(self.skip_lanes, dtype=np.uint32)
+        while pos < n:
+            if timeout is not None and                     time.perf_counter() - start > timeout:
+                break
+            chunk = betas[pos:pos + chunk_size]
+            seeds = self._nat_seeds + np.uint64(
+                1000003 * (self._nat_chunk + 1))
+            (best, moves, self._nat_nodes, self._nat_inds,
+             self._nat_slices, bn, bi, bs) = native.sa_run_fw(
+                 self._nat_nodes, self._nat_inds, self._nat_slices, log2d,
+                 skip, float(self.max_width), chunk, seeds,
+                 reslice_every=update_slices, n_threads=0,
+                 return_final=True)
+            improved = best < self._nat_best
+            self._nat_best = np.where(improved, best, self._nat_best)
+            self._nat_best_nodes[improved] = bn[improved]
+            self._nat_best_inds[improved] = bi[improved]
+            self._nat_best_slices[improved] = bs[improved]
+            self._nat_chunk += 1
+            self.sweeps_done += len(chunk)
+            self.moves_done += moves
+            pos += chunk_size
+            if callback is not None:
+                callback({'progress': min(pos, n) / n,
+                          'log2_min_total': self._nat_best.copy()})
+        return {
+            'log2_min_total': self._nat_best.copy(),
+            'sweeps': self.sweeps_done,
+            'moves': self.moves_done,
+            'runtime_s': time.perf_counter() - start,
+        }
+
     def run(self,
             betas,
             *,
@@ -463,6 +542,9 @@ class ReplicaRunnerFW:
             chunk_size: int = 128,
             timeout: float | None = None,
             callback=None) -> dict:
+        if self.engine == 'native':
+            return self._run_native_fw(betas, update_slices, chunk_size,
+                                       timeout, callback)
         betas = np.asarray(betas, dtype=np.float32)
         n = len(betas)
         mask = ((np.arange(n) % max(1, update_slices)) == 0
@@ -508,6 +590,10 @@ class ReplicaRunnerFW:
         }
 
     def min_ctree(self, replica: int):
+        if self.engine == 'native':
+            return self.template.replace_arrays(
+                self._nat_best_nodes[replica],
+                self._nat_best_inds[replica])
         s = self.states
         if self.engine == 'batched':
             nodes = np.stack([
@@ -522,11 +608,15 @@ class ReplicaRunnerFW:
         return self.template.replace_arrays(nodes, inds)
 
     def min_slices_lanes(self, replica: int) -> np.ndarray:
+        if self.engine == 'native':
+            return self._nat_best_slices[replica].copy()
         if self.engine == 'batched':
             return np.asarray(self.states.min_slices[..., replica])
         return np.asarray(self.states.min_slices[replica])
 
     def log2_min_totals(self) -> np.ndarray:
+        if self.engine == 'native':
+            return self._nat_best.copy()
         return np.asarray(self.states.min_log2_total)
 
 
