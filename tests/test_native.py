@@ -182,3 +182,63 @@ def test_cpu_fw_engine(rng, random_seed):
                      frozenset(labels))
             total += fts.reduce(op.mul, (dmap[x] for x in union), 1)
         assert best[i] == pytest.approx(math.log2(total), abs=1e-6)
+
+
+def test_cpu_fw_engine_rescue(rng, random_seed):
+    """max_new_slices > 0: rescue slices keep every tensor within width
+    and the reported best matches an exact slice-aware recompute."""
+    import functools as fts
+    import operator as op
+
+    from tnco_tpu.bitset import Bitset
+    from tnco_tpu.kernels import sa_finite as saf
+    from tnco_tpu.ops import bitops
+
+    ctree, ts_inds, output_inds, dims = _random_ctree(rng, random_seed)
+    max_width = 2.5
+    r = 4
+    log2d = bitops.pad_log2_dims(ctree.log2_dims_array,
+                                 ctree.inds_array.shape[1])
+    st = saf.init_state_fw(ctree, 0, max_width, log2d)
+    slices0 = np.asarray(st.slices)
+
+    nodes = np.stack([ctree.nodes_array.copy() for _ in range(r)])
+    inds = np.stack([ctree.inds_array.copy() for _ in range(r)])
+    slices = np.stack([slices0.copy() for _ in range(r)])
+    skip = np.zeros(ctree.inds_array.shape[1], dtype=np.uint32)
+    betas = np.linspace(0.0, 10.0, 60)
+    seeds = np.arange(r, dtype=np.uint64) + random_seed
+
+    best, moves, nodes, inds, slices = native.sa_run_fw(
+        nodes, inds, slices, ctree.log2_dims_array, skip, max_width,
+        betas, seeds, reslice_every=0, max_new_slices=2, n_threads=2)
+    assert moves > 0
+    log2d_np = np.zeros(inds.shape[2] * 32)
+    l2 = ctree.log2_dims_array
+    log2d_np[:len(l2)] = l2
+    for i in range(r):
+        out = ctree.replace_arrays(nodes[i], inds[i])
+        is_valid_contraction_tree(out, ts_inds, output_inds, dims)
+        sl = slices[i]
+        for row in np.asarray(out.inds_array):
+            bits = row & ~sl
+            width = sum(
+                log2d_np[32 * k + b]
+                for k in range(len(bits))
+                for b in range(32) if (int(bits[k]) >> b) & 1)
+            assert width <= max_width + 1e-3
+        labels = [
+            ctree.inds_order[p] for p in Bitset.from_lanes(
+                sl, ctree.n_inds).positions()
+        ]
+        total = 0
+        tins = out.inds
+        dmap = out.dims
+        for node in out.nodes:
+            if node.is_leaf():
+                continue
+            union = (frozenset(tins[node.children[0]]) |
+                     frozenset(tins[node.children[1]]) |
+                     frozenset(labels))
+            total += fts.reduce(op.mul, (dmap[x] for x in union), 1)
+        assert best[i] == pytest.approx(math.log2(total), abs=1e-6)

@@ -70,3 +70,58 @@ def test_fw_batched_matches_vmapped(max_width, rng, random_seed):
     s0 = sfb.replica_state_fw(bout, 0)
     np.testing.assert_array_equal(np.asarray(s0.width),
                                   np.asarray(vout.width[0]))
+
+
+def test_fw_batched_rescue_matches_vmapped(rng, random_seed):
+    """max_new_slices > 0 (rescue branch) stays bit-identical."""
+    max_width = 2.0
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_output_inds=2)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    states, template = [], None
+    for r in range(3):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctree = ContractionTree(path, ts_inds, dims,
+                                output_inds=output_inds,
+                                check_shared_inds=True, inds_order=order)
+        template = template or ctree
+        log2d = bitops.pad_log2_dims(ctree.log2_dims_array,
+                                     ctree.inds_array.shape[1])
+        states.append(saf.init_state_fw(ctree, random_seed + r, max_width,
+                                        log2d))
+    n_lanes = template.inds_array.shape[1]
+    cfg = saf.SweepConfigFW(n_leaves=template.n_leaves, n_lanes=n_lanes,
+                            max_new_slices=2)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    skip = jnp.zeros(n_lanes, dtype=jnp.uint32)
+
+    betas = jnp.linspace(0.0, 10.0, 20, dtype=jnp.float32)
+    mask = jnp.asarray((np.arange(20) % 7) == 0)
+
+    vstack = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    vout, vmet = saf.run_sweeps_fw_batch(vstack, betas, mask,
+                                         jnp.float32(max_width), log2d,
+                                         skip, cfg)
+
+    batch = sfb.from_states_fw(states)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    bout, bmet = sfb.run_sweeps_fw_batched(batch, betas, mask,
+                                           jnp.float32(max_width),
+                                           log2d_w32, skip, cfg)
+
+    np.testing.assert_array_equal(np.asarray(vout.nodes[:, :, 0]),
+                                  np.asarray(bout.c0).T)
+    np.testing.assert_array_equal(
+        np.asarray(vout.inds), np.moveaxis(np.asarray(bout.inds), -1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(vout.slices),
+        np.moveaxis(np.asarray(bout.slices), -1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(vout.min_slices),
+        np.moveaxis(np.asarray(bout.min_slices), -1, 0))
+    np.testing.assert_allclose(np.asarray(vout.min_log2_total),
+                               np.asarray(bout.min_log2_total), rtol=1e-6)
+    assert int(np.sum(vmet['moves'])) == int(np.sum(bmet['moves']))

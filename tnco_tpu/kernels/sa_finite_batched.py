@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tnco_tpu.kernels import sa_finite as saf
 from tnco_tpu.kernels.sa_batched import (_log2_total_b, _width_b)
 from tnco_tpu.kernels.sa_finite import SweepConfigFW, _WIDTH_EPS
 from tnco_tpu.ops import costs as costs_ops
@@ -261,7 +262,6 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
         (c0, c1, par, inds, hyper, lcc, width, slices, lt, pos_b, keys,
          moves, active) = cy
         keys_new, k_pick, k_u, k_slices, k_u2 = split5(keys)
-        del k_slices, k_u2  # rescue branch not supported in lane-major
 
         bq = pos_b
         m_b = row_mask(bq)
@@ -305,6 +305,53 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
 
         u = unif(k_u)
         accept = active & fits & accept_fn(jnp.log2(u), l_new, lt)
+
+        rescued = jnp.zeros_like(accept)
+        lcc_try = lcc
+        if cfg.max_new_slices > 0:
+            # Rescue branch (greedy/optimizer.hpp:226-321): per-lane vmap
+            # of the exact single-replica functions so trajectories stay
+            # bit-identical to the vmapped engine.  O(N*W) per move —
+            # throughput-sensitive runs keep the app default of 0.
+            log2d_flat = log2d_w32.reshape(-1)
+            sparse_flat = None if sparse_wb is None else sparse_wb[:, 0]
+            cand_lanes = new_inds_b & ~slices & ~skip_wb[:, None]
+            sel = jax.vmap(
+                lambda k, cl, sw: saf._pick_rescue_slices(
+                    k, cl, cfg.max_new_slices, sw, max_width, log2d_flat,
+                    w),
+                in_axes=(0, 1, 0), out_axes=1)(k_slices, cand_lanes,
+                                               new_sliced_width_b)
+            cand_slices = slices | sel
+            rescued_width = wfn(new_inds_b & ~cand_slices)
+            can_rescue = (~fits) & (rescued_width <=
+                                    max_width + _WIDTH_EPS)
+
+            # Proposed tree per lane (children c<->e swapped in rows a, b)
+            c_b2 = jnp.broadcast_to(c[None, :], c0.shape)
+            e_b2 = jnp.broadcast_to(e[None, :], c0.shape)
+            upd_all = m_a | m_b
+            c0_try = jnp.where(upd_all & (c0 == c_b2), e_b2,
+                               jnp.where(upd_all & (c0 == e_b2), c_b2, c0))
+            c1_try = jnp.where(upd_all & (c1 == c_b2), e_b2,
+                               jnp.where(upd_all & (c1 == e_b2), c_b2, c1))
+            inds_try = jnp.where(m_b[:, None, :], new_inds_b[None], inds)
+            nodes_try = jnp.stack([c0_try, c1_try, par], axis=1)
+            lcc_try = jax.vmap(
+                lambda nd, xi, sl: saf.compute_lcc_fw(
+                    nd, xi, sl, log2d_flat, sparse_flat, log2_n_projs),
+                in_axes=(2, 2, 1), out_axes=1)(nodes_try, inds_try,
+                                               cand_slices)
+            lt_try = _log2_total_b(lcc_try, n_leaves)
+            u2 = unif(k_u2)
+            ok = active & can_rescue & accept_fn(jnp.log2(u2), lt_try, lt)
+            rescued = ok
+            slices = jnp.where(ok[None, :], cand_slices, slices)
+            l_new = jnp.where(ok, lt_try, l_new)
+            accept = accept | ok
+        else:
+            del k_slices, k_u2
+
         acc = accept[None, :]
 
         c_bcast = jnp.broadcast_to(c[None, :], c0.shape)
@@ -326,8 +373,14 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
                           (inds_a & new_inds_b & inds_e)[None], hyper)
         hyper = jnp.where(accw & m_b[:, None, :],
                           (new_inds_b & inds_d & inds_c)[None], hyper)
-        lcc = jnp.where(acc & m_a, ln_a[None, :],
-                        jnp.where(acc & m_b, ln_b[None, :], lcc))
+        if cfg.max_new_slices > 0:
+            lcc = jnp.where(rescued[None, :], lcc_try, lcc)
+            inc = (accept & ~rescued)[None, :]
+            lcc = jnp.where(inc & m_a, ln_a[None, :],
+                            jnp.where(inc & m_b, ln_b[None, :], lcc))
+        else:
+            lcc = jnp.where(acc & m_a, ln_a[None, :],
+                            jnp.where(acc & m_b, ln_b[None, :], lcc))
         width = jnp.where(acc & m_b, new_width_b[None, :], width)
         lt = jnp.where(accept, l_new, lt)
 
@@ -394,9 +447,6 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
 def _run_fw(batch: SABatchFW, betas, update_slices_mask, max_width,
             log2d_w32, skip_wb, cfg: SweepConfigFW, sparse_wb=None,
             log2_n_projs=None):
-    if cfg.max_new_slices:
-        raise NotImplementedError(
-            "max_number_new_slices > 0 requires the vmapped engine.")
     n = batch.c0.shape[0]
     iota_n = jnp.arange(n, dtype=jnp.int32)[:, None]
     max_width = jnp.asarray(max_width, log2d_w32.dtype)

@@ -186,12 +186,13 @@ def sa_run(nodes: np.ndarray, inds: np.ndarray, log2_dims: np.ndarray,
 
 def sa_run_fw(nodes, inds, slices, log2_dims, skip_lanes, max_width,
               betas, seeds, reslice_every: int = 10, n_threads: int = 0,
-              *, return_final: bool = False):
+              *, max_new_slices: int = 0, return_final: bool = False):
     """Multithreaded CPU finite-width SA over a replica batch.
 
     Args mirror :func:`sa_run` plus ``slices`` (``uint32[R, W]``, in/out),
-    ``skip_lanes`` (``uint32[W]``), ``max_width`` and the reslice cadence.
-    Dense cost model, ``max_number_new_slices = 0``.
+    ``skip_lanes`` (``uint32[W]``), ``max_width``, the reslice cadence and
+    the per-move rescue budget ``max_new_slices`` (reference
+    greedy/optimizer.hpp:226-321).  Dense cost model.
     """
     lib = _load()
     if lib is None:
@@ -203,8 +204,9 @@ def sa_run_fw(nodes, inds, slices, log2_dims, skip_lanes, max_width,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64
+            ctypes.c_int64
         ]
         lib._fw_bound = True
     nodes = np.ascontiguousarray(nodes, dtype=np.int32)
@@ -232,7 +234,8 @@ def sa_run_fw(nodes, inds, slices, log2_dims, skip_lanes, max_width,
         nodes.ctypes.data, inds.ctypes.data, slices.ctypes.data, r, n, w,
         log2d.ctypes.data, skip.ctypes.data, float(max_width),
         betas.ctypes.data, len(betas), int(reslice_every),
-        seeds.ctypes.data, best.ctypes.data, bn, bi, bs, int(n_threads))
+        int(max_new_slices), seeds.ctypes.data, best.ctypes.data, bn, bi,
+        bs, int(n_threads))
     if return_final:
         return (best, int(moves), nodes, inds, slices, best_nodes,
                 best_inds, best_slices)

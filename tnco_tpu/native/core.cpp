@@ -352,6 +352,7 @@ struct SAReplicaFW : SAReplica {
   std::vector<uint32_t> skip;     // [w]
   std::vector<double> width_pre;  // [n] pre-slicing widths
   double max_width = 0.0;
+  int64_t max_new_slices = 0;
 
   double width_lanes(const uint32_t* xs, const uint32_t* minus) const {
     double acc = 0.0;
@@ -507,6 +508,90 @@ struct SAReplicaFW : SAReplica {
           width_pre[b] = width_lanes(&inds[w * b], nullptr);
           lt = l_new;
         }
+      } else if (max_new_slices > 0) {
+        // Rescue branch (reference greedy/optimizer.hpp:226-321): add up
+        // to max_new_slices random new slices until the node fits, re-cost
+        // the whole tree under the candidate slice set, accept/reject on
+        // the full delta.
+        std::vector<int> cand;
+        for (int64_t k = 0; k < w; ++k) {
+          uint32_t bits = new_inds_b[k] & ~slices[k] & ~skip[k];
+          while (bits) {
+            const int bit = __builtin_ctz(bits);
+            bits &= bits - 1;
+            cand.push_back(static_cast<int>(32 * k + bit));
+          }
+        }
+        std::shuffle(cand.begin(), cand.end(), prng);
+        std::vector<uint32_t> cand_slices = slices;
+        double sw = new_sliced_width;
+        int64_t picked = 0;
+        for (int pos : cand) {
+          if (sw <= max_width + 1e-4 || picked >= max_new_slices) break;
+          cand_slices[pos / 32] |= 1u << (pos % 32);
+          sw -= log2d[pos];
+          ++picked;
+        }
+        if (sw <= max_width + 1e-4) {
+          // Full re-cost of the *proposed* tree (swap applied virtually).
+          auto row = [&](int32_t x) -> const uint32_t* {
+            return (x == b) ? new_inds_b.data() : &inds[w * x];
+          };
+          auto ccost_cand = [&](int32_t x, int32_t y) {
+            const uint32_t* xa = row(x);
+            const uint32_t* xb = row(y);
+            double acc = 0.0;
+            for (int64_t k = 0; k < w; ++k) {
+              uint32_t bits = xa[k] | xb[k] | cand_slices[k];
+              while (bits) {
+                const int bit = __builtin_ctz(bits);
+                bits &= bits - 1;
+                acc += log2d[32 * k + bit];
+              }
+            }
+            return acc;
+          };
+          std::vector<double> lcc_try(n);
+          for (int64_t i = 0; i < n; ++i) {
+            if (c0[i] == kNull) {
+              lcc_try[i] = -std::numeric_limits<double>::infinity();
+            } else if (i == a) {
+              lcc_try[i] = ccost_cand(b, e);
+            } else if (i == b) {
+              lcc_try[i] = ccost_cand(d, c);
+            } else {
+              lcc_try[i] = ccost_cand(c0[i], c1[i]);
+            }
+          }
+          double mx = -std::numeric_limits<double>::infinity();
+          for (int64_t i = n_leaves; i < n; ++i) {
+            mx = std::max(mx, lcc_try[i]);
+          }
+          double s = 0.0;
+          for (int64_t i = n_leaves; i < n; ++i) {
+            s += std::exp2(lcc_try[i] - mx);
+          }
+          const double lt_try = mx + std::log2(s);
+          const double u2 = uniform(prng);
+          if (std::log2(std::max(u2, 0x1p-60)) <= -beta * (lt_try - lt)) {
+            (c0[a] == c ? c0[a] : c1[a]) = e;
+            (c0[b] == e ? c0[b] : c1[b]) = c;
+            par[c] = b;
+            par[e] = a;
+            std::copy(new_inds_b.begin(), new_inds_b.end(),
+                      inds.begin() + w * b);
+            for (int64_t k = 0; k < w; ++k) {
+              hyper[w * a + k] =
+                  inds[w * a + k] & inds[w * b + k] & inds[w * e + k];
+              hyper[w * b + k] =
+                  inds[w * b + k] & inds[w * d + k] & inds[w * c + k];
+            }
+            slices = std::move(cand_slices);
+            lcc = std::move(lcc_try);
+            width_pre[b] = width_lanes(&inds[w * b], nullptr);
+            lt = lt_try;
+          }
+        }
       }
       b = a;
     }
@@ -640,14 +725,16 @@ extern "C" {
 // slices: uint32 [R, W] in/out (final slices when chunked, else best);
 // best_slices (optional with best_nodes/best_inds): best slice sets.
 // reslice_every: sweeps between greedy reslices (0 = never).
+// max_new_slices: rescue budget per move (0 = reject over-width moves).
 int64_t tnco_sa_run_fw(int32_t* nodes, uint32_t* inds, uint32_t* slices,
                        int64_t n_replicas, int64_t n, int64_t w,
                        const double* log2_dims, const uint32_t* skip_lanes,
                        double max_width, const double* betas,
                        int64_t n_sweeps, int64_t reslice_every,
-                       const uint64_t* seeds, double* best_log2,
-                       int32_t* best_nodes, uint32_t* best_inds,
-                       uint32_t* best_slices, int64_t n_threads) {
+                       int64_t max_new_slices, const uint64_t* seeds,
+                       double* best_log2, int32_t* best_nodes,
+                       uint32_t* best_inds, uint32_t* best_slices,
+                       int64_t n_threads) {
   if (n_threads <= 0) {
     n_threads = std::max(1u, std::thread::hardware_concurrency());
   }
@@ -666,6 +753,7 @@ int64_t tnco_sa_run_fw(int32_t* nodes, uint32_t* inds, uint32_t* slices,
       rep.n_leaves = n_leaves;
       rep.log2d = log2_dims;
       rep.max_width = max_width;
+      rep.max_new_slices = max_new_slices;
       rep.c0.resize(n);
       rep.c1.resize(n);
       rep.par.resize(n);

@@ -411,14 +411,10 @@ class ReplicaRunnerFW:
                     max_number_new_slices == 0):
                 engine = 'batched'
             elif (native.available() and self.sparse_lanes is None and
-                  not disable_shared_inds and prob_kind == 'mh' and
-                  max_number_new_slices == 0):
+                  not disable_shared_inds and prob_kind == 'mh'):
                 engine = 'native'
             else:
                 engine = 'vmapped'
-        if engine == 'batched' and max_number_new_slices:
-            raise ValueError(
-                "engine='batched' does not support max_number_new_slices.")
         if engine not in ('batched', 'vmapped', 'native'):
             raise ValueError(f"Unknown engine: {engine!r}")
         self.engine = engine
@@ -515,6 +511,7 @@ class ReplicaRunnerFW:
                  self._nat_nodes, self._nat_inds, self._nat_slices, log2d,
                  skip, float(self.max_width), chunk, seeds,
                  reslice_every=update_slices, n_threads=0,
+                 max_new_slices=self.cfg.max_new_slices,
                  return_final=True)
             improved = best < self._nat_best
             self._nat_best = np.where(improved, best, self._nat_best)
