@@ -248,3 +248,56 @@ def test_native_fw_engine_runner(rng, random_seed):
             width = sum(math.log2(dmap[x])
                         for x in frozenset(xs) - labels)
             assert width <= max_width + 1e-3
+
+
+def test_exchange_best_sharded_2d_mesh(rng, random_seed):
+    """ICI-only exchange on a ('dcn', 'ici') mesh: groups don't mix."""
+    from tnco_tpu.parallel.replicas import exchange_best_sharded
+    from tnco_tpu.testing.utils import is_valid_contraction_tree
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_tensors=10,
+                                                         n_output_inds=1)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(16):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4),
+                     axis_names=('dcn', 'ici'))
+    runner = ReplicaRunner(ctrees, list(range(16)),
+                           cmodel=SimpleCostModel(), mesh=mesh,
+                           engine='batched')
+    runner.run(np.linspace(0, 5, 8), chunk_size=8)
+    before = np.asarray(runner.states.log2_total)
+    # Groups: lanes are laid out contiguously per device -> first 8 lanes
+    # live on the dcn=0 row, last 8 on dcn=1.
+    g0_min, g1_min = before[:8].min(), before[8:].min()
+
+    runner.states = exchange_best_sharded(runner.states, mesh,
+                                          axis_names=('ici',),
+                                          fraction=1.0)
+    after = np.asarray(runner.states.log2_total)
+    # Every lane in a group now carries its group's best cost only
+    np.testing.assert_allclose(after[:8], g0_min, rtol=1e-6)
+    np.testing.assert_allclose(after[8:], g1_min, rtol=1e-6)
+
+    # Full-mesh exchange crosses DCN too
+    runner.states = exchange_best_sharded(runner.states, mesh,
+                                          fraction=1.0)
+    after2 = np.asarray(runner.states.log2_total)
+    np.testing.assert_allclose(after2, min(g0_min, g1_min), rtol=1e-6)
+
+    # Trees stay structurally valid and the runner keeps going
+    runner.run(np.linspace(5, 10, 8), chunk_size=8,
+               exchange_every=1, exchange_axes=('ici',))
+    for i in range(0, 16, 5):
+        is_valid_contraction_tree(runner.ctree(i), ts_inds, output_inds,
+                                  dims)

@@ -137,8 +137,11 @@ class Optimizer(BaseOptimizer):
             ]
 
             t0 = perf_counter()
+            from tnco_tpu.ops import bitops
             runner = ReplicaRunnerFW(ctrees, seeds, cmodel=cmodel,
-                                     prob_kind='mh')
+                                     prob_kind='mh',
+                                     dtype=bitops.device_dtype(
+                                         self.cost_type))
             runner.run(betas, update_slices=update_slices, timeout=timeout)
             runtime = perf_counter() - t0
 

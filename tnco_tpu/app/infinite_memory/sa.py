@@ -132,9 +132,12 @@ class Optimizer(BaseOptimizer):
             ]
 
             t0 = perf_counter()
+            from tnco_tpu.ops import bitops
             runner = ReplicaRunner(ctrees, seeds,
                                    cmodel=cmodel,
-                                   prob_kind='mh')
+                                   prob_kind='mh',
+                                   dtype=bitops.device_dtype(
+                                       self.cost_type))
             runner.run(betas, timeout=timeout)
             runtime = perf_counter() - t0
 

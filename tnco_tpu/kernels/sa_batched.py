@@ -205,7 +205,8 @@ def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
     randleaf = jax.vmap(
         lambda k: jax.random.randint(k, (), 0, n_leaves))
     bern = jax.vmap(jax.random.bernoulli)
-    unif = jax.vmap(lambda k: jax.random.uniform(k, dtype=jnp.float32))
+    unif = jax.vmap(
+        lambda k: jax.random.uniform(k, dtype=log2d_w32.dtype))
 
     keys, k_leaf = split2(keys)
     leaf = randleaf(k_leaf)  # [B]
@@ -214,7 +215,8 @@ def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
         return iota_n == pos[None, :]  # [N, B]
 
     def grow_i(arr_nb, mask):
-        return jnp.sum(jnp.where(mask, arr_nb, 0), axis=0)
+        return jnp.sum(jnp.where(mask, arr_nb, 0), axis=0,
+                       dtype=arr_nb.dtype)
 
     def grow_u(arr_nwb, mask):
         return jnp.sum(jnp.where(mask[:, None, :], arr_nwb,
@@ -324,7 +326,7 @@ def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
         keys = jnp.where(
             active.reshape(active.shape + (1,) * (keys.ndim - 1)),
             keys_new, keys)
-        moves = moves + jnp.sum(active.astype(jnp.int32))
+        moves = moves + jnp.sum(active, dtype=jnp.int32)
 
         # Next-step activity: b' = a must be a non-root internal node
         par_a = grow_i(par, row_mask(pos_b))
@@ -404,13 +406,15 @@ def _stream_iter(carry, log2d_w32, betas, cfg: SweepConfig, iota_n,
     split3 = jax.vmap(lambda k: tuple(jax.random.split(k, 3)))
     randleaf = jax.vmap(lambda k: jax.random.randint(k, (), 0, n_leaves))
     bern = jax.vmap(jax.random.bernoulli)
-    unif = jax.vmap(lambda k: jax.random.uniform(k, dtype=jnp.float32))
+    unif = jax.vmap(
+        lambda k: jax.random.uniform(k, dtype=log2d_w32.dtype))
 
     def row_mask(pos):
         return iota_n == pos[None, :]
 
     def grow_i(arr, mask):
-        return jnp.sum(jnp.where(mask, arr, 0), axis=0)
+        return jnp.sum(jnp.where(mask, arr, 0), axis=0,
+                       dtype=arr.dtype)
 
     def grow_f(arr, mask):
         return jnp.sum(jnp.where(mask, arr, 0.0), axis=0)
@@ -526,7 +530,7 @@ def _stream_iter(carry, log2d_w32, betas, cfg: SweepConfig, iota_n,
                     jnp.where(accn & m_b, ln_b[None, :], lcc))
 
     pos_b = jnp.where(walking, a, pos_b)
-    moves = moves + jnp.sum(walking.astype(jnp.int32))
+    moves = moves + jnp.sum(walking, dtype=jnp.int32)
 
     return (c0, c1, par, inds, hyper, lcc, min_lt, min_c0, min_c1,
             min_par, min_inds, keys, pos_b, sweep_cnt, moves)

@@ -220,7 +220,8 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
     split5 = jax.vmap(lambda k: tuple(jax.random.split(k, 5)))
     randleaf = jax.vmap(lambda k: jax.random.randint(k, (), 0, n_leaves))
     bern = jax.vmap(jax.random.bernoulli)
-    unif = jax.vmap(lambda k: jax.random.uniform(k, dtype=jnp.float32))
+    unif = jax.vmap(
+        lambda k: jax.random.uniform(k, dtype=log2d_w32.dtype))
 
     keys, k_leaf = split2(keys)
     leaf = randleaf(k_leaf)
@@ -229,7 +230,8 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
         return iota_n == pos[None, :]
 
     def grow_i(arr, mask):
-        return jnp.sum(jnp.where(mask, arr, 0), axis=0)
+        return jnp.sum(jnp.where(mask, arr, 0), axis=0,
+                       dtype=arr.dtype)
 
     def grow_f(arr, mask):
         return jnp.sum(jnp.where(mask, arr, 0.0), axis=0)
@@ -388,7 +390,7 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
         keys = jnp.where(
             active.reshape(active.shape + (1,) * (keys.ndim - 1)),
             keys_new, keys)
-        moves = moves + jnp.sum(active.astype(jnp.int32))
+        moves = moves + jnp.sum(active, dtype=jnp.int32)
 
         par_next = grow_i(par, row_mask(pos_b))
         next_active = active & (pos_b != -1) & (par_next != -1)
@@ -482,7 +484,7 @@ def init_batch_fw(ctrees, seeds, max_width, log2_dims_padded, *,
 
     states = [
         saf.init_state_fw(c, s, max_width,
-                          jnp.asarray(log2_dims_padded, jnp.float32),
+                          jnp.asarray(log2_dims_padded, dtype),
                           skip_lanes=skip_lanes,
                           sparse_lanes=sparse_lanes,
                           log2_n_projs=log2_n_projs)

@@ -13,10 +13,31 @@ import numpy as np
 
 __all__ = [
     'expand_bits', 'width', 'any_bits', 'popcount', 'pad_log2_dims',
-    'LANE_BITS'
+    'device_dtype', 'LANE_BITS'
 ]
 
 LANE_BITS = 32
+
+
+def device_dtype(cost_type: str = 'float64'):
+    """Device dtype for a reference ``cost_type`` tag.
+
+    The reference instantiates its C++ kernels per cost type
+    (include/tnco/globals.hpp:81-117: float32/float64/float128/float1024).
+    Here costs live in the log2 domain, so float32 already covers the
+    float1024 *range*; wider tags buy log2-domain precision instead:
+    they run the device kernels in float64 when JAX x64 mode is enabled
+    (``jax.config.update('jax_enable_x64', True)`` or the
+    ``jax.enable_x64(True)`` context), and fall back to float32 —
+    with exact host-side bigint audits — otherwise.
+    """
+    import jax
+
+    if str(cost_type) == 'float32':
+        return jnp.float32
+    if jax.config.jax_enable_x64:
+        return jnp.float64
+    return jnp.float32
 
 
 def pad_log2_dims(log2_dims: np.ndarray, n_lanes: int,

@@ -65,7 +65,10 @@ class Optimizer:
             n_lanes=n_lanes,
             disable_shared_inds=disable_shared_inds,
             max_new_slices=self.max_number_new_slices)
-        self._log2d = bitops.pad_log2_dims(ctree.log2_dims_array, n_lanes)
+        self._log2d = bitops.pad_log2_dims(
+            ctree.log2_dims_array, n_lanes,
+            dtype=bitops.device_dtype(getattr(cmodel, 'cost_type',
+                                              'float64')))
         dev = cmodel.device_params(ctree.inds_order)
         self._sparse_lanes = (None if dev['sparse_lanes'] is None else
                               jnp.asarray(dev['sparse_lanes']))
@@ -141,7 +144,7 @@ class Optimizer:
 
     def update_many(self, prob, betas, *, update_slices_every: int = 10,
                     prob_kind: str | None = None) -> dict:
-        betas = jnp.asarray(betas, dtype=jnp.float32)
+        betas = jnp.asarray(betas, dtype=self._log2d.dtype)
         n = betas.shape[0]
         if update_slices_every and update_slices_every > 0:
             mask = (np.arange(n) % update_slices_every) == 0
@@ -155,7 +158,8 @@ class Optimizer:
             max_new_slices=self.max_number_new_slices)
         self._state, metrics = saf.run_sweeps_fw(
             self._state, betas, jnp.asarray(mask),
-            jnp.float32(self._cmodel.max_width), self._log2d,
+            jnp.asarray(self._cmodel.max_width,
+                        self._log2d.dtype), self._log2d,
             self._skip_lanes, cfg, self._sparse_lanes, self._log2_n_projs)
         return {k: np.asarray(v) for k, v in metrics.items()}
 

@@ -92,7 +92,12 @@ class Optimizer:
         self._cfg = sa.SweepConfig(n_leaves=ctree.n_leaves,
                                    n_lanes=n_lanes,
                                    disable_shared_inds=disable_shared_inds)
-        self._log2d = bitops.pad_log2_dims(ctree.log2_dims_array, n_lanes)
+        # cost_type selects the device dtype (f64 under JAX x64 mode;
+        # see bitops.device_dtype) — every downstream array follows it.
+        self._log2d = bitops.pad_log2_dims(
+            ctree.log2_dims_array, n_lanes,
+            dtype=bitops.device_dtype(getattr(cmodel, 'cost_type',
+                                              'float64')))
         dev = cmodel.device_params(ctree.inds_order)
         self._sparse_lanes = (None if dev['sparse_lanes'] is None else
                               jnp.asarray(dev['sparse_lanes']))
@@ -125,7 +130,7 @@ class Optimizer:
         """One SA sweep (reference update,
         infinite_memory/optimizer.hpp:90-221)."""
         beta = getattr(prob, 'beta', 0.0)
-        betas = jnp.full((1,), beta, dtype=jnp.float32)
+        betas = jnp.full((1,), beta, dtype=self._log2d.dtype)
         cfg = sa.SweepConfig(n_leaves=self._cfg.n_leaves,
                              n_lanes=self._cfg.n_lanes,
                              disable_shared_inds=self.disable_shared_inds,
@@ -136,7 +141,7 @@ class Optimizer:
 
     def update_many(self, prob: BaseProbability, betas) -> dict:
         """Chunked sweeps: one sweep per beta; returns per-sweep metrics."""
-        betas = jnp.asarray(betas, dtype=jnp.float32)
+        betas = jnp.asarray(betas, dtype=self._log2d.dtype)
         cfg = sa.SweepConfig(n_leaves=self._cfg.n_leaves,
                              n_lanes=self._cfg.n_lanes,
                              disable_shared_inds=self.disable_shared_inds,

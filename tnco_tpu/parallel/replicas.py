@@ -30,16 +30,30 @@ __all__ = ['ReplicaRunner', 'ReplicaRunnerFW', 'replica_sharding',
            'make_mesh']
 
 
-def make_mesh(devices=None, axis_name: str = 'r'):
-    """1-D replica mesh over all (or the given) devices."""
+def make_mesh(devices=None, axis_name: str = 'r', *, shape=None,
+              axis_names=None):
+    """Replica mesh over all (or the given) devices.
+
+    1-D by default.  Pass ``shape``/``axis_names`` for an N-D mesh, e.g.
+    ``make_mesh(shape=(2, 4), axis_names=('dcn', 'ici'))`` for a
+    two-slice pod: the replica axis is sharded over *all* axes, while
+    best-exchange collectives can be restricted to a subset (exchange
+    over 'ici' frequently, over 'dcn' rarely — ICI bandwidth >> DCN).
+    """
     devices = jax.devices() if devices is None else list(devices)
-    return jax.sharding.Mesh(np.asarray(devices), (axis_name,))
+    if shape is None:
+        return jax.sharding.Mesh(np.asarray(devices), (axis_name,))
+    if axis_names is None:
+        axis_names = tuple(f'ax{i}' for i in range(len(shape)))
+    return jax.sharding.Mesh(
+        np.asarray(devices).reshape(shape), tuple(axis_names))
 
 
-def replica_sharding(mesh, axis_name: str = 'r'):
-    """NamedSharding that splits the leading replica axis over the mesh."""
+def replica_sharding(mesh, axis_name=None):
+    """NamedSharding that splits the replica axis over ALL mesh axes."""
+    axis = tuple(mesh.axis_names) if axis_name is None else axis_name
     return jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(axis_name))
+        mesh, jax.sharding.PartitionSpec(axis))
 
 
 def _to_vmapped(batch: 'sb.SABatch') -> 'sa.SAStateIM':
@@ -58,7 +72,7 @@ def _shard_batch(batch: 'sb.SABatch', mesh) -> 'sb.SABatch':
 
     Every leaf carries the replica axis last except ``keys`` ([B, 2]).
     """
-    axis = mesh.axis_names[0]
+    axis = tuple(mesh.axis_names)
 
     def put(x, replica_axis):
         spec = [None] * x.ndim
@@ -168,7 +182,8 @@ class ReplicaRunner:
         batch = sb.init_batch(ctrees, seeds, np.asarray(self.log2d),
                               sparse_lanes=None if self.sparse_lanes is None
                               else np.asarray(self.sparse_lanes),
-                              log2_n_projs=self.log2_n_projs)
+                              log2_n_projs=self.log2_n_projs,
+                              dtype=np.asarray(self.log2d).dtype)
 
         if engine == 'vmapped':
             # Replica-major stacked SAStateIM pytree
@@ -246,7 +261,10 @@ class ReplicaRunner:
             *,
             chunk_size: int = 128,
             timeout: float | None = None,
-            callback=None) -> dict:
+            callback=None,
+            exchange_every: int = 0,
+            exchange_fraction: float = 0.25,
+            exchange_axes=None) -> dict:
         """Runs one sweep per beta, in fixed-size jitted chunks.
 
         The chunk is the cooperative-stop granularity: after each chunk the
@@ -254,16 +272,24 @@ class ReplicaRunner:
         (replacing the reference's SharedMemory buffers + threading.Timer,
         tnco/parallel.py:227-248).
 
+        ``exchange_every`` (batched engine): every that many chunks, the
+        worst ``exchange_fraction`` of lanes restart from the best lane's
+        current tree.  On a mesh the exchange uses explicit
+        pmin/psum collectives restricted to ``exchange_axes`` (default:
+        all mesh axes) — e.g. only the 'ici' axis of a ('dcn', 'ici')
+        mesh, so the frequent exchange never crosses DCN.
+
         Returns:
             Metrics dict with per-replica ``log2_min_total`` (final) and the
             number of sweeps executed.
         """
         if self.engine == 'native':
             return self._run_native(betas, chunk_size, timeout, callback)
-        betas = np.asarray(betas, dtype=np.float32)
+        betas = np.asarray(betas, dtype=np.asarray(self.log2d).dtype)
         start = time.perf_counter()
         n = len(betas)
         pos = 0
+        n_chunks = 0
         chunk_size = max(1, min(chunk_size, n))
         # Pad to a whole number of chunks so only one program is compiled.
         while pos < n:
@@ -276,7 +302,7 @@ class ReplicaRunner:
                 chunk = np.concatenate(
                     [chunk,
                      np.full(chunk_size - len(chunk), chunk[-1],
-                             dtype=np.float32)])
+                             dtype=chunk.dtype)])
             if self.engine == 'batched':
                 self.states, metrics = sb.run_sweeps_batched(
                     self.states, jnp.asarray(chunk), self.log2d_w32,
@@ -290,6 +316,16 @@ class ReplicaRunner:
             self.sweeps_done += chunk_size
             self.moves_done += int(np.sum(metrics['moves']))
             pos += chunk_size
+            n_chunks += 1
+            if (exchange_every and self.engine == 'batched' and
+                    pos < n and n_chunks % exchange_every == 0):
+                if self.mesh is not None:
+                    self.states = exchange_best_sharded(
+                        self.states, self.mesh, exchange_axes,
+                        exchange_fraction)
+                else:
+                    self.states = exchange_best(self.states,
+                                                exchange_fraction)
             if callback is not None:
                 callback({
                     'progress': min(pos, n) / n,
@@ -449,7 +485,7 @@ class ReplicaRunnerFW:
                 batch = jax.tree.map(lambda x: jax.device_put(x, shard),
                                      batch)
             else:
-                axis = mesh.axis_names[0]
+                axis = tuple(mesh.axis_names)
 
                 def put(x, replica_axis):
                     spec = [None] * x.ndim
@@ -542,7 +578,7 @@ class ReplicaRunnerFW:
         if self.engine == 'native':
             return self._run_native_fw(betas, update_slices, chunk_size,
                                        timeout, callback)
-        betas = np.asarray(betas, dtype=np.float32)
+        betas = np.asarray(betas, dtype=np.asarray(self.log2d).dtype)
         n = len(betas)
         mask = ((np.arange(n) % max(1, update_slices)) == 0
                 if update_slices else np.zeros(n, dtype=bool))
@@ -557,7 +593,7 @@ class ReplicaRunnerFW:
             if len(chunk) < chunk_size:
                 pad = chunk_size - len(chunk)
                 chunk = np.concatenate(
-                    [chunk, np.full(pad, chunk[-1], dtype=np.float32)])
+                    [chunk, np.full(pad, chunk[-1], dtype=chunk.dtype)])
                 mchunk = np.concatenate([mchunk, np.zeros(pad, dtype=bool)])
             if self.engine == 'batched':
                 self.states, metrics = sfb.run_sweeps_fw_batched(
@@ -651,3 +687,86 @@ def exchange_best(states: 'sb.SABatch', fraction: float = 0.25
         jnp.where(worst, lt[best], lt), states.min_log2_total,
         states.min_c0, states.min_c1, states.min_par, states.min_inds,
         states.keys)
+
+
+def exchange_best_sharded(states: 'sb.SABatch', mesh, axis_names=None,
+                          fraction: float = 0.25) -> 'sb.SABatch':
+    """Mesh-aware population exchange with explicit collectives.
+
+    ``shard_map`` version of :func:`exchange_best`: within each group of
+    devices spanned by ``axis_names`` (default: all mesh axes), the
+    globally best replica's current tree is found with a ``pmin`` over the
+    group and broadcast with a masked ``psum`` — both ride ICI when the
+    axis maps to intra-slice links; restricting ``axis_names`` to the ICI
+    axis of a 2-D ``('dcn', 'ici')`` mesh keeps the frequent exchange off
+    DCN entirely (SURVEY.md §2.3 / §5 "distributed communication").
+    Each device then restarts its worst ``fraction`` of *local* lanes
+    from that tree.  Min snapshots and PRNG keys are untouched.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names) if axis_names is None else \
+        tuple(axis_names)
+    all_axes = tuple(mesh.axis_names)
+    repl = P(all_axes)
+
+    def spec_of(x, replica_axis):
+        s = [None] * x.ndim
+        s[replica_axis] = all_axes
+        return P(*s)
+
+    batch_tuple = (states.c0, states.c1, states.par, states.inds,
+                   states.hyper, states.lcc, states.log2_total)
+    in_specs = tuple(spec_of(x, -1) for x in batch_tuple)
+
+    def body(c0, c1, par, inds, hyper, lcc, lt):
+        # Local best lane
+        li = jnp.argmin(lt)
+        local_min = lt[li]
+        # Group-wide best cost over the exchange axes (ICI/DCN pmin)
+        group_min = jax.lax.pmin(local_min, axes)
+        # Deterministic owner: lowest linear index among ties
+        lin = jnp.int32(0)
+        stride = 1
+        for ax in reversed(axes):
+            lin = lin + jax.lax.axis_index(ax) * stride
+            stride *= mesh.shape[ax]
+        owner = jax.lax.pmin(
+            jnp.where(local_min == group_min, lin, jnp.int32(2**30)),
+            axes)
+        is_owner = (lin == owner) & (local_min == group_min)
+
+        def bcast(x):
+            # Masked all-reduce broadcast of the owner's best lane
+            contrib = jnp.where(is_owner, x[..., li], 0)
+            if x.dtype == jnp.uint32:
+                return jax.lax.psum(contrib.astype(jnp.int32),
+                                    axes).astype(jnp.uint32)
+            return jax.lax.psum(contrib, axes)
+
+        bc0, bc1, bpar = bcast(c0), bcast(c1), bcast(par)
+        binds, bhyper = bcast(inds), bcast(hyper)
+        blcc = bcast(lcc)
+
+        # Replace the worst local lanes
+        b = lt.shape[0]
+        k = max(1, int(b * fraction))
+        thresh = jnp.sort(lt)[b - k]
+        worst = (lt >= thresh) & (lt > group_min)
+        wn = worst[None, :]
+        ww = worst[None, None, :]
+        return (jnp.where(wn, bc0[:, None], c0),
+                jnp.where(wn, bc1[:, None], c1),
+                jnp.where(wn, bpar[:, None], par),
+                jnp.where(ww, binds[:, :, None], inds),
+                jnp.where(ww, bhyper[:, :, None], hyper),
+                jnp.where(wn, blcc[:, None], lcc),
+                jnp.where(worst, group_min, lt))
+
+    shmap = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=in_specs)
+    c0, c1, par, inds, hyper, lcc, lt = shmap(*batch_tuple)
+    del repl
+    return sb.SABatch(c0, c1, par, inds, hyper, lcc, lt,
+                      states.min_log2_total, states.min_c0, states.min_c1,
+                      states.min_par, states.min_inds, states.keys)
