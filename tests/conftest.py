@@ -16,6 +16,7 @@ if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8').strip()
 
+import hashlib
 from random import Random
 
 import jax
@@ -28,13 +29,19 @@ jax.config.update('jax_platforms', 'cpu')
 # reduction layouts; a borderline Metropolis accept can legitimately flip
 # for ~1 in 10^4 moves, so unseeded runs would rarely flake.)
 _SEED = os.environ.get('PYTEST_SEED', '20260816')
-_RNG = Random(int(_SEED))
 
 
 @pytest.fixture
-def random_seed() -> int:
-    """Fresh deterministic seed per test invocation."""
-    return _RNG.randrange(2**31)
+def random_seed(request) -> int:
+    """Deterministic per-test seed derived from PYTEST_SEED + nodeid.
+
+    Hash-derived (not drawn from a shared stream) so adding or reordering
+    tests never shifts another test's seed — a seed that passes keeps
+    passing regardless of which test subset runs.
+    """
+    digest = hashlib.sha256(
+        f'{_SEED}:{request.node.nodeid}'.encode()).digest()
+    return int.from_bytes(digest[:4], 'little') % 2**31
 
 
 @pytest.fixture

@@ -188,6 +188,17 @@ def _log2_total_b(lcc, n_leaves):
     return m + jnp.log2(s)
 
 
+def compute_hyper_b(c0, c1, inds):
+    """Full ``hyper`` recompute: ``inds[i] & inds[c0[i]] & inds[c1[i]]``."""
+    internal = c0 >= 0
+    c0s = jnp.where(internal, c0, 0)
+    c1s = jnp.where(internal, c1, 0)
+    inds_c0 = jnp.take_along_axis(inds, c0s[:, None, :], axis=0)
+    inds_c1 = jnp.take_along_axis(inds, c1s[:, None, :], axis=0)
+    return jnp.where(internal[:, None, :], inds & inds_c0 & inds_c1,
+                     jnp.uint32(0))
+
+
 def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
                    sparse_wb, log2_n_projs):
     """One lockstep leaf-to-root sweep over all replicas.
@@ -196,7 +207,7 @@ def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
     at sweep start, three-way splits per walk step), so single-replica and
     batched execution produce identical trajectories.
     """
-    (c0, c1, par, inds, hyper, lcc, _lt_prev, min_lt, min_c0, min_c1,
+    (c0, c1, par, inds, lcc, _lt_prev, min_lt, min_c0, min_c1,
      min_par, min_inds, keys) = batch_tuple
     n_leaves = cfg.n_leaves
 
@@ -251,7 +262,7 @@ def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
         return jnp.any(active)
 
     def body(carry):
-        (c0, c1, par, inds, hyper, lcc, lt, pos_b, keys, moves,
+        (c0, c1, par, inds, lcc, lt, pos_b, keys, moves,
          active) = carry
 
         keys_new, k_pick, k_u = split3(keys)
@@ -282,8 +293,12 @@ def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
         inds_e = jnp.where(t0m, inds1, inds0)
 
         inds_a = grow_u(inds, m_a)
-        hyp_a = grow_u(hyper, m_a)
-        hyp_b = grow_u(hyper, m_b)
+        # hyper on the fly (exact integer identity hyper[i] =
+        # inds[i] & inds[c0] & inds[c1]) -- saves carrying and rewriting
+        # a full [N, W, B] array every walk step (HBM-bandwidth bound).
+        inds_b = grow_u(inds, m_b)
+        hyp_a = inds_a & inds_b & inds_c
+        hyp_b = inds_b & inds0 & inds1
         new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
 
         l_a = grow_f(lcc, m_a)
@@ -313,10 +328,6 @@ def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
 
         accw = acc[:, None, :]
         inds = jnp.where(accw & m_b[:, None, :], new_inds_b[None], inds)
-        hyper = jnp.where(accw & m_a[:, None, :],
-                          (inds_a & new_inds_b & inds_e)[None], hyper)
-        hyper = jnp.where(accw & m_b[:, None, :],
-                          (new_inds_b & inds_d & inds_c)[None], hyper)
         lcc = jnp.where(acc & m_a, ln_a[None, :],
                         jnp.where(acc & m_b, ln_b[None, :], lcc))
         lt = jnp.where(accept, l_new, lt)
@@ -332,16 +343,16 @@ def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
         par_a = grow_i(par, row_mask(pos_b))
         next_active = active & (pos_b != NULL) & (par_a != NULL)
 
-        return (c0, c1, par, inds, hyper, lcc, lt, pos_b, keys, moves,
+        return (c0, c1, par, inds, lcc, lt, pos_b, keys, moves,
                 next_active)
 
     par_b0 = grow_i(par, row_mask(pos_b0))
     par_b0 = jnp.where(pos_b0 == NULL, NULL, par_b0)
     active0 = (pos_b0 != NULL) & (par_b0 != NULL)
 
-    carry = (c0, c1, par, inds, hyper, lcc, lt0, pos_b0, keys,
+    carry = (c0, c1, par, inds, lcc, lt0, pos_b0, keys,
              jnp.int32(0), active0)
-    (c0, c1, par, inds, hyper, lcc, _, _, keys, moves,
+    (c0, c1, par, inds, lcc, _, _, keys, moves,
      _) = jax.lax.while_loop(cond, body, carry)
 
     lt_final = _log2_total_b(lcc, n_leaves)
@@ -354,7 +365,7 @@ def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
     min_par = jnp.where(impn, par, min_par)
     min_inds = jnp.where(impw, inds, min_inds)
 
-    return ((c0, c1, par, inds, hyper, lcc, lt_final, min_lt, min_c0,
+    return ((c0, c1, par, inds, lcc, lt_final, min_lt, min_c0,
              min_c1, min_par, min_inds, keys), moves)
 
 
@@ -366,17 +377,20 @@ def _run(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
     def step(carry, beta):
         carry, moves = _sweep_batched(carry, beta, log2d_w32, cfg, iota_n,
                                       sparse_wb, log2_n_projs)
-        lt, min_lt = carry[6], carry[7]
+        lt, min_lt = carry[5], carry[6]
         return carry, (lt, min_lt, moves)
 
-    carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.hyper,
+    carry = (batch.c0, batch.c1, batch.par, batch.inds,
              batch.lcc, batch.log2_total, batch.min_log2_total,
              batch.min_c0, batch.min_c1, batch.min_par, batch.min_inds,
              batch.keys)
     carry, (lt_hist, min_hist, moves_hist) = jax.lax.scan(
         step, carry, betas)
-    (c0, c1, par, inds, hyper, lcc, lt, min_lt, min_c0, min_c1, min_par,
+    (c0, c1, par, inds, lcc, lt, min_lt, min_c0, min_c1, min_par,
      min_inds, keys) = carry
+    # The sweeps compute hyper rows on the fly; refresh the stored array
+    # once per run call so audits / extraction / engine switches see it.
+    hyper = compute_hyper_b(c0, c1, inds)
     out = SABatch(c0, c1, par, inds, hyper, lcc, lt, min_lt,
                   min_c0, min_c1, min_par, min_inds, keys)
     return out, {'log2_total': lt_hist, 'log2_min_total': min_hist,
@@ -398,7 +412,7 @@ def _stream_iter(carry, log2d_w32, betas, cfg: SweepConfig, iota_n,
     ramp — only the lane synchronization (and hence the RNG stream) differs
     from the lockstep engines.
     """
-    (c0, c1, par, inds, hyper, lcc, min_lt, min_c0, min_c1, min_par,
+    (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1, min_par,
      min_inds, keys, pos_b, sweep_cnt, moves) = carry
     n_leaves = cfg.n_leaves
     n_sweeps = betas.shape[0]
@@ -488,8 +502,9 @@ def _stream_iter(carry, log2d_w32, betas, cfg: SweepConfig, iota_n,
     inds_e = jnp.where(t0m, inds1, inds0)
 
     inds_a = grow_u(inds, m_a)
-    hyp_a = grow_u(hyper, m_a)
-    hyp_b = grow_u(hyper, m_b)
+    inds_b = grow_u(inds, m_b)
+    hyp_a = inds_a & inds_b & inds_c
+    hyp_b = inds_b & inds0 & inds1
     new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
 
     l_a = grow_f(lcc, m_a)
@@ -522,17 +537,13 @@ def _stream_iter(carry, log2d_w32, betas, cfg: SweepConfig, iota_n,
 
     accw = accn[:, None, :]
     inds = jnp.where(accw & m_b[:, None, :], new_inds_b[None], inds)
-    hyper = jnp.where(accw & m_a[:, None, :],
-                      (inds_a & new_inds_b & inds_e)[None], hyper)
-    hyper = jnp.where(accw & m_b[:, None, :],
-                      (new_inds_b & inds_d & inds_c)[None], hyper)
     lcc = jnp.where(accn & m_a, ln_a[None, :],
                     jnp.where(accn & m_b, ln_b[None, :], lcc))
 
     pos_b = jnp.where(walking, a, pos_b)
     moves = moves + jnp.sum(walking, dtype=jnp.int32)
 
-    return (c0, c1, par, inds, hyper, lcc, min_lt, min_c0, min_c1,
+    return (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1,
             min_par, min_inds, keys, pos_b, sweep_cnt, moves)
 
 
@@ -547,13 +558,14 @@ def _run_stream(batch: SABatch, betas, n_iters: int, log2d_w32,
                              sparse_wb, log2_n_projs)
         return carry, None
 
-    carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.hyper,
+    carry = (batch.c0, batch.c1, batch.par, batch.inds,
              batch.lcc, batch.min_log2_total, batch.min_c0, batch.min_c1,
              batch.min_par, batch.min_inds, batch.keys,
              pos_b, sweep_cnt, jnp.int32(0))
     carry, _ = jax.lax.scan(step, carry, None, length=n_iters)
-    (c0, c1, par, inds, hyper, lcc, min_lt, min_c0, min_c1, min_par,
+    (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1, min_par,
      min_inds, keys, pos_b, sweep_cnt, moves) = carry
+    hyper = compute_hyper_b(c0, c1, inds)
     lt = _log2_total_b(lcc, cfg.n_leaves)
     # Final boundary handling: lanes that just reached the root still owe
     # a min comparison for their last sweep.

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tnco_tpu.kernels import sa_finite as saf
-from tnco_tpu.kernels.sa_batched import (_log2_total_b, _width_b)
+from tnco_tpu.kernels.sa_batched import (_log2_total_b, _width_b,
+                                         compute_hyper_b)
 from tnco_tpu.kernels.sa_finite import SweepConfigFW, _WIDTH_EPS
 from tnco_tpu.ops import costs as costs_ops
 
@@ -211,7 +212,7 @@ def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
 def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
                       skip_wb, cfg: SweepConfigFW, iota_n, sparse_wb,
                       log2_n_projs):
-    (c0, c1, par, inds, hyper, lcc, width, slices, _lt_prev, min_lt,
+    (c0, c1, par, inds, lcc, width, slices, _lt_prev, min_lt,
      min_c0, min_c1, min_par, min_inds, min_slices, keys) = carry
     n_leaves = cfg.n_leaves
     n, w, b = inds.shape
@@ -261,7 +262,7 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
         return jnp.any(cy[-1])
 
     def body(cy):
-        (c0, c1, par, inds, hyper, lcc, width, slices, lt, pos_b, keys,
+        (c0, c1, par, inds, lcc, width, slices, lt, pos_b, keys,
          moves, active) = cy
         keys_new, k_pick, k_u, k_slices, k_u2 = split5(keys)
 
@@ -291,8 +292,9 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
         inds_e = jnp.where(t0m, inds1, inds0)
 
         inds_a = grow_u(inds, m_a)
-        hyp_a = grow_u(hyper, m_a)
-        hyp_b = grow_u(hyper, m_b)
+        inds_b = grow_u(inds, m_b)
+        hyp_a = inds_a & inds_b & inds_c
+        hyp_b = inds_b & inds0 & inds1
         new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
 
         new_width_b = wfn(new_inds_b)
@@ -371,10 +373,6 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
 
         accw = acc[:, None, :]
         inds = jnp.where(accw & m_b[:, None, :], new_inds_b[None], inds)
-        hyper = jnp.where(accw & m_a[:, None, :],
-                          (inds_a & new_inds_b & inds_e)[None], hyper)
-        hyper = jnp.where(accw & m_b[:, None, :],
-                          (new_inds_b & inds_d & inds_c)[None], hyper)
         if cfg.max_new_slices > 0:
             lcc = jnp.where(rescued[None, :], lcc_try, lcc)
             inc = (accept & ~rescued)[None, :]
@@ -394,14 +392,14 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
 
         par_next = grow_i(par, row_mask(pos_b))
         next_active = active & (pos_b != -1) & (par_next != -1)
-        return (c0, c1, par, inds, hyper, lcc, width, slices, lt, pos_b,
+        return (c0, c1, par, inds, lcc, width, slices, lt, pos_b,
                 keys, moves, next_active)
 
     par_b0 = grow_i(par, row_mask(pos_b0))
     active0 = (pos_b0 != -1) & (par_b0 != -1)
-    cy = (c0, c1, par, inds, hyper, lcc, width, slices, lt0, pos_b0, keys,
+    cy = (c0, c1, par, inds, lcc, width, slices, lt0, pos_b0, keys,
           jnp.int32(0), active0)
-    (c0, c1, par, inds, hyper, lcc, width, slices, _, _, keys, moves,
+    (c0, c1, par, inds, lcc, width, slices, _, _, keys, moves,
      _) = jax.lax.while_loop(cond, body, cy)
 
     # Post-sweep reslice-if-better (mirrors sa_finite: one key per sweep)
@@ -441,7 +439,7 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
     min_inds = jnp.where(impw, inds, min_inds)
     min_slices = jnp.where(impn, slices, min_slices)
 
-    return ((c0, c1, par, inds, hyper, lcc, width, slices, lt_final,
+    return ((c0, c1, par, inds, lcc, width, slices, lt_final,
              min_lt, min_c0, min_c1, min_par, min_inds, min_slices, keys),
             moves)
 
@@ -458,15 +456,20 @@ def _run_fw(batch: SABatchFW, betas, update_slices_mask, max_width,
         carry, moves = _sweep_fw_batched(carry, beta, upd, max_width,
                                          log2d_w32, skip_wb, cfg, iota_n,
                                          sparse_wb, log2_n_projs)
-        return carry, (carry[8], carry[9], moves)
+        return carry, (carry[7], carry[8], moves)
 
-    carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.hyper,
+    carry = (batch.c0, batch.c1, batch.par, batch.inds,
              batch.lcc, batch.width, batch.slices, batch.log2_total,
              batch.min_log2_total, batch.min_c0, batch.min_c1,
              batch.min_par, batch.min_inds, batch.min_slices, batch.keys)
     carry, (lt_hist, min_hist, moves_hist) = jax.lax.scan(
         step, carry, (betas, update_slices_mask))
-    out = SABatchFW(*carry)
+    (c0, c1, par, inds, lcc, width, slices, lt, min_lt, min_c0, min_c1,
+     min_par, min_inds, min_slices, keys) = carry
+    hyper = compute_hyper_b(c0, c1, inds)
+    out = SABatchFW(c0, c1, par, inds, hyper, lcc, width, slices, lt,
+                    min_lt, min_c0, min_c1, min_par, min_inds, min_slices,
+                    keys)
     return out, {'log2_total': lt_hist, 'log2_min_total': min_hist,
                  'moves': moves_hist}
 
