@@ -67,12 +67,39 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
     moves_per_sec = moves / elapsed
 
-    print(json.dumps({
+    out = {
         'metric': 'sa_moves_per_sec_per_chip',
         'value': moves_per_sec,
         'unit': 'moves/s',
         'vs_baseline': moves_per_sec / 1e7,
-    }))
+    }
+    prev = _previous_round_value()
+    if prev:
+        out['vs_prev_round'] = moves_per_sec / prev
+    print(json.dumps(out))
+
+
+def _previous_round_value() -> float | None:
+    """Latest recorded BENCH_r{N}.json value, for round-over-round
+    tracking."""
+    import glob
+    import re
+
+    best_n, value = -1, None
+    here = os.path.dirname(__file__) or '.'
+    for path in glob.glob(os.path.join(here, 'BENCH_r*.json')):
+        m = re.search(r'BENCH_r(\d+)\.json$', path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            n = int(m.group(1))
+            if n > best_n and isinstance(data.get('value'), (int, float)):
+                best_n, value = n, float(data['value'])
+        except (OSError, ValueError):
+            continue
+    return value
 
 
 if __name__ == '__main__':

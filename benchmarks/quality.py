@@ -18,7 +18,8 @@ import numpy as np
 
 def run_quality(name: str, seconds: float, seed: int = 0,
                 n_tpu_replicas: int | None = None,
-                n_cpu_replicas: int = 256) -> dict:
+                n_cpu_replicas: int = 256,
+                exchange_every: int = 0) -> dict:
     import jax.numpy as jnp
 
     from benchmarks.run import build_config
@@ -75,7 +76,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
         betas = np.linspace(min(frac0, 1.0) * beta_max,
                             min(frac0 + 0.05, 1.0) * beta_max,
                             chunk_sweeps).astype(np.float32)
-        runner.run(betas, chunk_size=chunk_sweeps)
+        runner.run(betas, chunk_size=chunk_sweeps,
+                   exchange_every=exchange_every)
     tpu_time = time.perf_counter() - t0
     tpu_best = float(np.min(runner.log2_min_totals()))
     tpu_moves = runner.moves_done
@@ -131,9 +133,13 @@ def main() -> None:
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--tpu-replicas', type=int, default=None)
     parser.add_argument('--cpu-replicas', type=int, default=256)
+    parser.add_argument('--exchange-every', type=int, default=0,
+                        help='Population exchange every N chunks '
+                             '(0 = independent runs).')
     args = parser.parse_args()
     res = run_quality(args.config, args.seconds, args.seed,
-                      args.tpu_replicas, args.cpu_replicas)
+                      args.tpu_replicas, args.cpu_replicas,
+                      exchange_every=args.exchange_every)
     print(json.dumps(res, indent=1))
 
 

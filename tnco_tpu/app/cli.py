@@ -90,7 +90,17 @@ def main(argv=None) -> int:
         import jax
         jax.config.update('jax_platforms', platform)
 
-    args = _build_parser().parse_args(argv)
+    if argv is None:
+        argv = sys.argv[1:]
+    # Reference-CLI compatibility: python-fire accepts underscore flags
+    # (``--max_width``); normalize them to the argparse dash form.
+    def _dashed(tok: str) -> str:
+        if tok.startswith('--'):
+            name, sep, value = tok[2:].partition('=')
+            return '--' + name.replace('_', '-') + sep + value
+        return tok
+
+    args = _build_parser().parse_args([_dashed(t) for t in argv])
 
     if args.command == 'optimize':
         optimizer = Optimizer(method=args.method,

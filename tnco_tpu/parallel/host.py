@@ -81,7 +81,6 @@ def Parallel(core: Callable,
     Returns:
         One result per seed, in seed order.
     """
-    del description, text  # accepted for API parity
     seeds = list(seed)
     n_runs = len(seeds)
     if n_jobs == 0:
@@ -107,7 +106,7 @@ def Parallel(core: Callable,
 
     progress_stop = threading.Event()
 
-    def _progress():
+    def _progress_plain():
         import sys
         while not progress_stop.wait(1.0):
             done = int(completed.data.sum())
@@ -115,6 +114,47 @@ def Parallel(core: Callable,
             print(f'\r# runs {done}/{n_runs} status {mean_status:5.1%}',
                   end='', file=sys.stderr, flush=True)
         print(file=sys.stderr)
+
+    def _progress_rich():
+        """Per-run live bars with metric fields (reference
+        parallel.py:250-317 rendered the same buffers with rich)."""
+        from rich.console import Console
+        from rich.progress import (Progress, TextColumn,
+                                   TimeElapsedColumn)
+
+        names = [name for name, _ in buffers]
+        columns = [TextColumn('[blue][{task.fields[idx]}/%d]' % n_runs),
+                   *Progress.get_default_columns(), TimeElapsedColumn()]
+        if text:
+            columns.append(TextColumn(text))
+        with Progress(*columns, console=Console(stderr=True),
+                      auto_refresh=False) as bars:
+            tasks = {}
+
+            def refresh():
+                for i in range(n_runs):
+                    st = float(status[i])
+                    if st <= 0 and i not in tasks:
+                        continue
+                    fields = {nm: float(extra[nm][i]) for nm in names}
+                    if i not in tasks:
+                        tasks[i] = bars.add_task(
+                            description or 'Processing...', total=1.0,
+                            idx=i + 1, **fields)
+                    bars.update(tasks[i],
+                                completed=1.0 if completed[i] else st,
+                                idx=i + 1, **fields)
+                bars.refresh()
+
+            while not progress_stop.wait(0.25):
+                refresh()
+            refresh()
+
+    def _progress():
+        try:
+            _progress_rich()
+        except Exception:
+            _progress_plain()
 
     reporter = None
     if verbose > 0:
