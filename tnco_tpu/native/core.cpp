@@ -236,6 +236,39 @@ struct SAReplica {
   const double* log2d;  // [w*32]
   std::mt19937 prng;
 
+  // Dirty-row tracking for incremental best-state snapshots: rows whose
+  // nodes/inds diverge from the best buffers since the last sync.  An
+  // improving sweep then copies O(moves-since-last-best) rows instead of
+  // the whole state (the full copy dominated Sycamore-scale runs).
+  std::vector<int32_t> dirty_rows;
+  std::vector<uint8_t> dirty_flag;
+
+  void mark_dirty(int32_t row) {
+    if (!dirty_flag[row]) {
+      dirty_flag[row] = 1;
+      dirty_rows.push_back(row);
+    }
+  }
+
+  void init_dirty() {
+    dirty_flag.assign(n, 0);
+    dirty_rows.clear();
+  }
+
+  // Sync the best buffers (flat [n,3] nodes + [n,w] inds) to the current
+  // state by copying only the dirty rows.
+  void sync_best(int32_t* bnodes, uint32_t* binds) {
+    for (int32_t r : dirty_rows) {
+      bnodes[3 * r] = c0[r];
+      bnodes[3 * r + 1] = c1[r];
+      bnodes[3 * r + 2] = par[r];
+      std::copy(inds.begin() + w * r, inds.begin() + w * (r + 1),
+                binds + w * r);
+      dirty_flag[r] = 0;
+    }
+    dirty_rows.clear();
+  }
+
   double width_union(const uint32_t* a, const uint32_t* b) const {
     double acc = 0.0;
     for (int64_t k = 0; k < w; ++k) {
@@ -332,6 +365,10 @@ struct SAReplica {
         lcc[a] = ln_a;
         lcc[b] = ln_b;
         lt = l_new;
+        mark_dirty(a);
+        mark_dirty(b);
+        mark_dirty(c);
+        mark_dirty(e);
       }
       b = a;
     }
@@ -507,6 +544,10 @@ struct SAReplicaFW : SAReplica {
           lcc[b] = ln_b;
           width_pre[b] = width_lanes(&inds[w * b], nullptr);
           lt = l_new;
+          mark_dirty(a);
+          mark_dirty(b);
+          mark_dirty(c);
+          mark_dirty(e);
         }
       } else if (max_new_slices > 0) {
         // Rescue branch (reference greedy/optimizer.hpp:226-321): add up
@@ -590,6 +631,10 @@ struct SAReplicaFW : SAReplica {
             lcc = std::move(lcc_try);
             width_pre[b] = width_lanes(&inds[w * b], nullptr);
             lt = lt_try;
+            mark_dirty(a);
+            mark_dirty(b);
+            mark_dirty(c);
+            mark_dirty(e);
           }
         }
       }
@@ -665,24 +710,32 @@ int64_t tnco_sa_run(int32_t* nodes, uint32_t* inds, int64_t n_replicas,
       rep.lcc.resize(n);
       rep.prng.seed(seeds[r]);
       rep.rebuild_caches();
+      rep.init_dirty();
 
       double lt = rep.log2_total();
       double best = lt;
-      std::vector<int32_t> bc0 = rep.c0, bc1 = rep.c1, bpar = rep.par;
-      std::vector<uint32_t> binds = rep.inds;
+      // Flat best buffers, synced incrementally via dirty rows.
+      std::vector<int32_t> bnodes(3 * n);
+      std::vector<uint32_t> binds(w * n);
+      for (int64_t i = 0; i < n; ++i) {
+        bnodes[3 * i] = rep.c0[i];
+        bnodes[3 * i + 1] = rep.c1[i];
+        bnodes[3 * i + 2] = rep.par[i];
+      }
+      std::copy(rep.inds.begin(), rep.inds.end(), binds.begin());
       int64_t moves = 0;
       for (int64_t k = 0; k < n_sweeps; ++k) {
         moves += rep.sweep(betas[k], lt);
-        // Re-derive the total from the per-node caches: the incremental
-        // update drifts (and can hit the cancellation floor) on large
-        // networks — same discipline as the device kernels.
-        lt = rep.log2_total();
-        if (lt < best) {
-          best = lt;
-          bc0 = rep.c0;
-          bc1 = rep.c1;
-          bpar = rep.par;
-          binds = rep.inds;
+        // Full cache-derived totals are O(n) exp2s; the f64 incremental
+        // update drifts only ~1e-14/sweep, so re-derive lazily: on any
+        // candidate improvement (so best snapshots are never taken on a
+        // drifted or cancellation-clamped value) and every 16th sweep.
+        if (lt < best || (k & 15) == 15) {
+          lt = rep.log2_total();
+          if (lt < best) {
+            best = lt;
+            rep.sync_best(bnodes.data(), binds.data());
+          }
         }
       }
       total_moves.fetch_add(moves);
@@ -692,18 +745,12 @@ int64_t tnco_sa_run(int32_t* nodes, uint32_t* inds, int64_t n_replicas,
           nd[3 * i] = rep.c0[i];
           nd[3 * i + 1] = rep.c1[i];
           nd[3 * i + 2] = rep.par[i];
-          best_nodes[3 * n * r + 3 * i] = bc0[i];
-          best_nodes[3 * n * r + 3 * i + 1] = bc1[i];
-          best_nodes[3 * n * r + 3 * i + 2] = bpar[i];
         }
         std::copy(rep.inds.begin(), rep.inds.end(), inds + w * n * r);
+        std::copy(bnodes.begin(), bnodes.end(), best_nodes + 3 * n * r);
         std::copy(binds.begin(), binds.end(), best_inds + w * n * r);
       } else {
-        for (int64_t i = 0; i < n; ++i) {
-          nd[3 * i] = bc0[i];
-          nd[3 * i + 1] = bc1[i];
-          nd[3 * i + 2] = bpar[i];
-        }
+        std::copy(bnodes.begin(), bnodes.end(), nd);
         std::copy(binds.begin(), binds.end(), inds + w * n * r);
       }
       best_log2[r] = best;
@@ -770,48 +817,48 @@ int64_t tnco_sa_run_fw(int32_t* nodes, uint32_t* inds, uint32_t* slices,
       rep.skip.assign(skip_lanes, skip_lanes + w);
       rep.prng.seed(seeds[r]);
       rep.rebuild_caches_fw();
+      rep.init_dirty();
 
       double lt = rep.log2_total();
       double best = lt;
-      std::vector<int32_t> bc0 = rep.c0, bc1 = rep.c1, bpar = rep.par;
-      std::vector<uint32_t> binds = rep.inds, bslices = rep.slices;
+      std::vector<int32_t> bnodes(3 * n);
+      std::vector<uint32_t> binds(w * n);
+      for (int64_t i = 0; i < n; ++i) {
+        bnodes[3 * i] = rep.c0[i];
+        bnodes[3 * i + 1] = rep.c1[i];
+        bnodes[3 * i + 2] = rep.par[i];
+      }
+      std::copy(rep.inds.begin(), rep.inds.end(), binds.begin());
+      std::vector<uint32_t> bslices = rep.slices;
       int64_t moves = 0;
       for (int64_t k = 0; k < n_sweeps; ++k) {
         const bool upd =
             reslice_every > 0 && (k % reslice_every) == 0;
         moves += rep.sweep_fw(betas[k], lt, upd);
-        lt = rep.log2_total();
-        if (lt < best) {
-          best = lt;
-          bc0 = rep.c0;
-          bc1 = rep.c1;
-          bpar = rep.par;
-          binds = rep.inds;
-          bslices = rep.slices;
+        if (lt < best || (k & 15) == 15) {
+          lt = rep.log2_total();
+          if (lt < best) {
+            best = lt;
+            rep.sync_best(bnodes.data(), binds.data());
+            bslices = rep.slices;
+          }
         }
       }
       total_moves.fetch_add(moves);
       const bool chunked = best_nodes && best_inds && best_slices;
-      for (int64_t i = 0; i < n; ++i) {
-        if (chunked) {
+      if (chunked) {
+        for (int64_t i = 0; i < n; ++i) {
           nd[3 * i] = rep.c0[i];
           nd[3 * i + 1] = rep.c1[i];
           nd[3 * i + 2] = rep.par[i];
-          best_nodes[3 * n * r + 3 * i] = bc0[i];
-          best_nodes[3 * n * r + 3 * i + 1] = bc1[i];
-          best_nodes[3 * n * r + 3 * i + 2] = bpar[i];
-        } else {
-          nd[3 * i] = bc0[i];
-          nd[3 * i + 1] = bc1[i];
-          nd[3 * i + 2] = bpar[i];
         }
-      }
-      if (chunked) {
         std::copy(rep.inds.begin(), rep.inds.end(), inds + w * n * r);
+        std::copy(bnodes.begin(), bnodes.end(), best_nodes + 3 * n * r);
         std::copy(binds.begin(), binds.end(), best_inds + w * n * r);
         std::copy(rep.slices.begin(), rep.slices.end(), slices + w * r);
         std::copy(bslices.begin(), bslices.end(), best_slices + w * r);
       } else {
+        std::copy(bnodes.begin(), bnodes.end(), nd);
         std::copy(binds.begin(), binds.end(), inds + w * n * r);
         std::copy(bslices.begin(), bslices.end(), slices + w * r);
       }
