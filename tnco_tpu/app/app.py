@@ -134,9 +134,13 @@ def load_tn(obj: Any,
 
     Examples:
         >>> from tnco_tpu.app import load_tn
-        >>> tn = load_tn([[2, 'i', 'j'], [2, 'j', 'k']])
+        >>> # Index rows: 'i' (dim 2) connects tensors 2 and 'j', etc.
+        >>> tn = load_tn([[2, 'i', 'j'], [2, 'j', 'k']],
+        ...              fuse=0, decompose_hyper_inds=False)
         >>> tn.n_tensors
-        2
+        3
+        >>> sorted(len(t.inds) for t in tn.tensors)
+        [1, 1, 2]
     """
     options = dict(fuse=fuse,
                    decompose_hyper_inds=decompose_hyper_inds,
