@@ -75,9 +75,9 @@ def _load():
         lib.tnco_sa_run.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64
+            ctypes.c_void_p, ctypes.c_int64
         ]
         _LIB = lib
         return _LIB
@@ -176,9 +176,10 @@ def sa_run(nodes: np.ndarray, inds: np.ndarray, log2_dims: np.ndarray,
         best_nodes = best_inds = None
         bn = bi = None
     moves = lib.tnco_sa_run(nodes.ctypes.data, inds.ctypes.data, r, n, w,
-                            log2d.ctypes.data, betas.ctypes.data,
-                            len(betas), seeds.ctypes.data,
-                            best.ctypes.data, bn, bi, int(n_threads))
+                            log2d.ctypes.data, len(log2_dims),
+                            betas.ctypes.data, len(betas),
+                            seeds.ctypes.data, best.ctypes.data, bn, bi,
+                            int(n_threads))
     if return_final:
         return best, int(moves), nodes, inds, best_nodes, best_inds
     return best, int(moves), nodes, inds
@@ -202,11 +203,11 @@ def sa_run_fw(nodes, inds, slices, log2_dims, skip_lanes, max_width,
         lib.tnco_sa_run_fw.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_double, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64
+            ctypes.c_void_p, ctypes.c_int64
         ]
         lib._fw_bound = True
     nodes = np.ascontiguousarray(nodes, dtype=np.int32)
@@ -232,10 +233,10 @@ def sa_run_fw(nodes, inds, slices, log2_dims, skip_lanes, max_width,
         bn = bi = bs = None
     moves = lib.tnco_sa_run_fw(
         nodes.ctypes.data, inds.ctypes.data, slices.ctypes.data, r, n, w,
-        log2d.ctypes.data, skip.ctypes.data, float(max_width),
-        betas.ctypes.data, len(betas), int(reslice_every),
-        int(max_new_slices), seeds.ctypes.data, best.ctypes.data, bn, bi,
-        bs, int(n_threads))
+        log2d.ctypes.data, len(log2_dims), skip.ctypes.data,
+        float(max_width), betas.ctypes.data, len(betas),
+        int(reslice_every), int(max_new_slices), seeds.ctypes.data,
+        best.ctypes.data, bn, bi, bs, int(n_threads))
     if return_final:
         return (best, int(moves), nodes, inds, slices, best_nodes,
                 best_inds, best_slices)

@@ -234,7 +234,22 @@ struct SAReplica {
   std::vector<uint32_t> inds, hyper;
   std::vector<double> lcc;
   const double* log2d;  // [w*32]
+  // > 0 when every index has the same log2 dim: widths become
+  // popcount * uniform_d (one popcnt per word instead of per-bit
+  // table adds) — the common case for circuit TNs (all dims 2).
+  double uniform_d = -1.0;
   std::mt19937 prng;
+
+  void detect_uniform(int64_t n_inds) {
+    uniform_d = -1.0;
+    if (n_inds <= 0) return;
+    const double d = log2d[0];
+    if (d <= 0) return;
+    for (int64_t i = 1; i < n_inds; ++i) {
+      if (log2d[i] != d) return;
+    }
+    uniform_d = d;
+  }
 
   // Dirty-row tracking for incremental best-state snapshots: rows whose
   // nodes/inds diverge from the best buffers since the last sync.  An
@@ -270,6 +285,13 @@ struct SAReplica {
   }
 
   double width_union(const uint32_t* a, const uint32_t* b) const {
+    if (uniform_d > 0) {
+      int64_t cnt = 0;
+      for (int64_t k = 0; k < w; ++k) {
+        cnt += __builtin_popcount(a[k] | b[k]);
+      }
+      return cnt * uniform_d;
+    }
     double acc = 0.0;
     for (int64_t k = 0; k < w; ++k) {
       uint32_t bits = a[k] | b[k];
@@ -392,6 +414,13 @@ struct SAReplicaFW : SAReplica {
   int64_t max_new_slices = 0;
 
   double width_lanes(const uint32_t* xs, const uint32_t* minus) const {
+    if (uniform_d > 0) {
+      int64_t cnt = 0;
+      for (int64_t k = 0; k < w; ++k) {
+        cnt += __builtin_popcount(xs[k] & ~(minus ? minus[k] : 0u));
+      }
+      return cnt * uniform_d;
+    }
     double acc = 0.0;
     for (int64_t k = 0; k < w; ++k) {
       uint32_t bits = xs[k] & ~(minus ? minus[k] : 0u);
@@ -406,6 +435,13 @@ struct SAReplicaFW : SAReplica {
 
   double ccost_fw(const uint32_t* a, const uint32_t* b) const {
     // width of (a | b | slices)
+    if (uniform_d > 0) {
+      int64_t cnt = 0;
+      for (int64_t k = 0; k < w; ++k) {
+        cnt += __builtin_popcount(a[k] | b[k] | slices[k]);
+      }
+      return cnt * uniform_d;
+    }
     double acc = 0.0;
     for (int64_t k = 0; k < w; ++k) {
       uint32_t bits = a[k] | b[k] | slices[k];
@@ -675,7 +711,7 @@ struct SAReplicaFW : SAReplica {
 // best_log2 [R] gets the best cost; returns total move evaluations.
 int64_t tnco_sa_run(int32_t* nodes, uint32_t* inds, int64_t n_replicas,
                     int64_t n, int64_t w, const double* log2_dims,
-                    const double* betas, int64_t n_sweeps,
+                    int64_t n_inds, const double* betas, int64_t n_sweeps,
                     const uint64_t* seeds, double* best_log2,
                     int32_t* best_nodes, uint32_t* best_inds,
                     int64_t n_threads) {
@@ -708,6 +744,7 @@ int64_t tnco_sa_run(int32_t* nodes, uint32_t* inds, int64_t n_replicas,
       rep.inds.assign(inds + w * n * r, inds + w * n * (r + 1));
       rep.hyper.resize(n * w);
       rep.lcc.resize(n);
+      rep.detect_uniform(n_inds);
       rep.prng.seed(seeds[r]);
       rep.rebuild_caches();
       rep.init_dirty();
@@ -775,7 +812,8 @@ extern "C" {
 // max_new_slices: rescue budget per move (0 = reject over-width moves).
 int64_t tnco_sa_run_fw(int32_t* nodes, uint32_t* inds, uint32_t* slices,
                        int64_t n_replicas, int64_t n, int64_t w,
-                       const double* log2_dims, const uint32_t* skip_lanes,
+                       const double* log2_dims, int64_t n_inds,
+                       const uint32_t* skip_lanes,
                        double max_width, const double* betas,
                        int64_t n_sweeps, int64_t reslice_every,
                        int64_t max_new_slices, const uint64_t* seeds,
@@ -815,6 +853,7 @@ int64_t tnco_sa_run_fw(int32_t* nodes, uint32_t* inds, uint32_t* slices,
       rep.lcc.resize(n);
       rep.slices.assign(slices + w * r, slices + w * (r + 1));
       rep.skip.assign(skip_lanes, skip_lanes + w);
+      rep.detect_uniform(n_inds);
       rep.prng.seed(seeds[r]);
       rep.rebuild_caches_fw();
       rep.init_dirty();
