@@ -31,8 +31,9 @@ def run_quality(name: str, seconds: float, seed: int = 0,
 
     (ts_inds, output_inds, dims), max_width = build_config(name, seed)
     if max_width is not None:
-        raise ValueError('quality protocol currently covers the '
-                         'infinite-memory configs')
+        return _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
+                               seconds, seed, n_tpu_replicas,
+                               n_cpu_replicas)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
 
     n_paths = 32
@@ -112,6 +113,113 @@ def run_quality(name: str, seconds: float, seed: int = 0,
 
     return {
         'config': name,
+        'n_nodes': n_nodes,
+        'seconds': seconds,
+        'tpu_engine': runner.engine,
+        'tpu_replicas': n_tpu_replicas,
+        'tpu_best_log2_flops': tpu_best,
+        'tpu_moves': tpu_moves,
+        'tpu_time_s': tpu_time,
+        'cpu_replicas': n_cpu_replicas,
+        'cpu_best_log2_flops': cpu_best,
+        'cpu_moves': cpu_moves,
+        'cpu_time_s': cpu_time,
+    }
+
+
+def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
+                    seconds, seed, n_tpu_replicas, n_cpu_replicas) -> dict:
+    """Finite-width protocol: width-capped SA + slices, same budget rule."""
+    import jax.numpy as jnp
+
+    from tnco_tpu import native
+    from tnco_tpu.ctree import ContractionTree
+    from tnco_tpu.kernels import sa_finite as saf
+    from tnco_tpu.optimize.finite_width import SimpleCostModel
+    from tnco_tpu.parallel.replicas import ReplicaRunnerFW
+    from tnco_tpu.utils.tn import get_random_contraction_path
+
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    n_paths = 32
+    paths = [
+        get_random_contraction_path(ts_inds, output_inds,
+                                    merge_paths=False, seed=seed + r)
+        for r in range(n_paths)
+    ]
+
+    def tree(r):
+        return ContractionTree([p for p in paths[r % n_paths] if p][0],
+                               ts_inds, dims, output_inds=output_inds,
+                               check_shared_inds=True, inds_order=order)
+
+    template = tree(0)
+    n_nodes = len(template)
+    beta_max = 60.0
+    cmodel = SimpleCostModel(max_width=max_width)
+
+    if n_tpu_replicas is None:
+        n_tpu_replicas = 256 if n_nodes * \
+            template.inds_array.shape[1] <= 32768 else 32
+    ctrees = [tree(r) for r in range(n_tpu_replicas)]
+    runner = ReplicaRunnerFW(ctrees, list(range(n_tpu_replicas)),
+                             cmodel=cmodel)
+    chunk_sweeps = 64
+    runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
+               chunk_size=chunk_sweeps, update_slices=10)
+    t0 = time.perf_counter()
+    while True:
+        frac0 = (time.perf_counter() - t0) / seconds
+        if frac0 >= 1.0:
+            break
+        betas = np.linspace(min(frac0, 1.0) * beta_max,
+                            min(frac0 + 0.05, 1.0) * beta_max,
+                            chunk_sweeps).astype(np.float32)
+        runner.run(betas, chunk_size=chunk_sweeps, update_slices=10)
+    tpu_time = time.perf_counter() - t0
+    tpu_best = float(np.min(runner.log2_min_totals()))
+    tpu_moves = runner.moves_done
+
+    cpu_best = None
+    cpu_moves = 0
+    cpu_time = 0.0
+    if native.available():
+        from random import Random
+
+        slices0 = [
+            saf.greedy_slices_host(tree(r).inds_array,
+                                   template.log2_dims_array,
+                                   float(max_width), Random(seed + r))
+            for r in range(n_cpu_replicas)
+        ]
+        nodes = np.stack(
+            [tree(r).nodes_array.copy() for r in range(n_cpu_replicas)])
+        inds = np.stack(
+            [tree(r).inds_array.copy() for r in range(n_cpu_replicas)])
+        slices = np.stack(slices0)
+        skip = np.zeros(template.inds_array.shape[1], dtype=np.uint32)
+        seeds = np.arange(n_cpu_replicas, dtype=np.uint64)
+        chunk_cpu = 64
+        bests = np.full(n_cpu_replicas, np.inf)
+        t0 = time.perf_counter()
+        while True:
+            frac0 = (time.perf_counter() - t0) / seconds
+            if frac0 >= 1.0:
+                break
+            betas_chunk = np.linspace(min(frac0, 1.0) * beta_max,
+                                      min(frac0 + 0.05, 1.0) * beta_max,
+                                      chunk_cpu)
+            best, moves, nodes, inds, slices = native.sa_run_fw(
+                nodes, inds, slices, template.log2_dims_array, skip,
+                float(max_width), betas_chunk, seeds, reslice_every=10,
+                n_threads=0)
+            bests = np.minimum(bests, best)
+            cpu_moves += moves
+        cpu_time = time.perf_counter() - t0
+        cpu_best = float(bests.min())
+
+    return {
+        'config': name,
+        'max_width': max_width,
         'n_nodes': n_nodes,
         'seconds': seconds,
         'tpu_engine': runner.engine,

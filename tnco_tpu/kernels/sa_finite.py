@@ -201,6 +201,86 @@ def greedy_slices(nodes, inds, width, key, max_width, log2d, skip_lanes,
     return jax.lax.fori_loop(0, inds.shape[0], body, slices0)
 
 
+def greedy_slices_host(inds, log2_dims, max_width, rng, *,
+                       skip_bits=None, sparse_bits=None,
+                       log2_n_projs=None):
+    """Host (numpy) greedy slicer — same ranking as :func:`greedy_slices`.
+
+    Used for replica-batch initialization where per-replica device calls
+    would dominate (one device round-trip per replica behind a network
+    tunnel).  Any width-respecting slice set is a valid initial state;
+    jitter comes from ``rng`` instead of a JAX key.
+
+    Args:
+        inds: ``uint32[N, W]`` index lanes.
+        log2_dims: ``float64[n_inds]`` (unpadded).
+        rng: ``random.Random`` (or anything with ``random()``).
+
+    Returns ``uint32[W]`` slice lanes.
+    """
+    import numpy as np
+
+    n, w = inds.shape
+    n_bits = w * 32
+    log2d = np.zeros(n_bits)
+    log2d[:len(log2_dims)] = np.asarray(log2_dims, dtype=np.float64)
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = (((inds[:, :, None] >> shifts[None, None, :]) & 1)
+            .astype(bool).reshape(n, n_bits))
+    if sparse_bits is None:
+        width = bits @ log2d
+    else:
+        sp = np.asarray(sparse_bits, dtype=bool)
+        width = ((bits & ~sp) @ log2d +
+                 np.minimum((bits & sp) @ log2d, log2_n_projs))
+    big = (width > max_width + _WIDTH_EPS).astype(np.float64)
+    n_big = big @ bits
+    jitter = np.asarray([rng.random() for _ in range(n_bits)])
+    order = np.argsort(-(n_big * 1e6 + log2d + 1e-4 * jitter),
+                       kind='stable')
+    skip = (np.zeros(n_bits, dtype=bool) if skip_bits is None else
+            np.asarray(skip_bits, dtype=bool))
+    log2d_sorted = log2d[order]
+    skip_sorted = skip[order]
+    sp_sorted = None if sparse_bits is None else \
+        np.asarray(sparse_bits, dtype=bool)[order]
+
+    slices = np.zeros(n_bits, dtype=bool)
+    for t in range(n):
+        cand = bits[t] & ~slices
+        if sparse_bits is None:
+            sw = float(log2d @ cand)
+        else:
+            sp = np.asarray(sparse_bits, dtype=bool)
+            sw = float(log2d @ (cand & ~sp) +
+                       min(log2d @ (cand & sp), log2_n_projs))
+        if sw <= max_width + _WIDTH_EPS:
+            continue
+        cand_sorted = cand[order] & ~skip_sorted
+        removed = cand_sorted * log2d_sorted
+        if sp_sorted is None:
+            cum = np.cumsum(removed) - removed
+            w_before = sw - cum
+        else:
+            dense_rm = removed * ~sp_sorted
+            sp_rm = removed * sp_sorted
+            cum_d = np.cumsum(dense_rm) - dense_rm
+            cum_s = np.cumsum(sp_rm) - sp_rm
+            sp = np.asarray(sparse_bits, dtype=bool)
+            w_d0 = float(log2d @ (cand & ~sp))
+            w_s0 = float(log2d @ (cand & sp))
+            w_before = (w_d0 - cum_d +
+                        np.minimum(w_s0 - cum_s, log2_n_projs))
+        sel = cand_sorted & (w_before > max_width + _WIDTH_EPS)
+        slices[order[sel]] = True
+
+    packed = np.packbits(slices.reshape(w, 32)[:, ::-1].astype(np.uint8),
+                         axis=1)
+    return np.asarray(
+        [int.from_bytes(bytes(row), 'big') for row in packed],
+        dtype=np.uint32)
+
+
 def init_state_fw(ctree: 'ctree_mod.ContractionTree', seed, max_width,
                   log2_dims_padded=None, *, skip_lanes=None,
                   sparse_lanes=None, log2_n_projs=None, slices=None,

@@ -481,16 +481,101 @@ run_sweeps_fw_batched = fts.partial(jax.jit,
 def init_batch_fw(ctrees, seeds, max_width, log2_dims_padded, *,
                   skip_lanes=None, sparse_lanes=None, log2_n_projs=None,
                   dtype=np.float32) -> SABatchFW:
-    """Host-built finite-width batch (initial slices derived per replica
-    with the device slicer for stream parity)."""
+    """Builds a replica-minor finite-width batch entirely on host.
+
+    One device upload for the whole batch: per-replica device dispatches
+    (the old path: ~1s/replica over a tunneled TPU) become numpy work,
+    with initial slices from the host greedy slicer
+    (:func:`tnco_tpu.kernels.sa_finite.greedy_slices_host` — same
+    ranking as the device slicer, host jitter).
+    """
+    from random import Random
+
     from tnco_tpu.kernels import sa_finite as saf
 
-    states = [
-        saf.init_state_fw(c, s, max_width,
-                          jnp.asarray(log2_dims_padded, dtype),
-                          skip_lanes=skip_lanes,
-                          sparse_lanes=sparse_lanes,
-                          log2_n_projs=log2_n_projs)
-        for c, s in zip(ctrees, seeds)
-    ]
-    return from_states_fw(states)
+    n = len(ctrees[0])
+    b = len(ctrees)
+    w = ctrees[0].inds_array.shape[1]
+    n_leaves = ctrees[0].n_leaves
+    log2d = np.asarray(log2_dims_padded, dtype=np.float64)
+    mw = float(max_width)
+
+    c0 = np.empty((n, b), dtype=np.int32)
+    c1 = np.empty((n, b), dtype=np.int32)
+    par = np.empty((n, b), dtype=np.int32)
+    inds = np.empty((n, w, b), dtype=np.uint32)
+    for i, ctree in enumerate(ctrees):
+        nodes = ctree.nodes_array
+        c0[:, i] = nodes[:, 0]
+        c1[:, i] = nodes[:, 1]
+        par[:, i] = nodes[:, 2]
+        inds[:, :, i] = ctree.inds_array
+
+    shifts = np.arange(32, dtype=np.uint32)
+
+    def expand(lanes):  # [..., w] -> bool [..., w*32]
+        bits = (lanes[..., :, None] >> shifts) & 1
+        return bits.astype(bool).reshape(*lanes.shape[:-1], w * 32)
+
+    skip_bits = None if skip_lanes is None else \
+        expand(np.asarray(skip_lanes, dtype=np.uint32))
+    sparse_np = None if sparse_lanes is None else \
+        np.asarray(sparse_lanes, dtype=np.uint32)
+    sparse_bits = None if sparse_np is None else expand(sparse_np)
+
+    def width_of(bits):  # bool [..., n_bits] -> float
+        if sparse_bits is None:
+            return bits @ log2d
+        return ((bits & ~sparse_bits) @ log2d +
+                np.minimum((bits & sparse_bits) @ log2d,
+                           float(log2_n_projs)))
+
+    slices = np.empty((w, b), dtype=np.uint32)
+    for i in range(b):
+        slices[:, i] = saf.greedy_slices_host(
+            inds[:, :, i], log2d, mw, Random(int(seeds[i]) & 0x7FFFFFFF),
+            skip_bits=skip_bits, sparse_bits=sparse_bits,
+            log2_n_projs=log2_n_projs)
+
+    internal = c0 >= 0
+    c0s = np.where(internal, c0, 0)
+    c1s = np.where(internal, c1, 0)
+    gather = np.take_along_axis
+    inds_c0 = gather(inds, c0s[:, None, :], axis=0)
+    inds_c1 = gather(inds, c1s[:, None, :], axis=0)
+    hyper = np.where(internal[:, None, :], inds & inds_c0 & inds_c1,
+                     np.uint32(0))
+
+    # [n, b, n_bits] bool is too big for huge nets; do it per replica.
+    lcc = np.empty((n, b), dtype=np.float64)
+    width = np.empty((n, b), dtype=np.float64)
+    for i in range(b):
+        union = expand(inds_c0[:, :, i] | inds_c1[:, :, i] |
+                       slices[None, :, i])
+        lcc[:, i] = width_of(union)
+        width[:, i] = width_of(expand(inds[:, :, i]))
+    lcc = np.where(internal, lcc, -np.inf).astype(dtype)
+    width = width.astype(dtype)
+
+    internal_lcc = lcc[n_leaves:]
+    if internal_lcc.shape[0]:
+        m = internal_lcc.max(axis=0)
+        lt = (m + np.log2(np.exp2(internal_lcc - m[None, :]).sum(axis=0))
+              ).astype(dtype)
+    else:
+        lt = np.full(b, -np.inf, dtype=dtype)
+
+    # Keys: PRNGKey(seed) split once (slicer key consumed), matching the
+    # device init's key discipline — batched in a single dispatch.
+    seeds_arr = np.asarray([int(s) & 0xFFFFFFFF for s in seeds],
+                           dtype=np.uint32)
+    keys0 = jnp.stack([jnp.zeros_like(jnp.asarray(seeds_arr)),
+                       jnp.asarray(seeds_arr)], axis=1)
+    keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys0)
+
+    return SABatchFW(jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(par),
+                     jnp.asarray(inds), jnp.asarray(hyper),
+                     jnp.asarray(lcc), jnp.asarray(width),
+                     jnp.asarray(slices), jnp.asarray(lt), jnp.asarray(lt),
+                     jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(par),
+                     jnp.asarray(inds), jnp.asarray(slices), keys)

@@ -56,6 +56,19 @@ def replica_sharding(mesh, axis_name=None):
         mesh, jax.sharding.PartitionSpec(axis))
 
 
+def _to_vmapped_fw(batch: 'sfb.SABatchFW') -> 'saf.SAStateFW':
+    """Lane-major SABatchFW -> replica-major stacked SAStateFW pytree."""
+    nodes = jnp.stack([batch.c0.T, batch.c1.T, batch.par.T], axis=2)
+    min_nodes = jnp.stack(
+        [batch.min_c0.T, batch.min_c1.T, batch.min_par.T], axis=2)
+    return saf.SAStateFW(nodes, jnp.moveaxis(batch.inds, -1, 0),
+                         jnp.moveaxis(batch.hyper, -1, 0), batch.lcc.T,
+                         batch.width.T, batch.slices.T, batch.log2_total,
+                         batch.min_log2_total, min_nodes,
+                         jnp.moveaxis(batch.min_inds, -1, 0),
+                         batch.min_slices.T, batch.keys)
+
+
 def _to_vmapped(batch: 'sb.SABatch') -> 'sa.SAStateIM':
     """Lane-major SABatch -> replica-major stacked SAStateIM pytree."""
     nodes = jnp.stack([batch.c0.T, batch.c1.T, batch.par.T], axis=2)
@@ -467,17 +480,17 @@ class ReplicaRunnerFW:
         self.sparse_wb = (None if self.sparse_lanes is None else
                           self.sparse_lanes[:, None])
 
-        states = [
-            saf.init_state_fw(c, s, self.max_width, self.log2d,
-                              skip_lanes=self.skip_lanes,
-                              sparse_lanes=self.sparse_lanes,
-                              log2_n_projs=self.log2_n_projs)
-            for c, s in zip(ctrees, seeds)
-        ]
-        if engine == 'batched':
-            batch = sfb.from_states_fw(states)
-        else:
-            batch = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        # Host-built batch: one device upload instead of per-replica
+        # dispatches (which cost ~1s/replica over a tunneled TPU).
+        batch = sfb.init_batch_fw(
+            ctrees, seeds, float(self.max_width), np.asarray(self.log2d),
+            skip_lanes=np.asarray(self.skip_lanes),
+            sparse_lanes=None if self.sparse_lanes is None else
+            np.asarray(self.sparse_lanes),
+            log2_n_projs=self.log2_n_projs,
+            dtype=np.asarray(self.log2d).dtype)
+        if engine == 'vmapped':
+            batch = _to_vmapped_fw(batch)
         self.mesh = mesh
         if mesh is not None:
             shard = replica_sharding(mesh)
@@ -508,14 +521,22 @@ class ReplicaRunnerFW:
         self._nat_nodes = np.stack(
             [c.nodes_array.copy() for c in ctrees])
         self._nat_inds = np.stack([c.inds_array.copy() for c in ctrees])
-        # Initial slices from the device slicer, one replica at a time
-        # (host numpy path; same greedy semantics).
-        slices = []
-        for c, s in zip(ctrees, seeds):
-            st = saf.init_state_fw(c, int(s) & 0x7FFFFFFF,
-                                   self.max_width, self.log2d,
-                                   skip_lanes=self.skip_lanes)
-            slices.append(np.asarray(st.slices))
+        # Initial slices from the host greedy slicer (same ranking as the
+        # device slicer; no per-replica device round-trips).
+        from random import Random
+
+        skip_np = np.asarray(self.skip_lanes, dtype=np.uint32)
+        shifts = np.arange(32, dtype=np.uint32)
+        skip_bits = (((skip_np[:, None] >> shifts) & 1).astype(bool)
+                     .reshape(-1))
+        slices = [
+            saf.greedy_slices_host(c.inds_array,
+                                   np.asarray(self.log2d, np.float64),
+                                   float(self.max_width),
+                                   Random(int(s) & 0x7FFFFFFF),
+                                   skip_bits=skip_bits)
+            for c, s in zip(ctrees, seeds)
+        ]
         self._nat_slices = np.stack(slices)
         self._nat_best_nodes = self._nat_nodes.copy()
         self._nat_best_inds = self._nat_inds.copy()
