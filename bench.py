@@ -28,9 +28,11 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     n_replicas = 8192 if platform != 'cpu' else 32
-    n_sweeps = 256 if platform != 'cpu' else 32
+    n_iters = 512 if platform != 'cpu' else 32
+    n_walks = 8
 
     from tnco_tpu.kernels import sa_batched as sb
+    from tnco_tpu.kernels import sa_multiwalk as smw
 
     ts_inds, output_inds, dims = lattice_2d(8, 8)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
@@ -53,17 +55,22 @@ def main() -> None:
     log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
     batch = sb.init_batch(ctrees, list(range(n_replicas)),
                           np.asarray(log2d))
-    betas = jnp.linspace(0.0, 30.0, n_sweeps, dtype=jnp.float32)
+    betas = jnp.linspace(0.0, 30.0, n_iters, dtype=jnp.float32)
+    pos = jnp.full((n_walks, n_replicas), -1, dtype=jnp.int32)
 
+    # Multi-walk engine (fastest; see kernels/sa_multiwalk.py): n_walks
+    # proposal evaluations per replica per iteration, one masked pass.
     # Warm-up / compile.  NOTE: on the remote-tunneled TPU platform,
     # block_until_ready does not reliably block — an actual host transfer
     # does, so all timings force one.
-    out, metrics = sb.run_sweeps_batched(batch, betas, log2d_w32, cfg)
-    np.asarray(metrics['moves'])
+    out, metrics = smw.run_multiwalk(batch, betas, log2d_w32, cfg,
+                                     n_walks, pos)
+    int(metrics['moves'])
 
     t0 = time.perf_counter()
-    out, metrics = sb.run_sweeps_batched(batch, betas, log2d_w32, cfg)
-    moves = int(np.sum(np.asarray(metrics['moves'])))
+    out, metrics = smw.run_multiwalk(batch, betas, log2d_w32, cfg,
+                                     n_walks, pos)
+    moves = int(metrics['moves'])
     elapsed = time.perf_counter() - t0
     moves_per_sec = moves / elapsed
 

@@ -1,0 +1,128 @@
+"""Multi-walk engine: structural validity, cache audits, exact min costs,
+and conflict-filter correctness (disjoint application == sequential)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tnco_tpu.ctree import ContractionTree
+from tnco_tpu.kernels import sa_batched as sb
+from tnco_tpu.kernels import sa_multiwalk as smw
+from tnco_tpu.kernels.sa_infinite import SweepConfig, compute_lcc
+from tnco_tpu.ops import bitops
+from tnco_tpu.testing.utils import (generate_random_tensors,
+                                    is_valid_contraction_tree)
+from tnco_tpu.utils.tn import get_random_contraction_path
+
+
+def _setup(rng, random_seed, n_replicas=6):
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_output_inds=2)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(n_replicas):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    return ctrees, ts_inds, output_inds, dims
+
+
+@pytest.mark.parametrize('n_walks', [1, 4, 8])
+def test_multiwalk_validity_and_audits(n_walks, rng, random_seed):
+    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    b = len(ctrees)
+    batch = sb.init_batch(ctrees, list(range(b)), np.asarray(log2d))
+    pos = jnp.full((n_walks, b), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 50, dtype=jnp.float32)
+
+    out, metrics = smw.run_multiwalk(batch, betas, log2d_w32, cfg,
+                                     n_walks, pos)
+    assert int(metrics['moves']) == 50 * n_walks * b
+    assert 0 < int(metrics['applied']) <= int(metrics['moves'])
+
+    for i in range(b):
+        nodes = np.stack([
+            np.asarray(out.c0[:, i]),
+            np.asarray(out.c1[:, i]),
+            np.asarray(out.par[:, i])
+        ], axis=1)
+        tree = template.replace_arrays(nodes, np.asarray(out.inds[..., i]))
+        is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
+
+        # Cost-cache audit against a from-scratch recompute
+        lcc_ref = np.asarray(
+            compute_lcc(jnp.asarray(nodes), out.inds[..., i],
+                        jnp.asarray(log2d)))
+        got = np.asarray(out.lcc[:, i])
+        fin = np.isfinite(lcc_ref)
+        np.testing.assert_allclose(got[fin], lcc_ref[fin], atol=1e-4)
+
+        # Hyper refresh correctness
+        from tnco_tpu.kernels.sa_infinite import compute_hyper
+        hyper_ref = compute_hyper(jnp.asarray(nodes), out.inds[..., i])
+        np.testing.assert_array_equal(np.asarray(out.hyper[..., i]),
+                                      np.asarray(hyper_ref))
+
+        # Min tree valid and its cost exactly what min_log2_total claims
+        mnodes = np.stack([
+            np.asarray(out.min_c0[:, i]),
+            np.asarray(out.min_c1[:, i]),
+            np.asarray(out.min_par[:, i])
+        ], axis=1)
+        mtree = template.replace_arrays(mnodes,
+                                        np.asarray(out.min_inds[..., i]))
+        is_valid_contraction_tree(mtree, ts_inds, output_inds, dims)
+        exact = math.log2(mtree.total_cost_exact())
+        assert float(out.min_log2_total[i]) == pytest.approx(exact,
+                                                             abs=1e-3)
+
+
+def test_multiwalk_greedy_monotone(rng, random_seed):
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=4)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes,
+                      prob_kind='greedy')
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    batch = sb.init_batch(ctrees, list(range(4)), np.asarray(log2d))
+    pos = jnp.full((4, 4), -1, dtype=jnp.int32)
+    prev = np.asarray(batch.log2_total)
+    for _ in range(6):
+        batch, m = smw.run_multiwalk(batch, jnp.zeros(8, jnp.float32),
+                                     log2d_w32, cfg, 4, m['pos']
+                                     if _ else pos)
+        cur = np.asarray(batch.log2_total)
+        # Greedy synchronous moves never increase the total (each delta
+        # <= 0 and applied moves touch disjoint contractions)
+        assert np.all(cur <= prev + 1e-3)
+        prev = cur
+
+
+def test_multiwalk_runner(rng, random_seed):
+    from tnco_tpu.parallel.replicas import ReplicaRunner
+
+    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed,
+                                                n_replicas=5)
+    run = ReplicaRunner(ctrees, list(range(5)), engine='multiwalk',
+                        n_walks=4)
+    out = run.run(np.linspace(0, 10, 48), chunk_size=16)
+    assert out['moves'] == 48 * 4 * 5
+    best_i, best = run.best()
+    tree = run.min_ctree(best_i)
+    is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
+    assert best == pytest.approx(math.log2(tree.total_cost_exact()),
+                                 abs=1e-3)

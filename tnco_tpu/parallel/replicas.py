@@ -126,15 +126,25 @@ class ReplicaRunner:
                  prob_kind: str = 'mh',
                  mesh=None,
                  engine: str = 'auto',
+                 n_walks: int = 8,
                  dtype=jnp.float32) -> None:
-        """``engine``: 'auto' | 'batched' | 'vmapped'.
+        """``engine``: 'auto' | 'batched' | 'vmapped' | 'native' |
+        'multiwalk'.
 
         The lane-major masked-dense engine does O(N*W) work per move,
         fully vectorized over lanes — a big win for small/medium trees.
         For very large trees (e.g. Sycamore-scale, N*W > ~3e4 words) the
-        gather-based vmapped kernel touching O(W) rows per move wins;
-        'auto' picks by state size.  Both engines produce bit-identical
+        native CPU engine's O(W)-per-move pointer walk wins; 'auto' picks
+        by state size.  'batched' and 'vmapped' produce bit-identical
         trajectories (tests/test_sa_batched.py).
+
+        'multiwalk' runs ``n_walks`` concurrent walks per replica in the
+        same masked passes (synchronous SA — reference sweep math, not
+        reference walk scheduling): ~2.5x the lockstep throughput and
+        measurably better best costs at equal wall-clock
+        (docs/QUALITY.md).  Betas are per *iteration* (one proposal per
+        walk), not per sweep — opt-in because of the different schedule
+        semantics.
         """
         ctrees = list(ctrees)
         seeds = list(seeds)
@@ -176,9 +186,10 @@ class ReplicaRunner:
                 engine = 'native'
             else:
                 engine = 'vmapped'
-        if engine not in ('batched', 'vmapped', 'native'):
+        if engine not in ('batched', 'vmapped', 'native', 'multiwalk'):
             raise ValueError(f"Unknown engine: {engine!r}")
         self.engine = engine
+        self.n_walks = int(n_walks)
 
         if engine == 'native':
             self._init_native(ctrees, seeds)
@@ -211,6 +222,9 @@ class ReplicaRunner:
             else:
                 batch = _shard_batch(batch, mesh)
         self.states = batch
+        self._mw_pos = jnp.full((self.n_walks, len(ctrees)), -1,
+                                jnp.int32) if engine == 'multiwalk' else \
+            None
         self.n_replicas = len(ctrees)
         self.sweeps_done = 0
         self.moves_done = 0
@@ -321,6 +335,14 @@ class ReplicaRunner:
                     self.states, jnp.asarray(chunk), self.log2d_w32,
                     self.cfg, self.sparse_wb, self.log2_n_projs)
                 last_min = metrics['log2_min_total'][-1]
+            elif self.engine == 'multiwalk':
+                from tnco_tpu.kernels import sa_multiwalk as smw
+                self.states, metrics = smw.run_multiwalk(
+                    self.states, jnp.asarray(chunk), self.log2d_w32,
+                    self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
+                    self.log2_n_projs)
+                self._mw_pos = metrics['pos']
+                last_min = self.states.min_log2_total
             else:
                 self.states, metrics = sa.run_sweeps_batch(
                     self.states, jnp.asarray(chunk), self.log2d, self.cfg,
