@@ -19,7 +19,8 @@ import numpy as np
 def run_quality(name: str, seconds: float, seed: int = 0,
                 n_tpu_replicas: int | None = None,
                 n_cpu_replicas: int = 256,
-                exchange_every: int = 0) -> dict:
+                exchange_every: int = 0,
+                engine: str = 'auto') -> dict:
     import jax.numpy as jnp
 
     from benchmarks.run import build_config
@@ -62,7 +63,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
             template.inds_array.shape[1] <= 32768 else 64
     ctrees = [tree(r) for r in range(n_tpu_replicas)]
     runner = ReplicaRunner(ctrees, list(range(n_tpu_replicas)),
-                           cmodel=SimpleCostModel())
+                           cmodel=SimpleCostModel(), engine=engine)
     chunk_sweeps = 128
     # Warm-up compile outside the budget
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
@@ -244,10 +245,14 @@ def main() -> None:
     parser.add_argument('--exchange-every', type=int, default=0,
                         help='Population exchange every N chunks '
                              '(0 = independent runs).')
+    parser.add_argument('--engine', default='auto',
+                        help="'auto' | 'batched' | 'vmapped' | 'native' "
+                             "| 'multiwalk'.")
     args = parser.parse_args()
     res = run_quality(args.config, args.seconds, args.seed,
                       args.tpu_replicas, args.cpu_replicas,
-                      exchange_every=args.exchange_every)
+                      exchange_every=args.exchange_every,
+                      engine=args.engine)
     print(json.dumps(res, indent=1))
 
 

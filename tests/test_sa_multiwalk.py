@@ -126,3 +126,50 @@ def test_multiwalk_runner(rng, random_seed):
     is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
     assert best == pytest.approx(math.log2(tree.total_cost_exact()),
                                  abs=1e-3)
+
+
+def test_multiwalk_fw_runner(rng, random_seed):
+    """FW multiwalk: widths respected after slicing, exact min costs."""
+    import functools as fts
+    import operator as op
+
+    from tnco_tpu.bitset import Bitset
+    from tnco_tpu.optimize.finite_width import SimpleCostModel
+    from tnco_tpu.parallel.replicas import ReplicaRunnerFW
+
+    max_width = 2.5
+    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed,
+                                                n_replicas=4)
+    run = ReplicaRunnerFW(ctrees, list(range(4)),
+                          cmodel=SimpleCostModel(max_width=max_width),
+                          engine='multiwalk', n_walks=4)
+    run.run(np.linspace(0, 10, 64), chunk_size=32, update_slices=8)
+    template = ctrees[0]
+    log2d_np = np.zeros(template.inds_array.shape[1] * 32)
+    log2d_np[:len(template.log2_dims_array)] = template.log2_dims_array
+    for i in range(4):
+        tree = run.min_ctree(i)
+        is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
+        sl = run.min_slices_lanes(i)
+        for row in tree.inds_array:
+            bits = row & ~sl
+            w = sum(log2d_np[32 * k + bb] for k in range(len(bits))
+                    for bb in range(32) if (int(bits[k]) >> bb) & 1)
+            assert w <= max_width + 1e-3
+        # reported min == exact slice-aware total of the min tree
+        labels = [
+            template.inds_order[pp] for pp in Bitset.from_lanes(
+                sl, template.n_inds).positions()
+        ]
+        total = 0
+        tins = tree.inds
+        dmap = tree.dims
+        for node in tree.nodes:
+            if node.is_leaf():
+                continue
+            union = (frozenset(tins[node.children[0]]) |
+                     frozenset(tins[node.children[1]]) |
+                     frozenset(labels))
+            total += fts.reduce(op.mul, (dmap[x] for x in union), 1)
+        got = float(run.log2_min_totals()[i])
+        assert got == pytest.approx(math.log2(total), abs=1e-3)

@@ -34,7 +34,7 @@ from tnco_tpu.kernels.sa_batched import (SABatch, _log2_total_b, _width_b,
 from tnco_tpu.kernels.sa_infinite import SweepConfig
 from tnco_tpu.ops import costs as costs_ops
 
-__all__ = ['run_multiwalk']
+__all__ = ['run_multiwalk', 'run_multiwalk_fw']
 
 NULL = -1
 
@@ -238,4 +238,244 @@ def run_multiwalk(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
     hyper = compute_hyper_b(c0, c1, inds)
     out = SABatch(c0, c1, par, inds, hyper, lcc, lt, min_lt, min_c0,
                   min_c1, min_par, min_inds, keys)
+    return out, {'moves': moves, 'applied': applied, 'pos': pos}
+
+
+def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
+                       skip_wb, cfg, n_walks, iota_n, sparse_wb,
+                       log2_n_projs):
+    """Finite-width multi-walk iteration: width-capped proposals against
+    a shared per-lane slice set (+ optional greedy reslice-if-better,
+    mirroring the lockstep FW engine's post-sweep cadence)."""
+    from tnco_tpu.kernels.sa_finite import _WIDTH_EPS
+    from tnco_tpu.kernels.sa_finite_batched import (_greedy_slices_b,
+                                                    _lcc_fw_b)
+
+    (c0, c1, par, inds, lcc, width_pre, slices, min_lt, min_c0, min_c1,
+     min_par, min_inds, min_slices, keys, pos, moves, applied) = carry
+    n_leaves = cfg.n_leaves
+    p = n_walks
+
+    split5 = jax.vmap(lambda k: tuple(jax.random.split(k, 5)))
+    keys, k_leaf, k_pick, k_u, k_reslice = split5(keys)
+    leaf = jax.vmap(lambda k: jax.random.randint(k, (p,), 0, n_leaves),
+                    out_axes=1)(k_leaf)
+    rand_bit = jax.vmap(lambda k: jax.random.bernoulli(k, shape=(p,)),
+                        out_axes=1)(k_pick)
+    u = jax.vmap(
+        lambda k: jax.random.uniform(k, (p,), dtype=log2d_w32.dtype),
+        out_axes=1)(k_u)
+
+    def row_mask(x):
+        return iota_n[None, :, :] == x[:, None, :]
+
+    def grow_i(arr_nb, mask):
+        return jnp.sum(jnp.where(mask, arr_nb[None], 0), axis=1,
+                       dtype=arr_nb.dtype)
+
+    def grow_f(arr_nb, mask):
+        return jnp.sum(jnp.where(mask, arr_nb[None], 0.0), axis=1)
+
+    def grow_u(arr_nwb, mask):
+        return jnp.sum(jnp.where(mask[:, :, None, :], arr_nwb[None],
+                                 jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+
+    def width(lanes_pwb):
+        return jax.vmap(
+            lambda lw: _width_b(lw, log2d_w32, sparse_wb=sparse_wb,
+                                log2_n_projs=log2_n_projs))(lanes_pwb)
+
+    lt = _log2_total_b(lcc, n_leaves)
+
+    par_pos = grow_i(par, row_mask(jnp.maximum(pos, 0)))
+    at_boundary = (pos == NULL) | (par_pos == NULL)
+    new_pos = grow_i(par, row_mask(leaf))
+    pos = jnp.where(at_boundary, new_pos, pos)
+
+    b = pos
+    m_b = row_mask(b)
+    a = grow_i(par, m_b)
+    a = jnp.where(b == NULL, NULL, a)
+    c0b = grow_i(c0, m_b)
+    c1b = grow_i(c1, m_b)
+    m_a = row_mask(a)
+    c0a = grow_i(c0, m_a)
+    c1a = grow_i(c1, m_a)
+    c = jnp.where(c0a == b, c1a, c0a)
+    m_c = row_mask(c)
+
+    inds_c = grow_u(inds, m_c)
+    inds0 = grow_u(inds, row_mask(c0b))
+    inds1 = grow_u(inds, row_mask(c1b))
+    inds_a = grow_u(inds, m_a)
+    inds_b = grow_u(inds, m_b)
+    i0 = jnp.any(inds0 & inds_c, axis=1)
+    i1 = jnp.any(inds1 & inds_c, axis=1)
+    take0 = jnp.where(cfg.disable_shared_inds | (i0 & i1), rand_bit, i0)
+    d = jnp.where(take0, c0b, c1b)
+    e = jnp.where(take0, c1b, c0b)
+    t0m = take0[:, None, :]
+    inds_d = jnp.where(t0m, inds0, inds1)
+    inds_e = jnp.where(t0m, inds1, inds0)
+
+    hyp_a = inds_a & inds_b & inds_c
+    hyp_b = inds_b & inds0 & inds1
+    new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
+
+    sl = slices[None, :, :]  # [1, W, B] broadcast over P
+    new_width_b = width(new_inds_b)
+    new_sliced_width_b = width(new_inds_b & ~sl)
+    fits = new_sliced_width_b <= max_width + _WIDTH_EPS
+
+    l_a = grow_f(lcc, m_a)
+    l_b = grow_f(lcc, m_b)
+    ln_b = width((inds_d | inds_c) | sl)
+    ln_a = width((new_inds_b | inds_e) | sl)
+    l_new = costs_ops.new_total_log2(lt[None, :], l_a, l_b, ln_a, ln_b)
+
+    if cfg.prob_kind == 'mh':
+        acc = jnp.log2(u) <= -beta * (l_new - lt[None, :])
+    elif cfg.prob_kind == 'greedy':
+        acc = l_new <= lt[None, :]
+    else:
+        acc = jnp.ones_like(l_new, dtype=bool)
+    accept = acc & fits & (b != NULL) & (a != NULL)
+
+    nodes5 = jnp.stack([a, b, c, d, e])
+
+    def claim(pi, state):
+        claimed, keep = state
+        rows = nodes5[:, pi, :]
+        taken = jnp.zeros(rows.shape[1], dtype=bool)
+        for j in range(5):
+            taken = taken | grow_i(claimed.astype(jnp.int32),
+                                   row_mask(rows[j][None]))[0].astype(bool)
+        ok = accept[pi] & ~taken
+        mask_any = jnp.zeros_like(claimed)
+        for j in range(5):
+            mask_any = mask_any | (iota_n == rows[j][None, :])
+        claimed = claimed | (mask_any & ok[None, :])
+        keep = keep.at[pi].set(ok)
+        return claimed, keep
+
+    claimed0 = jnp.zeros((iota_n.shape[0], b.shape[1]), dtype=bool)
+    keep0 = jnp.zeros_like(accept)
+    _, keep = jax.lax.fori_loop(0, p, claim, (claimed0, keep0))
+
+    kf = keep[:, None, :]
+
+    def add_i(base, contrib_pnb):
+        return base + jnp.sum(jnp.where(kf, contrib_pnb, 0), axis=0,
+                              dtype=base.dtype)
+
+    m_e = row_mask(e)
+    c0_delta = (m_a * (c0a == c)[:, None, :] * (e - c)[:, None, :] +
+                m_b * (c0b == e)[:, None, :] * (c - e)[:, None, :])
+    c1_delta = (m_a * (c1a == c)[:, None, :] * (e - c)[:, None, :] +
+                m_b * (c1b == e)[:, None, :] * (c - e)[:, None, :])
+    par_delta = (m_c * (b - a)[:, None, :] + m_e * (a - b)[:, None, :])
+    c0 = add_i(c0, c0_delta)
+    c1 = add_i(c1, c1_delta)
+    par = add_i(par, par_delta)
+
+    inds_delta = m_b[:, :, None, :] * (new_inds_b - inds_b)[:, None, :, :]
+    inds = inds + jnp.sum(
+        jnp.where(keep[:, None, None, :], inds_delta, jnp.uint32(0)),
+        axis=0, dtype=jnp.uint32)
+
+    lcc_delta = (m_a * (ln_a - l_a)[:, None, :] +
+                 m_b * (ln_b - l_b)[:, None, :])
+    lcc = lcc + jnp.sum(jnp.where(kf, lcc_delta, 0.0), axis=0)
+
+    w_b = grow_f(width_pre, m_b)
+    width_delta = m_b * (new_width_b - w_b)[:, None, :]
+    width_pre = width_pre + jnp.sum(jnp.where(kf, width_delta, 0.0),
+                                    axis=0)
+
+    pos = a
+    moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
+    applied = applied + jnp.sum(keep.astype(jnp.int32))
+
+    # ---- Periodic greedy reslice-if-better (lockstep FW cadence) -------
+    def do_reslice(args):
+        slices_, lcc_ = args
+        new_slices = _greedy_slices_b(c0, inds, width_pre, k_reslice,
+                                      max_width, log2d_w32, skip_wb,
+                                      sparse_wb, log2_n_projs)
+        new_lcc = _lcc_fw_b(c0, c1, inds, new_slices, log2d_w32,
+                            sparse_wb, log2_n_projs)
+        better = (_log2_total_b(new_lcc, n_leaves) <
+                  _log2_total_b(lcc_, n_leaves))
+        return (jnp.where(better[None, :], new_slices, slices_),
+                jnp.where(better[None, :], new_lcc, lcc_))
+
+    has_slices = jnp.any(slices != 0)
+    slices, lcc = jax.lax.cond(update_slices & has_slices, do_reslice,
+                               lambda x: x, (slices, lcc))
+
+    lt_new = _log2_total_b(lcc, n_leaves)
+    improved = lt_new < min_lt
+    min_lt = jnp.where(improved, lt_new, min_lt)
+
+    def snap(args):
+        min_c0, min_c1, min_par, min_inds, min_slices = args
+        impn = improved[None, :]
+        impw = improved[None, None, :]
+        return (jnp.where(impn, c0, min_c0), jnp.where(impn, c1, min_c1),
+                jnp.where(impn, par, min_par),
+                jnp.where(impw, inds, min_inds),
+                jnp.where(impn, slices, min_slices))
+
+    min_c0, min_c1, min_par, min_inds, min_slices = jax.lax.cond(
+        jnp.any(improved), snap, lambda x: x,
+        (min_c0, min_c1, min_par, min_inds, min_slices))
+
+    return (c0, c1, par, inds, lcc, width_pre, slices, min_lt, min_c0,
+            min_c1, min_par, min_inds, min_slices, keys, pos, moves,
+            applied)
+
+
+@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks'))
+def run_multiwalk_fw(batch, betas, update_slices_mask, max_width,
+                     log2d_w32, skip_wb, cfg, n_walks: int, pos,
+                     sparse_wb=None, log2_n_projs=None):
+    """Finite-width multi-walk: one iteration per beta.
+
+    ``batch`` is a :class:`tnco_tpu.kernels.sa_finite_batched.SABatchFW`;
+    ``update_slices_mask[i]`` turns on the greedy reslice at iteration i.
+    """
+    from tnco_tpu.kernels.sa_finite_batched import SABatchFW
+
+    n = batch.c0.shape[0]
+    iota_n = jnp.arange(n, dtype=jnp.int32)[:, None]
+    max_width = jnp.asarray(max_width, log2d_w32.dtype)
+
+    def step(carry, x):
+        beta, upd = x
+        carry = _iter_multiwalk_fw(carry, beta, upd, max_width, log2d_w32,
+                                   skip_wb, cfg, n_walks, iota_n,
+                                   sparse_wb, log2_n_projs)
+        return carry, None
+
+    carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,
+             batch.width, batch.slices, batch.min_log2_total,
+             batch.min_c0, batch.min_c1, batch.min_par, batch.min_inds,
+             batch.min_slices, batch.keys, pos, jnp.int32(0),
+             jnp.int32(0))
+    carry, _ = jax.lax.scan(step, carry, (betas, update_slices_mask))
+    (c0, c1, par, inds, lcc, width_pre, slices, min_lt, min_c0, min_c1,
+     min_par, min_inds, min_slices, keys, pos, moves, applied) = carry
+    lt = _log2_total_b(lcc, cfg.n_leaves)
+    improved = lt < min_lt
+    min_lt = jnp.where(improved, lt, min_lt)
+    impn, impw = improved[None, :], improved[None, None, :]
+    min_c0 = jnp.where(impn, c0, min_c0)
+    min_c1 = jnp.where(impn, c1, min_c1)
+    min_par = jnp.where(impn, par, min_par)
+    min_inds = jnp.where(impw, inds, min_inds)
+    min_slices = jnp.where(impn, slices, min_slices)
+    hyper = compute_hyper_b(c0, c1, inds)
+    out = SABatchFW(c0, c1, par, inds, hyper, lcc, width_pre, slices, lt,
+                    min_lt, min_c0, min_c1, min_par, min_inds, min_slices,
+                    keys)
     return out, {'moves': moves, 'applied': applied, 'pos': pos}

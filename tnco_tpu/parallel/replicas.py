@@ -445,6 +445,7 @@ class ReplicaRunnerFW:
                  max_number_new_slices: int = 0,
                  mesh=None,
                  engine: str = 'auto',
+                 n_walks: int = 8,
                  dtype=jnp.float32) -> None:
         ctrees = list(ctrees)
         seeds = list(seeds)
@@ -486,9 +487,13 @@ class ReplicaRunnerFW:
                 engine = 'native'
             else:
                 engine = 'vmapped'
-        if engine not in ('batched', 'vmapped', 'native'):
+        if engine not in ('batched', 'vmapped', 'native', 'multiwalk'):
             raise ValueError(f"Unknown engine: {engine!r}")
+        if engine == 'multiwalk' and max_number_new_slices:
+            raise ValueError("engine='multiwalk' does not support "
+                             "max_number_new_slices.")
         self.engine = engine
+        self.n_walks = int(n_walks)
 
         if engine == 'native':
             self._init_native_fw(ctrees, seeds)
@@ -513,6 +518,9 @@ class ReplicaRunnerFW:
             dtype=np.asarray(self.log2d).dtype)
         if engine == 'vmapped':
             batch = _to_vmapped_fw(batch)
+        self._mw_pos = jnp.full((self.n_walks, len(ctrees)), -1,
+                                jnp.int32) if engine == 'multiwalk' else \
+            None
         self.mesh = mesh
         if mesh is not None:
             shard = replica_sharding(mesh)
@@ -644,6 +652,15 @@ class ReplicaRunnerFW:
                     self.max_width, self.log2d_w32, self.skip_lanes,
                     self.cfg, self.sparse_wb, self.log2_n_projs)
                 last_min = metrics['log2_min_total'][-1]
+            elif self.engine == 'multiwalk':
+                from tnco_tpu.kernels import sa_multiwalk as smw
+                self.states, metrics = smw.run_multiwalk_fw(
+                    self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
+                    self.max_width, self.log2d_w32, self.skip_lanes,
+                    self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
+                    self.log2_n_projs)
+                self._mw_pos = metrics['pos']
+                last_min = self.states.min_log2_total
             else:
                 self.states, metrics = saf.run_sweeps_fw_batch(
                     self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
@@ -671,7 +688,7 @@ class ReplicaRunnerFW:
                 self._nat_best_nodes[replica],
                 self._nat_best_inds[replica])
         s = self.states
-        if self.engine == 'batched':
+        if self.engine in ('batched', 'multiwalk'):
             nodes = np.stack([
                 np.asarray(s.min_c0[:, replica]),
                 np.asarray(s.min_c1[:, replica]),
@@ -686,7 +703,7 @@ class ReplicaRunnerFW:
     def min_slices_lanes(self, replica: int) -> np.ndarray:
         if self.engine == 'native':
             return self._nat_best_slices[replica].copy()
-        if self.engine == 'batched':
+        if self.engine in ('batched', 'multiwalk'):
             return np.asarray(self.states.min_slices[..., replica])
         return np.asarray(self.states.min_slices[replica])
 
