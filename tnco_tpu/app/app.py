@@ -474,6 +474,9 @@ class BaseOptimizer:
     backend: str | None = None
     seed: int | None = None
     verbose: int = 0
+    # tnco-tpu extension: replica-batch engine selection
+    # ('auto' | 'batched' | 'vmapped' | 'native' | 'multiwalk').
+    engine: str = 'auto'
 
     def optimize(self, *args: Any, **kwargs: Any) -> Any:
         raise NotImplementedError()
@@ -537,7 +540,8 @@ def Optimizer(method: str = 'sa',
               dtype: Any | None = None,
               backend: str | None = None,
               seed: int | None = None,
-              verbose: int = 0) -> BaseOptimizer:
+              verbose: int = 0,
+              engine: str = 'auto') -> BaseOptimizer:
     """Factory: picks the implementation module by ``method``/``max_width``.
 
     Reference: tnco/app/app.py:798-878.
@@ -558,6 +562,7 @@ def Optimizer(method: str = 'sa',
                 dtype=dtype,
                 backend=backend,
                 seed=seed,
+                engine=engine,
                 verbose=verbose)
 
     module = 'tnco_tpu.app'

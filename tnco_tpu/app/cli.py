@@ -55,6 +55,9 @@ def _build_parser() -> argparse.ArgumentParser:
     opt.add_argument('--n-jobs', type=_literal, default=-1)
     opt.add_argument('--width-type', default='float32')
     opt.add_argument('--cost-type', default='float64')
+    opt.add_argument('--engine', default='auto',
+                     help="Replica-batch engine: 'auto' | 'batched' | "
+                          "'vmapped' | 'native' | 'multiwalk'.")
     opt.add_argument('--output-format', default='json')
     opt.add_argument('--output-filename', default=None)
     opt.add_argument('--output-compression', default='auto')
@@ -115,7 +118,8 @@ def main(argv=None) -> int:
                               overwrite_output_file,
                               atol=args.atol,
                               seed=args.seed,
-                              verbose=args.verbose)
+                              verbose=args.verbose,
+                              engine=args.engine)
         betas = tuple(args.betas) if isinstance(args.betas,
                                                 (list, tuple)) else \
             args.betas

@@ -140,6 +140,7 @@ class Optimizer(BaseOptimizer):
             from tnco_tpu.ops import bitops
             runner = ReplicaRunnerFW(ctrees, seeds, cmodel=cmodel,
                                      prob_kind='mh',
+                                     engine=self.engine,
                                      dtype=bitops.device_dtype(
                                          self.cost_type))
             runner.run(betas, update_slices=update_slices, timeout=timeout)

@@ -136,6 +136,7 @@ class Optimizer(BaseOptimizer):
             runner = ReplicaRunner(ctrees, seeds,
                                    cmodel=cmodel,
                                    prob_kind='mh',
+                                   engine=self.engine,
                                    dtype=bitops.device_dtype(
                                        self.cost_type))
             runner.run(betas, timeout=timeout)

@@ -43,9 +43,11 @@ def load_batch(path):
 
 def save_runner(path, runner) -> None:
     """Checkpoints a :class:`~tnco_tpu.parallel.ReplicaRunner`."""
-    save_batch(path, runner.states,
-               sweeps_done=runner.sweeps_done,
-               moves_done=runner.moves_done)
+    extra = dict(sweeps_done=runner.sweeps_done,
+                 moves_done=runner.moves_done)
+    if getattr(runner, '_mw_pos', None) is not None:
+        extra['mw_pos'] = np.asarray(runner._mw_pos)
+    save_batch(path, runner.states, **extra)
 
 
 def load_runner(path, runner) -> None:
@@ -58,5 +60,7 @@ def load_runner(path, runner) -> None:
     if batch.c0.shape != runner.states.c0.shape:
         raise ValueError("Checkpoint shape does not match the runner.")
     runner.states = batch
+    if 'mw_pos' in extra:
+        runner._mw_pos = jnp.asarray(extra['mw_pos'])
     runner.sweeps_done = int(extra.get('sweeps_done', 0))
     runner.moves_done = int(extra.get('moves_done', 0))
