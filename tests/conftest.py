@@ -31,8 +31,22 @@ jax.config.update('jax_platforms', 'cpu')
 _SEED = os.environ.get('PYTEST_SEED', '20260816')
 
 
+def pytest_generate_tests(metafunc):
+    """Randomized-test fuzzing knob (reference PYTEST_MAX_REPEAT,
+    tests/test_core.py:54-63): repeat every seeded test N times; each
+    repetition gets a fresh nodeid and hence a fresh hash-derived seed."""
+    n = int(os.environ.get('PYTEST_MAX_REPEAT', '0') or 0)
+    if n > 1 and 'random_seed' in metafunc.fixturenames:
+        metafunc.parametrize('_repeat', range(n), indirect=True)
+
+
 @pytest.fixture
-def random_seed(request) -> int:
+def _repeat(request):
+    return getattr(request, 'param', 0)
+
+
+@pytest.fixture
+def random_seed(request, _repeat) -> int:
     """Deterministic per-test seed derived from PYTEST_SEED + nodeid.
 
     Hash-derived (not drawn from a shared stream) so adding or reordering
