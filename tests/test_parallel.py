@@ -301,3 +301,41 @@ def test_exchange_best_sharded_2d_mesh(rng, random_seed):
     for i in range(0, 16, 5):
         is_valid_contraction_tree(runner.ctree(i), ts_inds, output_inds,
                                   dims)
+
+
+def test_multiwalk_mesh_exchange(rng, random_seed):
+    """Multiwalk engine on a 2-D mesh with ICI exchange between chunks."""
+    from tnco_tpu.testing.utils import is_valid_contraction_tree
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_tensors=10,
+                                                         n_output_inds=1)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(16):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4),
+                     axis_names=('dcn', 'ici'))
+    runner = ReplicaRunner(ctrees, list(range(16)), mesh=mesh,
+                           engine='multiwalk', n_walks=4)
+    out = runner.run(np.linspace(0, 10, 32), chunk_size=8,
+                     exchange_every=1, exchange_axes=('ici',))
+    assert out['moves'] == 32 * 4 * 16
+    best_i, best = runner.best()
+    is_valid_contraction_tree(runner.min_ctree(best_i), ts_inds,
+                              output_inds, dims)
+    import math
+    assert best == pytest.approx(
+        math.log2(runner.min_ctree(best_i).total_cost_exact()), abs=1e-3)
+    # Exchange mid-walk keeps every lane's current tree structurally valid
+    for i in range(0, 16, 5):
+        is_valid_contraction_tree(runner.ctree(i), ts_inds, output_inds,
+                                  dims)

@@ -352,7 +352,8 @@ class ReplicaRunner:
             self.moves_done += int(np.sum(metrics['moves']))
             pos += chunk_size
             n_chunks += 1
-            if (exchange_every and self.engine == 'batched' and
+            if (exchange_every and
+                    self.engine in ('batched', 'multiwalk') and
                     pos < n and n_chunks % exchange_every == 0):
                 if self.mesh is not None:
                     self.states = exchange_best_sharded(
