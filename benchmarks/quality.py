@@ -32,9 +32,13 @@ def run_quality(name: str, seconds: float, seed: int = 0,
 
     (ts_inds, output_inds, dims), max_width = build_config(name, seed)
     if max_width is not None:
+        if exchange_every:
+            import warnings
+            warnings.warn('--exchange-every is not supported for '
+                          'finite-width configs; ignored.')
         return _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                                seconds, seed, n_tpu_replicas,
-                               n_cpu_replicas)
+                               n_cpu_replicas, engine)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
 
     n_paths = 32
@@ -129,7 +133,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
 
 
 def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
-                    seconds, seed, n_tpu_replicas, n_cpu_replicas) -> dict:
+                    seconds, seed, n_tpu_replicas, n_cpu_replicas,
+                    engine: str = 'auto') -> dict:
     """Finite-width protocol: width-capped SA + slices, same budget rule."""
     import jax.numpy as jnp
 
@@ -163,7 +168,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
             template.inds_array.shape[1] <= 32768 else 32
     ctrees = [tree(r) for r in range(n_tpu_replicas)]
     runner = ReplicaRunnerFW(ctrees, list(range(n_tpu_replicas)),
-                             cmodel=cmodel)
+                             cmodel=cmodel, engine=engine)
     chunk_sweeps = 64
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps, update_slices=10)

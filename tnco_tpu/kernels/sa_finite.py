@@ -242,16 +242,16 @@ def greedy_slices_host(inds, log2_dims, max_width, rng, *,
             np.asarray(skip_bits, dtype=bool))
     log2d_sorted = log2d[order]
     skip_sorted = skip[order]
-    sp_sorted = None if sparse_bits is None else \
-        np.asarray(sparse_bits, dtype=bool)[order]
+    sp = None if sparse_bits is None else \
+        np.asarray(sparse_bits, dtype=bool)
+    sp_sorted = None if sp is None else sp[order]
 
     slices = np.zeros(n_bits, dtype=bool)
     for t in range(n):
         cand = bits[t] & ~slices
-        if sparse_bits is None:
+        if sp is None:
             sw = float(log2d @ cand)
         else:
-            sp = np.asarray(sparse_bits, dtype=bool)
             sw = float(log2d @ (cand & ~sp) +
                        min(log2d @ (cand & sp), log2_n_projs))
         if sw <= max_width + _WIDTH_EPS:
@@ -266,7 +266,6 @@ def greedy_slices_host(inds, log2_dims, max_width, rng, *,
             sp_rm = removed * sp_sorted
             cum_d = np.cumsum(dense_rm) - dense_rm
             cum_s = np.cumsum(sp_rm) - sp_rm
-            sp = np.asarray(sparse_bits, dtype=bool)
             w_d0 = float(log2d @ (cand & ~sp))
             w_s0 = float(log2d @ (cand & sp))
             w_before = (w_d0 - cum_d +

@@ -21,13 +21,17 @@ Metropolis rule) is identical to the reference sweep
 (include/tnco/optimize/infinite_memory/optimizer.hpp:90-221); only the
 walk scheduling differs, so this engine trades bit-parity with the
 sequential engines for throughput.
+
+The infinite-memory and finite-width iterations share the proposal
+geometry, conflict filter and additive application through the helpers
+below; the finite-width variant adds the width cap, shared slice lanes
+and the periodic greedy reslice (same cadence as the lockstep FW engine).
 """
 
 import functools as fts
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tnco_tpu.kernels.sa_batched import (SABatch, _log2_total_b, _width_b,
                                          compute_hyper_b)
@@ -39,23 +43,7 @@ __all__ = ['run_multiwalk', 'run_multiwalk_fw']
 NULL = -1
 
 
-def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
-                    iota_n, sparse_wb, log2_n_projs):
-    (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1, min_par, min_inds,
-     keys, pos, moves, applied) = carry
-    n_leaves = cfg.n_leaves
-    p = n_walks
-
-    split4 = jax.vmap(lambda k: tuple(jax.random.split(k, 4)))
-    keys, k_leaf, k_pick, k_u = split4(keys)
-    leaf = jax.vmap(lambda k: jax.random.randint(k, (p,), 0, n_leaves),
-                    out_axes=1)(k_leaf)  # [P, B]
-    rand_bit = jax.vmap(lambda k: jax.random.bernoulli(k, shape=(p,)),
-                        out_axes=1)(k_pick)
-    u = jax.vmap(
-        lambda k: jax.random.uniform(k, (p,), dtype=log2d_w32.dtype),
-        out_axes=1)(k_u)
-
+def _helpers(iota_n):
     def row_mask(x):  # [P, B] -> [P, N, B]
         return iota_n[None, :, :] == x[:, None, :]
 
@@ -70,13 +58,18 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
         return jnp.sum(jnp.where(mask[:, :, None, :], arr_nwb[None],
                                  jnp.uint32(0)), axis=1, dtype=jnp.uint32)
 
-    def width(lanes_pwb):  # [P,W,B] -> [P,B]
-        return jax.vmap(
-            lambda lw: _width_b(lw, log2d_w32, sparse_wb=sparse_wb,
-                                log2_n_projs=log2_n_projs))(lanes_pwb)
+    return row_mask, grow_i, grow_f, grow_u
 
-    # Exact total each iteration (the applied deltas drift by ~1 ulp).
-    lt = _log2_total_b(lcc, n_leaves)
+
+def _propose(c0, c1, par, inds, lcc, pos, leaf, rand_bit, cfg, iota_n):
+    """Shared proposal geometry for all P walks of all lanes.
+
+    Restarts finished walks at ``leaf``, gathers the {A,B,C,D,E}
+    neighborhood, picks D/E with the shared-index guarantee and builds
+    ``new_inds_b`` with on-the-fly hyper rows.  Returns a dict of all
+    per-walk quantities the engine variants need.
+    """
+    row_mask, grow_i, grow_f, grow_u = _helpers(iota_n)
 
     # Restart finished walks at a fresh leaf.
     par_pos = grow_i(par, row_mask(jnp.maximum(pos, 0)))
@@ -110,16 +103,19 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
     inds_d = jnp.where(t0m, inds0, inds1)
     inds_e = jnp.where(t0m, inds1, inds0)
 
+    # hyper on the fly (exact invariant hyper[i] = inds[i] & children)
     hyp_a = inds_a & inds_b & inds_c
     hyp_b = inds_b & inds0 & inds1
     new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
 
-    l_a = grow_f(lcc, m_a)
-    l_b = grow_f(lcc, m_b)
-    ln_b = width(inds_d | inds_c)
-    ln_a = width(new_inds_b | inds_e)
-    l_new = costs_ops.new_total_log2(lt[None, :], l_a, l_b, ln_a, ln_b)
+    return dict(pos=pos, a=a, b=b, c=c, d=d, e=e, m_a=m_a, m_b=m_b,
+                m_c=m_c, m_e=row_mask(e), c0a=c0a, c1a=c1a, c0b=c0b,
+                c1b=c1b, inds_b=inds_b, inds_c=inds_c, inds_d=inds_d,
+                inds_e=inds_e, new_inds_b=new_inds_b,
+                l_a=grow_f(lcc, m_a), l_b=grow_f(lcc, m_b))
 
+
+def _accept(cfg, u, beta, l_new, lt, pr):
     if cfg.prob_kind == 'mh':
         acc = jnp.log2(u) <= -beta * (l_new - lt[None, :])
     elif cfg.prob_kind == 'greedy':
@@ -127,11 +123,16 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
     else:
         acc = jnp.ones_like(l_new, dtype=bool)
     # Root-adjacent walks (B is the root: no uncle) only advance.
-    accept = acc & (b != NULL) & (a != NULL)  # [P, B]
+    return acc & (pr['b'] != NULL) & (pr['a'] != NULL)
 
-    # ---- Conflict filter: lower walk index wins; a proposal is applied
-    # only if none of its 5 nodes is claimed by an earlier applied walk.
-    nodes5 = jnp.stack([a, b, c, d, e])  # [5, P, B]
+
+def _claim_disjoint(accept, pr, iota_n):
+    """Priority conflict filter: lower walk index wins; a proposal is
+    applied only if none of its 5 nodes is claimed by an earlier applied
+    walk."""
+    row_mask, grow_i, *_ = _helpers(iota_n)
+    nodes5 = jnp.stack([pr['a'], pr['b'], pr['c'], pr['d'], pr['e']])
+    p = accept.shape[0]
 
     def claim(pi, state):
         claimed, keep = state
@@ -148,40 +149,88 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
         keep = keep.at[pi].set(ok)
         return claimed, keep
 
-    claimed0 = jnp.zeros((iota_n.shape[0], b.shape[1]), dtype=bool)
+    claimed0 = jnp.zeros((iota_n.shape[0], accept.shape[1]), dtype=bool)
     keep0 = jnp.zeros_like(accept)
     _, keep = jax.lax.fori_loop(0, p, claim, (claimed0, keep0))
+    return keep
 
-    # ---- Apply all kept proposals in one additive pass per array
-    # (disjoint rows => at most one nonzero contribution per element).
+
+def _apply_kept(c0, c1, par, inds, lcc, keep, pr, ln_a, ln_b):
+    """Applies all kept proposals in one additive pass per array
+    (disjoint rows => at most one nonzero contribution per element)."""
+    a, b, c, e = pr['a'], pr['b'], pr['c'], pr['e']
+    m_a, m_b, m_c, m_e = pr['m_a'], pr['m_b'], pr['m_c'], pr['m_e']
     kf = keep[:, None, :]  # [P, 1, B] over N
 
     def add_i(base, contrib_pnb):
         return base + jnp.sum(jnp.where(kf, contrib_pnb, 0), axis=0,
                               dtype=base.dtype)
 
-    m_e = row_mask(e)
-    c0_delta = (m_a * (c0a == c)[:, None, :] * (e - c)[:, None, :] +
-                m_b * (c0b == e)[:, None, :] * (c - e)[:, None, :])
-    c1_delta = (m_a * (c1a == c)[:, None, :] * (e - c)[:, None, :] +
-                m_b * (c1b == e)[:, None, :] * (c - e)[:, None, :])
+    c0_delta = (m_a * (pr['c0a'] == c)[:, None, :] * (e - c)[:, None, :] +
+                m_b * (pr['c0b'] == e)[:, None, :] * (c - e)[:, None, :])
+    c1_delta = (m_a * (pr['c1a'] == c)[:, None, :] * (e - c)[:, None, :] +
+                m_b * (pr['c1b'] == e)[:, None, :] * (c - e)[:, None, :])
     par_delta = (m_c * (b - a)[:, None, :] + m_e * (a - b)[:, None, :])
     c0 = add_i(c0, c0_delta)
     c1 = add_i(c1, c1_delta)
     par = add_i(par, par_delta)
 
-    inds_delta = m_b[:, :, None, :] * (new_inds_b - inds_b)[:, None, :, :]
+    inds_delta = (m_b[:, :, None, :] *
+                  (pr['new_inds_b'] - pr['inds_b'])[:, None, :, :])
     inds = inds + jnp.sum(
         jnp.where(keep[:, None, None, :], inds_delta, jnp.uint32(0)),
         axis=0, dtype=jnp.uint32)
 
-    lcc_delta = (m_a * (ln_a - l_a)[:, None, :] +
-                 m_b * (ln_b - l_b)[:, None, :])
+    lcc_delta = (m_a * (ln_a - pr['l_a'])[:, None, :] +
+                 m_b * (ln_b - pr['l_b'])[:, None, :])
     lcc = lcc + jnp.sum(jnp.where(kf, lcc_delta, 0.0), axis=0)
+    return c0, c1, par, inds, lcc
+
+
+def _draws(keys, n, p, dtype, n_keys):
+    """Per-lane key split + the per-walk draws every variant needs."""
+    split = jax.vmap(lambda k: tuple(jax.random.split(k, n_keys)))
+    keys, k_leaf, k_pick, k_u, *rest = split(keys)
+    leaf = jax.vmap(lambda k: jax.random.randint(k, (p,), 0, n),
+                    out_axes=1)(k_leaf)  # [P, B]
+    rand_bit = jax.vmap(lambda k: jax.random.bernoulli(k, shape=(p,)),
+                        out_axes=1)(k_pick)
+    u = jax.vmap(lambda k: jax.random.uniform(k, (p,), dtype=dtype),
+                 out_axes=1)(k_u)
+    return keys, leaf, rand_bit, u, rest
+
+
+def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
+                    iota_n, sparse_wb, log2_n_projs):
+    (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1, min_par, min_inds,
+     keys, pos, moves, applied) = carry
+    n_leaves = cfg.n_leaves
+
+    keys, leaf, rand_bit, u, _ = _draws(keys, n_leaves, n_walks,
+                                        log2d_w32.dtype, 4)
+
+    def width(lanes_pwb):  # [P,W,B] -> [P,B]
+        return jax.vmap(
+            lambda lw: _width_b(lw, log2d_w32, sparse_wb=sparse_wb,
+                                log2_n_projs=log2_n_projs))(lanes_pwb)
+
+    # Exact total each iteration (the applied deltas drift by ~1 ulp).
+    lt = _log2_total_b(lcc, n_leaves)
+
+    pr = _propose(c0, c1, par, inds, lcc, pos, leaf, rand_bit, cfg,
+                  iota_n)
+    ln_b = width(pr['inds_d'] | pr['inds_c'])
+    ln_a = width(pr['new_inds_b'] | pr['inds_e'])
+    l_new = costs_ops.new_total_log2(lt[None, :], pr['l_a'], pr['l_b'],
+                                     ln_a, ln_b)
+    accept = _accept(cfg, u, beta, l_new, lt, pr)
+    keep = _claim_disjoint(accept, pr, iota_n)
+    c0, c1, par, inds, lcc = _apply_kept(c0, c1, par, inds, lcc, keep, pr,
+                                         ln_a, ln_b)
 
     # Advance every walk (kept or not — a rejected proposal still moves
     # up, exactly like the sequential sweep).
-    pos = a
+    pos = pr['a']
     moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
     applied = applied + jnp.sum(keep.astype(jnp.int32))
 
@@ -254,31 +303,9 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
     (c0, c1, par, inds, lcc, width_pre, slices, min_lt, min_c0, min_c1,
      min_par, min_inds, min_slices, keys, pos, moves, applied) = carry
     n_leaves = cfg.n_leaves
-    p = n_walks
 
-    split5 = jax.vmap(lambda k: tuple(jax.random.split(k, 5)))
-    keys, k_leaf, k_pick, k_u, k_reslice = split5(keys)
-    leaf = jax.vmap(lambda k: jax.random.randint(k, (p,), 0, n_leaves),
-                    out_axes=1)(k_leaf)
-    rand_bit = jax.vmap(lambda k: jax.random.bernoulli(k, shape=(p,)),
-                        out_axes=1)(k_pick)
-    u = jax.vmap(
-        lambda k: jax.random.uniform(k, (p,), dtype=log2d_w32.dtype),
-        out_axes=1)(k_u)
-
-    def row_mask(x):
-        return iota_n[None, :, :] == x[:, None, :]
-
-    def grow_i(arr_nb, mask):
-        return jnp.sum(jnp.where(mask, arr_nb[None], 0), axis=1,
-                       dtype=arr_nb.dtype)
-
-    def grow_f(arr_nb, mask):
-        return jnp.sum(jnp.where(mask, arr_nb[None], 0.0), axis=1)
-
-    def grow_u(arr_nwb, mask):
-        return jnp.sum(jnp.where(mask[:, :, None, :], arr_nwb[None],
-                                 jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    keys, leaf, rand_bit, u, (k_reslice,) = _draws(
+        keys, n_leaves, n_walks, log2d_w32.dtype, 5)
 
     def width(lanes_pwb):
         return jax.vmap(
@@ -287,112 +314,30 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
 
     lt = _log2_total_b(lcc, n_leaves)
 
-    par_pos = grow_i(par, row_mask(jnp.maximum(pos, 0)))
-    at_boundary = (pos == NULL) | (par_pos == NULL)
-    new_pos = grow_i(par, row_mask(leaf))
-    pos = jnp.where(at_boundary, new_pos, pos)
-
-    b = pos
-    m_b = row_mask(b)
-    a = grow_i(par, m_b)
-    a = jnp.where(b == NULL, NULL, a)
-    c0b = grow_i(c0, m_b)
-    c1b = grow_i(c1, m_b)
-    m_a = row_mask(a)
-    c0a = grow_i(c0, m_a)
-    c1a = grow_i(c1, m_a)
-    c = jnp.where(c0a == b, c1a, c0a)
-    m_c = row_mask(c)
-
-    inds_c = grow_u(inds, m_c)
-    inds0 = grow_u(inds, row_mask(c0b))
-    inds1 = grow_u(inds, row_mask(c1b))
-    inds_a = grow_u(inds, m_a)
-    inds_b = grow_u(inds, m_b)
-    i0 = jnp.any(inds0 & inds_c, axis=1)
-    i1 = jnp.any(inds1 & inds_c, axis=1)
-    take0 = jnp.where(cfg.disable_shared_inds | (i0 & i1), rand_bit, i0)
-    d = jnp.where(take0, c0b, c1b)
-    e = jnp.where(take0, c1b, c0b)
-    t0m = take0[:, None, :]
-    inds_d = jnp.where(t0m, inds0, inds1)
-    inds_e = jnp.where(t0m, inds1, inds0)
-
-    hyp_a = inds_a & inds_b & inds_c
-    hyp_b = inds_b & inds0 & inds1
-    new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
-
+    pr = _propose(c0, c1, par, inds, lcc, pos, leaf, rand_bit, cfg,
+                  iota_n)
     sl = slices[None, :, :]  # [1, W, B] broadcast over P
-    new_width_b = width(new_inds_b)
-    new_sliced_width_b = width(new_inds_b & ~sl)
+    new_width_b = width(pr['new_inds_b'])
+    new_sliced_width_b = width(pr['new_inds_b'] & ~sl)
     fits = new_sliced_width_b <= max_width + _WIDTH_EPS
 
-    l_a = grow_f(lcc, m_a)
-    l_b = grow_f(lcc, m_b)
-    ln_b = width((inds_d | inds_c) | sl)
-    ln_a = width((new_inds_b | inds_e) | sl)
-    l_new = costs_ops.new_total_log2(lt[None, :], l_a, l_b, ln_a, ln_b)
+    ln_b = width((pr['inds_d'] | pr['inds_c']) | sl)
+    ln_a = width((pr['new_inds_b'] | pr['inds_e']) | sl)
+    l_new = costs_ops.new_total_log2(lt[None, :], pr['l_a'], pr['l_b'],
+                                     ln_a, ln_b)
+    accept = _accept(cfg, u, beta, l_new, lt, pr) & fits
+    keep = _claim_disjoint(accept, pr, iota_n)
+    c0, c1, par, inds, lcc = _apply_kept(c0, c1, par, inds, lcc, keep, pr,
+                                         ln_a, ln_b)
 
-    if cfg.prob_kind == 'mh':
-        acc = jnp.log2(u) <= -beta * (l_new - lt[None, :])
-    elif cfg.prob_kind == 'greedy':
-        acc = l_new <= lt[None, :]
-    else:
-        acc = jnp.ones_like(l_new, dtype=bool)
-    accept = acc & fits & (b != NULL) & (a != NULL)
+    # Pre-slicing width cache follows the B-row rewrite
+    _, _, grow_f, _ = _helpers(iota_n)
+    w_b = grow_f(width_pre, pr['m_b'])
+    width_delta = pr['m_b'] * (new_width_b - w_b)[:, None, :]
+    width_pre = width_pre + jnp.sum(
+        jnp.where(keep[:, None, :], width_delta, 0.0), axis=0)
 
-    nodes5 = jnp.stack([a, b, c, d, e])
-
-    def claim(pi, state):
-        claimed, keep = state
-        rows = nodes5[:, pi, :]
-        taken = jnp.zeros(rows.shape[1], dtype=bool)
-        for j in range(5):
-            taken = taken | grow_i(claimed.astype(jnp.int32),
-                                   row_mask(rows[j][None]))[0].astype(bool)
-        ok = accept[pi] & ~taken
-        mask_any = jnp.zeros_like(claimed)
-        for j in range(5):
-            mask_any = mask_any | (iota_n == rows[j][None, :])
-        claimed = claimed | (mask_any & ok[None, :])
-        keep = keep.at[pi].set(ok)
-        return claimed, keep
-
-    claimed0 = jnp.zeros((iota_n.shape[0], b.shape[1]), dtype=bool)
-    keep0 = jnp.zeros_like(accept)
-    _, keep = jax.lax.fori_loop(0, p, claim, (claimed0, keep0))
-
-    kf = keep[:, None, :]
-
-    def add_i(base, contrib_pnb):
-        return base + jnp.sum(jnp.where(kf, contrib_pnb, 0), axis=0,
-                              dtype=base.dtype)
-
-    m_e = row_mask(e)
-    c0_delta = (m_a * (c0a == c)[:, None, :] * (e - c)[:, None, :] +
-                m_b * (c0b == e)[:, None, :] * (c - e)[:, None, :])
-    c1_delta = (m_a * (c1a == c)[:, None, :] * (e - c)[:, None, :] +
-                m_b * (c1b == e)[:, None, :] * (c - e)[:, None, :])
-    par_delta = (m_c * (b - a)[:, None, :] + m_e * (a - b)[:, None, :])
-    c0 = add_i(c0, c0_delta)
-    c1 = add_i(c1, c1_delta)
-    par = add_i(par, par_delta)
-
-    inds_delta = m_b[:, :, None, :] * (new_inds_b - inds_b)[:, None, :, :]
-    inds = inds + jnp.sum(
-        jnp.where(keep[:, None, None, :], inds_delta, jnp.uint32(0)),
-        axis=0, dtype=jnp.uint32)
-
-    lcc_delta = (m_a * (ln_a - l_a)[:, None, :] +
-                 m_b * (ln_b - l_b)[:, None, :])
-    lcc = lcc + jnp.sum(jnp.where(kf, lcc_delta, 0.0), axis=0)
-
-    w_b = grow_f(width_pre, m_b)
-    width_delta = m_b * (new_width_b - w_b)[:, None, :]
-    width_pre = width_pre + jnp.sum(jnp.where(kf, width_delta, 0.0),
-                                    axis=0)
-
-    pos = a
+    pos = pr['a']
     moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
     applied = applied + jnp.sum(keep.astype(jnp.int32))
 

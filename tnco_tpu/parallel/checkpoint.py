@@ -61,6 +61,12 @@ def load_runner(path, runner) -> None:
         raise ValueError("Checkpoint shape does not match the runner.")
     runner.states = batch
     if 'mw_pos' in extra:
-        runner._mw_pos = jnp.asarray(extra['mw_pos'])
+        pos = np.asarray(extra['mw_pos'])
+        n_walks = getattr(runner, 'n_walks', None)
+        if n_walks is not None and pos.shape[0] != n_walks:
+            raise ValueError(
+                f"Checkpoint has {pos.shape[0]} walks but the runner was "
+                f"built with n_walks={n_walks}.")
+        runner._mw_pos = jnp.asarray(pos)
     runner.sweeps_done = int(extra.get('sweeps_done', 0))
     runner.moves_done = int(extra.get('moves_done', 0))

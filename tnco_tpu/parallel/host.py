@@ -134,7 +134,7 @@ def Parallel(core: Callable,
             def refresh():
                 for i in range(n_runs):
                     st = float(status[i])
-                    if st <= 0 and i not in tasks:
+                    if st <= 0 and not completed[i] and i not in tasks:
                         continue
                     fields = {nm: float(extra[nm][i]) for nm in names}
                     if i not in tasks:

@@ -310,6 +310,10 @@ class ReplicaRunner:
             Metrics dict with per-replica ``log2_min_total`` (final) and the
             number of sweeps executed.
         """
+        if exchange_every and self.engine not in ('batched', 'multiwalk'):
+            from warnings import warn
+            warn(f"exchange_every is only supported by the 'batched' and "
+                 f"'multiwalk' engines (engine={self.engine!r}); ignored.")
         if self.engine == 'native':
             return self._run_native(betas, chunk_size, timeout, callback)
         betas = np.asarray(betas, dtype=np.asarray(self.log2d).dtype)
@@ -731,9 +735,11 @@ def exchange_best(states: 'sb.SABatch', fraction: float = 0.25
     b = lt.shape[0]
     k = max(1, int(b * fraction))
     best = jnp.argmin(lt)
-    # Worst-k mask by cost threshold
+    # Worst-k mask by cost threshold; lanes already tied with the best
+    # keep their (structurally distinct) trees, matching the sharded
+    # exchange's guard.
     thresh = jnp.sort(lt)[b - k]
-    worst = lt >= thresh
+    worst = (lt >= thresh) & (lt > lt[best])
 
     def mix(cur, axis):
         if axis == -1:
@@ -769,7 +775,6 @@ def exchange_best_sharded(states: 'sb.SABatch', mesh, axis_names=None,
     axes = tuple(mesh.axis_names) if axis_names is None else \
         tuple(axis_names)
     all_axes = tuple(mesh.axis_names)
-    repl = P(all_axes)
 
     def spec_of(x, replica_axis):
         s = [None] * x.ndim
@@ -827,7 +832,6 @@ def exchange_best_sharded(states: 'sb.SABatch', mesh, axis_names=None,
     shmap = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                           out_specs=in_specs)
     c0, c1, par, inds, hyper, lcc, lt = shmap(*batch_tuple)
-    del repl
     return sb.SABatch(c0, c1, par, inds, hyper, lcc, lt,
                       states.min_log2_total, states.min_c0, states.min_c1,
                       states.min_par, states.min_inds, states.keys)
