@@ -339,3 +339,33 @@ def test_multiwalk_mesh_exchange(rng, random_seed):
     for i in range(0, 16, 5):
         is_valid_contraction_tree(runner.ctree(i), ts_inds, output_inds,
                                   dims)
+
+
+def test_exchange_best_fw(rng, random_seed):
+    from tnco_tpu.optimize.finite_width import SimpleCostModel
+    from tnco_tpu.parallel.replicas import ReplicaRunnerFW
+    from tnco_tpu.testing.utils import is_valid_contraction_tree
+
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_tensors=8,
+                                                         n_output_inds=1)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(8):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    runner = ReplicaRunnerFW(ctrees, list(range(8)),
+                             cmodel=SimpleCostModel(max_width=3.0),
+                             engine='batched')
+    runner.run(np.linspace(0, 8, 32), chunk_size=8, update_slices=8,
+               exchange_every=2)
+    for i in range(0, 8, 3):
+        is_valid_contraction_tree(runner.ctree(i), ts_inds, output_inds,
+                                  dims)
+        is_valid_contraction_tree(runner.min_ctree(i), ts_inds,
+                                  output_inds, dims)

@@ -630,7 +630,13 @@ class ReplicaRunnerFW:
             update_slices: int = 10,
             chunk_size: int = 128,
             timeout: float | None = None,
-            callback=None) -> dict:
+            callback=None,
+            exchange_every: int = 0,
+            exchange_fraction: float = 0.25) -> dict:
+        if exchange_every and self.engine not in ('batched', 'multiwalk'):
+            from warnings import warn
+            warn(f"exchange_every is only supported by the 'batched' and "
+                 f"'multiwalk' engines (engine={self.engine!r}); ignored.")
         if self.engine == 'native':
             return self._run_native_fw(betas, update_slices, chunk_size,
                                        timeout, callback)
@@ -640,6 +646,7 @@ class ReplicaRunnerFW:
                 if update_slices else np.zeros(n, dtype=bool))
         start = time.perf_counter()
         pos = 0
+        n_chunks = 0
         chunk_size = max(1, min(chunk_size, n))
         while pos < n:
             if timeout is not None and time.perf_counter() - start > timeout:
@@ -675,6 +682,12 @@ class ReplicaRunnerFW:
             self.sweeps_done += chunk_size
             self.moves_done += int(np.sum(metrics['moves']))
             pos += chunk_size
+            n_chunks += 1
+            if (exchange_every and
+                    self.engine in ('batched', 'multiwalk') and
+                    pos < n and n_chunks % exchange_every == 0):
+                self.states = exchange_best_fw(self.states,
+                                               exchange_fraction)
             if callback is not None:
                 callback({
                     'progress': min(pos, n) / n,
@@ -704,6 +717,31 @@ class ReplicaRunnerFW:
         nodes = np.asarray(s.min_nodes[replica])
         inds = np.asarray(s.min_inds[replica])
         return self.template.replace_arrays(nodes, inds)
+
+    def ctree(self, replica: int):
+        """Current (not best) tree of ``replica``."""
+        if self.engine == 'native':
+            return self.template.replace_arrays(
+                self._nat_nodes[replica], self._nat_inds[replica])
+        s = self.states
+        if self.engine in ('batched', 'multiwalk'):
+            nodes = np.stack([
+                np.asarray(s.c0[:, replica]),
+                np.asarray(s.c1[:, replica]),
+                np.asarray(s.par[:, replica])
+            ], axis=1)
+            return self.template.replace_arrays(
+                nodes, np.asarray(s.inds[..., replica]))
+        return self.template.replace_arrays(
+            np.asarray(s.nodes[replica]), np.asarray(s.inds[replica]))
+
+    def slices_lanes(self, replica: int) -> np.ndarray:
+        """Current slice lanes of ``replica``."""
+        if self.engine == 'native':
+            return self._nat_slices[replica].copy()
+        if self.engine in ('batched', 'multiwalk'):
+            return np.asarray(self.states.slices[..., replica])
+        return np.asarray(self.states.slices[replica])
 
     def min_slices_lanes(self, replica: int) -> np.ndarray:
         if self.engine == 'native':
@@ -835,3 +873,32 @@ def exchange_best_sharded(states: 'sb.SABatch', mesh, axis_names=None,
     return sb.SABatch(c0, c1, par, inds, hyper, lcc, lt,
                       states.min_log2_total, states.min_c0, states.min_c1,
                       states.min_par, states.min_inds, states.keys)
+
+
+def exchange_best_fw(states: 'sfb.SABatchFW', fraction: float = 0.25
+                     ) -> 'sfb.SABatchFW':
+    """Finite-width population exchange (slices travel with the tree).
+
+    Same contract as :func:`exchange_best`: the worst ``fraction`` of
+    lanes (by current total cost) restart from the best lane's current
+    tree *and slice set*; lanes tied with the best keep their trees; min
+    snapshots and PRNG keys are untouched.
+    """
+    lt = states.log2_total
+    b = lt.shape[0]
+    k = max(1, int(b * fraction))
+    best = jnp.argmin(lt)
+    thresh = jnp.sort(lt)[b - k]
+    worst = (lt >= thresh) & (lt > lt[best])
+
+    def mix(cur):
+        src = jnp.take(cur, best, axis=-1)[..., None]
+        mask = worst.reshape((1,) * (cur.ndim - 1) + (b,))
+        return jnp.where(mask, src, cur)
+
+    return sfb.SABatchFW(
+        mix(states.c0), mix(states.c1), mix(states.par), mix(states.inds),
+        mix(states.hyper), mix(states.lcc), mix(states.width),
+        mix(states.slices), jnp.where(worst, lt[best], lt),
+        states.min_log2_total, states.min_c0, states.min_c1,
+        states.min_par, states.min_inds, states.min_slices, states.keys)
