@@ -35,3 +35,11 @@ tn, results = opt.optimize(rows, betas=(0, 50), n_steps=200, n_runs=64,
 best = results[0]
 print(f'width-capped best cost: {best.cost} ops, '
       f'sliced indices: {sorted(best.slices)}')
+
+# Engine selection: 'multiwalk' runs 8 concurrent walks per replica —
+# the highest-throughput device engine (betas are then per proposal
+# iteration rather than per sweep; see docs/DESIGN.md).
+opt = Optimizer(method='sa', seed=42, engine='multiwalk')
+tn, results = opt.optimize(rows, betas=(0, 50), n_steps=400, n_runs=64,
+                           fuse=False)
+print(f'multiwalk best cost: {results[0].cost} ops')
