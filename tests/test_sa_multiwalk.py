@@ -173,3 +173,31 @@ def test_multiwalk_fw_runner(rng, random_seed):
             total += fts.reduce(op.mul, (dmap[x] for x in union), 1)
         got = float(run.log2_min_totals()[i])
         assert got == pytest.approx(math.log2(total), abs=1e-3)
+
+
+def test_multiwalk_sparse_cost_model(rng, random_seed):
+    """Sparse-index cost model on the multiwalk engine: device min cost
+    matches the label-space cost model's exact recompute."""
+    from tnco_tpu.optimize.infinite_memory import SimpleCostModel
+    from tnco_tpu.parallel.replicas import ReplicaRunner
+
+    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed,
+                                                n_replicas=4)
+    all_inds = sorted(map(str, ctrees[0].all_inds()))
+    sparse = frozenset(all_inds[:2])
+    cm = SimpleCostModel(sparse_inds=sparse, n_projs=2)
+    run = ReplicaRunner(ctrees, list(range(4)), cmodel=cm,
+                        engine='multiwalk', n_walks=4)
+    run.run(np.linspace(0, 8, 40), chunk_size=20)
+    best_i, best = run.best()
+    tree = run.min_ctree(best_i)
+    is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
+    total = 0
+    tins = tree.inds
+    for p, node in enumerate(tree.nodes):
+        if node.is_leaf():
+            continue
+        total += cm.contraction_cost(tins[node.children[0]],
+                                     tins[node.children[1]], tins[p],
+                                     tree.dims)
+    assert best == pytest.approx(math.log2(total), abs=1e-3)
