@@ -53,6 +53,16 @@ class MetropolisHastings(BaseProbability):
     ``p = 1`` if ``delta <= 0``; ``0`` if ``old == 0``; else
     ``(1 + delta/old)^(-beta)`` — note: *relative* cost, not the textbook
     ``exp(-beta * delta)`` (reference prob/mh.hpp:45-59).
+
+    Examples:
+        >>> from tnco_tpu.optimize.prob import MetropolisHastings
+        >>> mh = MetropolisHastings(beta=2.0)
+        >>> mh(-1.0, 10.0)
+        1.0
+        >>> round(mh(10.0, 10.0), 4)  # (1 + 1)^-2
+        0.25
+        >>> mh(1.0, 0.0)
+        0.0
     """
 
     kind = 'mh'

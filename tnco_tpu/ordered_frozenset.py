@@ -13,7 +13,22 @@ __all__ = ['OrderedFrozenSet']
 
 
 class OrderedFrozenSet(Set, Hashable):
-    """Immutable set preserving first-insertion order of its elements."""
+    """Immutable set preserving first-insertion order of its elements.
+
+    Deterministic label ordering (independent of PYTHONHASHSEED) is what
+    makes runs bitwise reproducible (reference
+    tnco/ordered_frozenset.py:25-268).
+
+    Examples:
+        >>> from tnco_tpu.ordered_frozenset import OrderedFrozenSet
+        >>> s = OrderedFrozenSet(['c', 'a', 'b', 'a'])
+        >>> list(s)
+        ['c', 'a', 'b']
+        >>> list(s | OrderedFrozenSet(['d', 'a']))
+        ['c', 'a', 'b', 'd']
+        >>> s == frozenset('abc')
+        True
+    """
 
     __slots__ = ('_map', '_hash')
 

@@ -290,6 +290,16 @@ def read_inds(inds_map,
     """Parses the index-map format: index -> (dim, tensor names...).
 
     Reference: tnco/utils/tn.py:520-569.
+
+    Examples:
+        >>> from tnco_tpu.utils.tn import read_inds
+        >>> # Row per index: (dim, owning tensors); '*' marks outputs.
+        >>> tmap, dims, out, sparse = read_inds(
+        ...     {'i': (2, 'A', 'B'), 'j': (4, 'B', '*')})
+        >>> tmap == {'A': ('i',), 'B': ('i', 'j')}
+        True
+        >>> dims == {'i': 2, 'j': 4} and set(out) == {'j'}
+        True
     """
     if output_index_token == sparse_index_token:
         raise ValueError(
