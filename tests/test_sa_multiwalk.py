@@ -90,6 +90,62 @@ def test_multiwalk_validity_and_audits(n_walks, rng, random_seed):
                                                              abs=1e-3)
 
 
+@pytest.mark.parametrize('walk_chunk', [1, 2, 4])
+def test_multiwalk_chunked_bit_identical(walk_chunk, rng, random_seed):
+    """walk_chunk grouping is bit-identical to the unchunked engine:
+    kept proposals touch pairwise-disjoint rows, so group-wise additive
+    application only adds exact zeros elsewhere."""
+    n_walks = 8
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=4)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    batch = sb.init_batch(ctrees, list(range(4)), np.asarray(log2d))
+    pos = jnp.full((n_walks, 4), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 40, dtype=jnp.float32)
+
+    ref, mref = smw.run_multiwalk(batch, betas, log2d_w32, cfg, n_walks,
+                                  pos)
+    got, mgot = smw.run_multiwalk(batch, betas, log2d_w32, cfg, n_walks,
+                                  pos, walk_chunk=walk_chunk)
+    assert int(mref['applied']) == int(mgot['applied'])
+    np.testing.assert_array_equal(np.asarray(mref['pos']),
+                                  np.asarray(mgot['pos']))
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multiwalk_fw_chunked_bit_identical(rng, random_seed):
+    """Finite-width variant of the chunked bit-identity check."""
+    from tnco_tpu.kernels import sa_finite_batched as sfb
+    from tnco_tpu.kernels.sa_finite import SweepConfigFW
+
+    n_walks = 4
+    max_width = 3.0
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=3)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfigFW(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    skip = jnp.zeros(n_lanes, dtype=jnp.uint32)
+    batch = sfb.init_batch_fw(ctrees, list(range(3)), max_width,
+                              np.asarray(log2d),
+                              skip_lanes=np.asarray(skip))
+    pos = jnp.full((n_walks, 3), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 30, dtype=jnp.float32)
+    upd = jnp.asarray(np.arange(30) % 10 == 0)
+
+    ref, _ = smw.run_multiwalk_fw(batch, betas, upd, max_width, log2d_w32,
+                                  skip, cfg, n_walks, pos)
+    got, _ = smw.run_multiwalk_fw(batch, betas, upd, max_width, log2d_w32,
+                                  skip, cfg, n_walks, pos, walk_chunk=2)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_multiwalk_greedy_monotone(rng, random_seed):
     ctrees, *_ = _setup(rng, random_seed, n_replicas=4)
     template = ctrees[0]

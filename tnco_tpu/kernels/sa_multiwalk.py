@@ -22,6 +22,15 @@ Metropolis rule) is identical to the reference sweep
 walk scheduling differs, so this engine trades bit-parity with the
 sequential engines for throughput.
 
+Large networks / large ``P``: pass ``walk_chunk`` to evaluate and apply
+walks in groups of that size.  Grouping bounds the fused ``[P, N, W, B]``
+broadcast temporaries (which otherwise stall XLA compilation at
+Sycamore-scale shapes for B >= 256) at ``[walk_chunk, N, W, B]`` while
+keeping results bit-identical: kept proposals touch pairwise-disjoint
+rows, so per-group additive application only ever adds exact zeros
+elsewhere.  The conflict filter itself is pairwise on node ids —
+O(P^2 * B), independent of the tree size.
+
 The infinite-memory and finite-width iterations share the proposal
 geometry, conflict filter and additive application through the helpers
 below; the finite-width variant adds the width cap, shared slice lanes
@@ -62,12 +71,13 @@ def _helpers(iota_n):
 
 
 def _propose(c0, c1, par, inds, lcc, pos, leaf, rand_bit, cfg, iota_n):
-    """Shared proposal geometry for all P walks of all lanes.
+    """Shared proposal geometry for one group of walks of all lanes.
 
     Restarts finished walks at ``leaf``, gathers the {A,B,C,D,E}
     neighborhood, picks D/E with the shared-index guarantee and builds
-    ``new_inds_b`` with on-the-fly hyper rows.  Returns a dict of all
-    per-walk quantities the engine variants need.
+    ``new_inds_b`` with on-the-fly hyper rows.  Returns per-walk node ids
+    and index-lane sets; the ``[P, N, B]`` row masks never escape (they
+    are rebuilt where needed so group-wise evaluation stays bounded).
     """
     row_mask, grow_i, grow_f, grow_u = _helpers(iota_n)
 
@@ -87,9 +97,8 @@ def _propose(c0, c1, par, inds, lcc, pos, leaf, rand_bit, cfg, iota_n):
     c0a = grow_i(c0, m_a)
     c1a = grow_i(c1, m_a)
     c = jnp.where(c0a == b, c1a, c0a)
-    m_c = row_mask(c)
 
-    inds_c = grow_u(inds, m_c)
+    inds_c = grow_u(inds, row_mask(c))
     inds0 = grow_u(inds, row_mask(c0b))
     inds1 = grow_u(inds, row_mask(c1b))
     inds_a = grow_u(inds, m_a)
@@ -108,14 +117,41 @@ def _propose(c0, c1, par, inds, lcc, pos, leaf, rand_bit, cfg, iota_n):
     hyp_b = inds_b & inds0 & inds1
     new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
 
-    return dict(pos=pos, a=a, b=b, c=c, d=d, e=e, m_a=m_a, m_b=m_b,
-                m_c=m_c, m_e=row_mask(e), c0a=c0a, c1a=c1a, c0b=c0b,
+    return dict(a=a, b=b, c=c, d=d, e=e, c0a=c0a, c1a=c1a, c0b=c0b,
                 c1b=c1b, inds_b=inds_b, inds_c=inds_c, inds_d=inds_d,
                 inds_e=inds_e, new_inds_b=new_inds_b,
                 l_a=grow_f(lcc, m_a), l_b=grow_f(lcc, m_b))
 
 
-def _accept(cfg, u, beta, l_new, lt, pr):
+_EV_IDS = ('a', 'b', 'c', 'd', 'e', 'c0a', 'c1a', 'c0b', 'c1b')
+
+
+def _eval_chunked(body, pos, leaf, rand_bit, walk_chunk):
+    """Evaluates ``body(pos, leaf, rand_bit)`` over walk groups.
+
+    ``body`` maps ``[Pc, B]`` per-walk draws to a dict of per-walk
+    ``[Pc, ...]`` arrays (the compact evaluation: node ids, widths and
+    ``dinds`` — never ``[Pc, N, B]`` masks).  With ``walk_chunk`` in
+    (0, P) the groups run under ``lax.map`` so only one group's fused
+    temporaries are live at a time.
+    """
+    p = pos.shape[0]
+    if not walk_chunk or walk_chunk >= p:
+        return body(pos, leaf, rand_bit)
+    if p % walk_chunk:
+        raise ValueError(
+            f"walk_chunk ({walk_chunk}) must divide n_walks ({p}).")
+    g = p // walk_chunk
+
+    def regroup(x):
+        return x.reshape((g, walk_chunk) + x.shape[1:])
+
+    out = jax.lax.map(lambda xs: body(*xs),
+                      (regroup(pos), regroup(leaf), regroup(rand_bit)))
+    return jax.tree.map(lambda x: x.reshape((p,) + x.shape[2:]), out)
+
+
+def _accept(cfg, u, beta, l_new, lt, ev):
     if cfg.prob_kind == 'mh':
         acc = jnp.log2(u) <= -beta * (l_new - lt[None, :])
     elif cfg.prob_kind == 'greedy':
@@ -123,68 +159,98 @@ def _accept(cfg, u, beta, l_new, lt, pr):
     else:
         acc = jnp.ones_like(l_new, dtype=bool)
     # Root-adjacent walks (B is the root: no uncle) only advance.
-    return acc & (pr['b'] != NULL) & (pr['a'] != NULL)
+    return acc & (ev['b'] != NULL) & (ev['a'] != NULL)
 
 
-def _claim_disjoint(accept, pr, iota_n):
+def _claim_disjoint(accept, ev):
     """Priority conflict filter: lower walk index wins; a proposal is
-    applied only if none of its 5 nodes is claimed by an earlier applied
-    walk."""
-    row_mask, grow_i, *_ = _helpers(iota_n)
-    nodes5 = jnp.stack([pr['a'], pr['b'], pr['c'], pr['d'], pr['e']])
+    applied only if none of its 5 nodes collides with an earlier applied
+    walk's 5.  Pairwise node-id comparisons — O(P^2 * B) work independent
+    of the tree size (accepted walks always carry 5 valid ids, and NULL
+    ids of rejected walks never block anyone)."""
+    nodes5 = jnp.stack([ev[k] for k in ('a', 'b', 'c', 'd', 'e')])
     p = accept.shape[0]
+    walk_idx = jnp.arange(p)
 
-    def claim(pi, state):
-        claimed, keep = state
-        rows = nodes5[:, pi, :]  # [5, B]
-        taken = jnp.zeros(rows.shape[1], dtype=bool)
-        for j in range(5):
-            taken = taken | grow_i(claimed.astype(jnp.int32),
-                                   row_mask(rows[j][None]))[0].astype(bool)
-        ok = accept[pi] & ~taken
-        mask_any = jnp.zeros_like(claimed)
-        for j in range(5):
-            mask_any = mask_any | (iota_n == rows[j][None, :])
-        claimed = claimed | (mask_any & ok[None, :])
-        keep = keep.at[pi].set(ok)
-        return claimed, keep
+    def claim(pi, keep):
+        rows = jax.lax.dynamic_index_in_dim(nodes5, pi, axis=1,
+                                            keepdims=False)  # [5, B]
+        eq = rows[:, None, None, :] == nodes5[None]  # [5, 5, P, B]
+        confl = jnp.any(eq, axis=(0, 1))  # [P, B]
+        blocked = jnp.any(keep & confl & (walk_idx < pi)[:, None], axis=0)
+        acc = jax.lax.dynamic_index_in_dim(accept, pi, keepdims=False)
+        return jax.lax.dynamic_update_index_in_dim(
+            keep, acc & ~blocked, pi, axis=0)
 
-    claimed0 = jnp.zeros((iota_n.shape[0], accept.shape[1]), dtype=bool)
-    keep0 = jnp.zeros_like(accept)
-    _, keep = jax.lax.fori_loop(0, p, claim, (claimed0, keep0))
-    return keep
+    return jax.lax.fori_loop(0, p, claim, jnp.zeros_like(accept))
 
 
-def _apply_kept(c0, c1, par, inds, lcc, keep, pr, ln_a, ln_b):
-    """Applies all kept proposals in one additive pass per array
-    (disjoint rows => at most one nonzero contribution per element)."""
-    a, b, c, e = pr['a'], pr['b'], pr['c'], pr['e']
-    m_a, m_b, m_c, m_e = pr['m_a'], pr['m_b'], pr['m_c'], pr['m_e']
-    kf = keep[:, None, :]  # [P, 1, B] over N
+def _apply_kept(c0, c1, par, inds, lcc, keep, ev, iota_n, walk_chunk,
+                width_pre=None):
+    """Applies all kept proposals additively (disjoint rows => at most one
+    nonzero contribution per element), rebuilding row masks from node ids
+    group by group so per-group temporaries stay at ``[Pc, N, B]``.
 
-    def add_i(base, contrib_pnb):
-        return base + jnp.sum(jnp.where(kf, contrib_pnb, 0), axis=0,
-                              dtype=base.dtype)
+    If ``width_pre`` ([N, B] pre-slicing widths) is given, its B rows
+    follow the rewrite using ``ev['new_width_b']`` (finite-width engines).
+    """
+    row_mask, grow_i, grow_f, _ = _helpers(iota_n)
 
-    c0_delta = (m_a * (pr['c0a'] == c)[:, None, :] * (e - c)[:, None, :] +
-                m_b * (pr['c0b'] == e)[:, None, :] * (c - e)[:, None, :])
-    c1_delta = (m_a * (pr['c1a'] == c)[:, None, :] * (e - c)[:, None, :] +
-                m_b * (pr['c1b'] == e)[:, None, :] * (c - e)[:, None, :])
-    par_delta = (m_c * (b - a)[:, None, :] + m_e * (a - b)[:, None, :])
-    c0 = add_i(c0, c0_delta)
-    c1 = add_i(c1, c1_delta)
-    par = add_i(par, par_delta)
+    def one_group(state, ev_g, keep_g):
+        c0, c1, par, inds, lcc, width_pre = state
+        a, b, c, e = ev_g['a'], ev_g['b'], ev_g['c'], ev_g['e']
+        m_a, m_b = row_mask(a), row_mask(b)
+        m_c, m_e = row_mask(c), row_mask(e)
+        kf = keep_g[:, None, :]  # [Pc, 1, B] over N
 
-    inds_delta = (m_b[:, :, None, :] *
-                  (pr['new_inds_b'] - pr['inds_b'])[:, None, :, :])
-    inds = inds + jnp.sum(
-        jnp.where(keep[:, None, None, :], inds_delta, jnp.uint32(0)),
-        axis=0, dtype=jnp.uint32)
+        def add_i(base, contrib):
+            return base + jnp.sum(jnp.where(kf, contrib, 0), axis=0,
+                                  dtype=base.dtype)
 
-    lcc_delta = (m_a * (ln_a - pr['l_a'])[:, None, :] +
-                 m_b * (ln_b - pr['l_b'])[:, None, :])
-    lcc = lcc + jnp.sum(jnp.where(kf, lcc_delta, 0.0), axis=0)
-    return c0, c1, par, inds, lcc
+        ec = (e - c)[:, None, :]
+        c0_delta = (m_a * (ev_g['c0a'] == c)[:, None, :] * ec -
+                    m_b * (ev_g['c0b'] == e)[:, None, :] * ec)
+        c1_delta = (m_a * (ev_g['c1a'] == c)[:, None, :] * ec -
+                    m_b * (ev_g['c1b'] == e)[:, None, :] * ec)
+        par_delta = (m_c * (b - a)[:, None, :] + m_e * (a - b)[:, None, :])
+        c0 = add_i(c0, c0_delta)
+        c1 = add_i(c1, c1_delta)
+        par = add_i(par, par_delta)
+
+        inds_delta = m_b[:, :, None, :] * ev_g['dinds'][:, None, :, :]
+        inds = inds + jnp.sum(
+            jnp.where(keep_g[:, None, None, :], inds_delta, jnp.uint32(0)),
+            axis=0, dtype=jnp.uint32)
+
+        lcc_delta = (m_a * (ev_g['ln_a'] - ev_g['l_a'])[:, None, :] +
+                     m_b * (ev_g['ln_b'] - ev_g['l_b'])[:, None, :])
+        lcc = lcc + jnp.sum(jnp.where(kf, lcc_delta, 0.0), axis=0)
+
+        if width_pre is not None:
+            w_b = grow_f(width_pre, m_b)
+            width_delta = m_b * (ev_g['new_width_b'] - w_b)[:, None, :]
+            width_pre = width_pre + jnp.sum(
+                jnp.where(kf, width_delta, 0.0), axis=0)
+        return (c0, c1, par, inds, lcc, width_pre)
+
+    p = keep.shape[0]
+    state = (c0, c1, par, inds, lcc, width_pre)
+    if not walk_chunk or walk_chunk >= p:
+        return one_group(state, ev, keep)
+    g = p // walk_chunk
+
+    def regroup(x):
+        return x.reshape((g, walk_chunk) + x.shape[1:])
+
+    ev_r = jax.tree.map(regroup, ev)
+    keep_r = regroup(keep)
+
+    def step(gi, state):
+        take = fts.partial(jax.lax.dynamic_index_in_dim, index=gi, axis=0,
+                           keepdims=False)
+        return one_group(state, jax.tree.map(take, ev_r), take(keep_r))
+
+    return jax.lax.fori_loop(0, g, step, state)
 
 
 def _draws(keys, n, p, dtype, n_keys):
@@ -201,7 +267,7 @@ def _draws(keys, n, p, dtype, n_keys):
 
 
 def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
-                    iota_n, sparse_wb, log2_n_projs):
+                    walk_chunk, iota_n, sparse_wb, log2_n_projs):
     (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1, min_par, min_inds,
      keys, pos, moves, applied) = carry
     n_leaves = cfg.n_leaves
@@ -209,7 +275,7 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
     keys, leaf, rand_bit, u, _ = _draws(keys, n_leaves, n_walks,
                                         log2d_w32.dtype, 4)
 
-    def width(lanes_pwb):  # [P,W,B] -> [P,B]
+    def width(lanes_pwb):  # [Pc,W,B] -> [Pc,B]
         return jax.vmap(
             lambda lw: _width_b(lw, log2d_w32, sparse_wb=sparse_wb,
                                 log2_n_projs=log2_n_projs))(lanes_pwb)
@@ -217,20 +283,26 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
     # Exact total each iteration (the applied deltas drift by ~1 ulp).
     lt = _log2_total_b(lcc, n_leaves)
 
-    pr = _propose(c0, c1, par, inds, lcc, pos, leaf, rand_bit, cfg,
-                  iota_n)
-    ln_b = width(pr['inds_d'] | pr['inds_c'])
-    ln_a = width(pr['new_inds_b'] | pr['inds_e'])
-    l_new = costs_ops.new_total_log2(lt[None, :], pr['l_a'], pr['l_b'],
-                                     ln_a, ln_b)
-    accept = _accept(cfg, u, beta, l_new, lt, pr)
-    keep = _claim_disjoint(accept, pr, iota_n)
-    c0, c1, par, inds, lcc = _apply_kept(c0, c1, par, inds, lcc, keep, pr,
-                                         ln_a, ln_b)
+    def body(pos_g, leaf_g, rand_bit_g):
+        pr = _propose(c0, c1, par, inds, lcc, pos_g, leaf_g, rand_bit_g,
+                      cfg, iota_n)
+        ev = {k: pr[k] for k in _EV_IDS + ('l_a', 'l_b')}
+        ev['ln_b'] = width(pr['inds_d'] | pr['inds_c'])
+        ev['ln_a'] = width(pr['new_inds_b'] | pr['inds_e'])
+        ev['dinds'] = pr['new_inds_b'] - pr['inds_b']
+        return ev
+
+    ev = _eval_chunked(body, pos, leaf, rand_bit, walk_chunk)
+    l_new = costs_ops.new_total_log2(lt[None, :], ev['l_a'], ev['l_b'],
+                                     ev['ln_a'], ev['ln_b'])
+    accept = _accept(cfg, u, beta, l_new, lt, ev)
+    keep = _claim_disjoint(accept, ev)
+    c0, c1, par, inds, lcc, _ = _apply_kept(c0, c1, par, inds, lcc, keep,
+                                            ev, iota_n, walk_chunk)
 
     # Advance every walk (kept or not — a rejected proposal still moves
     # up, exactly like the sequential sweep).
-    pos = pr['a']
+    pos = ev['a']
     moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
     applied = applied + jnp.sum(keep.astype(jnp.int32))
 
@@ -255,17 +327,21 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
             min_inds, keys, pos, moves, applied)
 
 
-@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks'))
+@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk'))
 def run_multiwalk(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
-                  n_walks: int, pos, sparse_wb=None, log2_n_projs=None):
+                  n_walks: int, pos, sparse_wb=None, log2_n_projs=None,
+                  walk_chunk: int = 0):
     """Runs one multi-walk iteration per beta (P proposals per replica
-    per iteration)."""
+    per iteration).  ``walk_chunk`` in (0, P) evaluates/applies walks in
+    groups of that size (bit-identical; bounds compile-time temporaries
+    on large networks)."""
     n = batch.c0.shape[0]
     iota_n = jnp.arange(n, dtype=jnp.int32)[:, None]
 
     def step(carry, beta):
         carry = _iter_multiwalk(carry, beta, log2d_w32, cfg, n_walks,
-                                iota_n, sparse_wb, log2_n_projs)
+                                walk_chunk, iota_n, sparse_wb,
+                                log2_n_projs)
         return carry, None
 
     carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,
@@ -291,8 +367,8 @@ def run_multiwalk(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
 
 
 def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
-                       skip_wb, cfg, n_walks, iota_n, sparse_wb,
-                       log2_n_projs):
+                       skip_wb, cfg, n_walks, walk_chunk, iota_n,
+                       sparse_wb, log2_n_projs):
     """Finite-width multi-walk iteration: width-capped proposals against
     a shared per-lane slice set (+ optional greedy reslice-if-better,
     mirroring the lockstep FW engine's post-sweep cadence)."""
@@ -313,31 +389,30 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
                                 log2_n_projs=log2_n_projs))(lanes_pwb)
 
     lt = _log2_total_b(lcc, n_leaves)
+    sl = slices[None, :, :]  # [1, W, B] broadcast over the walk group
 
-    pr = _propose(c0, c1, par, inds, lcc, pos, leaf, rand_bit, cfg,
-                  iota_n)
-    sl = slices[None, :, :]  # [1, W, B] broadcast over P
-    new_width_b = width(pr['new_inds_b'])
-    new_sliced_width_b = width(pr['new_inds_b'] & ~sl)
-    fits = new_sliced_width_b <= max_width + _WIDTH_EPS
+    def body(pos_g, leaf_g, rand_bit_g):
+        pr = _propose(c0, c1, par, inds, lcc, pos_g, leaf_g, rand_bit_g,
+                      cfg, iota_n)
+        ev = {k: pr[k] for k in _EV_IDS + ('l_a', 'l_b')}
+        ev['new_width_b'] = width(pr['new_inds_b'])
+        new_sliced_width_b = width(pr['new_inds_b'] & ~sl)
+        ev['fits'] = new_sliced_width_b <= max_width + _WIDTH_EPS
+        ev['ln_b'] = width((pr['inds_d'] | pr['inds_c']) | sl)
+        ev['ln_a'] = width((pr['new_inds_b'] | pr['inds_e']) | sl)
+        ev['dinds'] = pr['new_inds_b'] - pr['inds_b']
+        return ev
 
-    ln_b = width((pr['inds_d'] | pr['inds_c']) | sl)
-    ln_a = width((pr['new_inds_b'] | pr['inds_e']) | sl)
-    l_new = costs_ops.new_total_log2(lt[None, :], pr['l_a'], pr['l_b'],
-                                     ln_a, ln_b)
-    accept = _accept(cfg, u, beta, l_new, lt, pr) & fits
-    keep = _claim_disjoint(accept, pr, iota_n)
-    c0, c1, par, inds, lcc = _apply_kept(c0, c1, par, inds, lcc, keep, pr,
-                                         ln_a, ln_b)
+    ev = _eval_chunked(body, pos, leaf, rand_bit, walk_chunk)
+    l_new = costs_ops.new_total_log2(lt[None, :], ev['l_a'], ev['l_b'],
+                                     ev['ln_a'], ev['ln_b'])
+    accept = _accept(cfg, u, beta, l_new, lt, ev) & ev['fits']
+    keep = _claim_disjoint(accept, ev)
+    c0, c1, par, inds, lcc, width_pre = _apply_kept(
+        c0, c1, par, inds, lcc, keep, ev, iota_n, walk_chunk,
+        width_pre=width_pre)
 
-    # Pre-slicing width cache follows the B-row rewrite
-    _, _, grow_f, _ = _helpers(iota_n)
-    w_b = grow_f(width_pre, pr['m_b'])
-    width_delta = pr['m_b'] * (new_width_b - w_b)[:, None, :]
-    width_pre = width_pre + jnp.sum(
-        jnp.where(keep[:, None, :], width_delta, 0.0), axis=0)
-
-    pos = pr['a']
+    pos = ev['a']
     moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
     applied = applied + jnp.sum(keep.astype(jnp.int32))
 
@@ -380,10 +455,11 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
             applied)
 
 
-@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks'))
+@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk'))
 def run_multiwalk_fw(batch, betas, update_slices_mask, max_width,
                      log2d_w32, skip_wb, cfg, n_walks: int, pos,
-                     sparse_wb=None, log2_n_projs=None):
+                     sparse_wb=None, log2_n_projs=None,
+                     walk_chunk: int = 0):
     """Finite-width multi-walk: one iteration per beta.
 
     ``batch`` is a :class:`tnco_tpu.kernels.sa_finite_batched.SABatchFW`;
@@ -398,8 +474,8 @@ def run_multiwalk_fw(batch, betas, update_slices_mask, max_width,
     def step(carry, x):
         beta, upd = x
         carry = _iter_multiwalk_fw(carry, beta, upd, max_width, log2d_w32,
-                                   skip_wb, cfg, n_walks, iota_n,
-                                   sparse_wb, log2_n_projs)
+                                   skip_wb, cfg, n_walks, walk_chunk,
+                                   iota_n, sparse_wb, log2_n_projs)
         return carry, None
 
     carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,

@@ -127,6 +127,7 @@ class ReplicaRunner:
                  mesh=None,
                  engine: str = 'auto',
                  n_walks: int = 8,
+                 walk_chunk: int = 0,
                  dtype=jnp.float32) -> None:
         """``engine``: 'auto' | 'batched' | 'vmapped' | 'native' |
         'multiwalk'.
@@ -144,7 +145,9 @@ class ReplicaRunner:
         measurably better best costs at equal wall-clock
         (docs/QUALITY.md).  Betas are per *iteration* (one proposal per
         walk), not per sweep — opt-in because of the different schedule
-        semantics.
+        semantics.  ``walk_chunk`` in (0, n_walks) evaluates walks in
+        groups of that size (bit-identical results; bounds the fused
+        temporaries that stall XLA compilation on very large networks).
         """
         ctrees = list(ctrees)
         seeds = list(seeds)
@@ -190,6 +193,7 @@ class ReplicaRunner:
             raise ValueError(f"Unknown engine: {engine!r}")
         self.engine = engine
         self.n_walks = int(n_walks)
+        self.walk_chunk = int(walk_chunk)
 
         if engine == 'native':
             self._init_native(ctrees, seeds)
@@ -344,7 +348,7 @@ class ReplicaRunner:
                 self.states, metrics = smw.run_multiwalk(
                     self.states, jnp.asarray(chunk), self.log2d_w32,
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs)
+                    self.log2_n_projs, walk_chunk=self.walk_chunk)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             else:
@@ -451,6 +455,7 @@ class ReplicaRunnerFW:
                  mesh=None,
                  engine: str = 'auto',
                  n_walks: int = 8,
+                 walk_chunk: int = 0,
                  dtype=jnp.float32) -> None:
         ctrees = list(ctrees)
         seeds = list(seeds)
@@ -499,6 +504,7 @@ class ReplicaRunnerFW:
                              "max_number_new_slices.")
         self.engine = engine
         self.n_walks = int(n_walks)
+        self.walk_chunk = int(walk_chunk)
 
         if engine == 'native':
             self._init_native_fw(ctrees, seeds)
@@ -670,7 +676,7 @@ class ReplicaRunnerFW:
                     self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
                     self.max_width, self.log2d_w32, self.skip_lanes,
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs)
+                    self.log2_n_projs, walk_chunk=self.walk_chunk)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             else:
