@@ -146,6 +146,53 @@ def test_multiwalk_fw_chunked_bit_identical(rng, random_seed):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_mxu_pack_roundtrip(rng, random_seed):
+    """Piece-plane packing is lossless for ids, lanes and f32 costs."""
+    from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
+
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=3)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    batch = sb.init_batch(ctrees, list(range(3)), np.asarray(log2d))
+    R = mxu.pack_state(batch.c0, batch.c1, batch.par, batch.lcc,
+                       batch.inds)
+    c0, c1, par, lcc, inds = mxu.unpack_state(R)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(batch.c0))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(batch.c1))
+    np.testing.assert_array_equal(np.asarray(par), np.asarray(batch.par))
+    np.testing.assert_array_equal(np.asarray(inds),
+                                  np.asarray(batch.inds))
+    np.testing.assert_array_equal(np.asarray(lcc), np.asarray(batch.lcc))
+
+
+@pytest.mark.parametrize('n_walks', [4, 8])
+def test_mxu_bit_identical(n_walks, rng, random_seed):
+    """The MXU (one-hot GEMM) engine reproduces the masked multi-walk
+    engine's trajectories bit for bit."""
+    from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
+
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=4)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    batch = sb.init_batch(ctrees, list(range(4)), np.asarray(log2d))
+    pos = jnp.full((n_walks, 4), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 40, dtype=jnp.float32)
+
+    ref, mref = smw.run_multiwalk(batch, betas, log2d_w32, cfg, n_walks,
+                                  pos)
+    got, mgot = mxu.run_multiwalk_mxu(batch, betas, log2d_w32, cfg,
+                                      n_walks, pos)
+    assert int(mref['applied']) == int(mgot['applied'])
+    np.testing.assert_array_equal(np.asarray(mref['pos']),
+                                  np.asarray(mgot['pos']))
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_multiwalk_greedy_monotone(rng, random_seed):
     ctrees, *_ = _setup(rng, random_seed, n_replicas=4)
     template = ctrees[0]

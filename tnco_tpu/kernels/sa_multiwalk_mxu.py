@@ -1,0 +1,309 @@
+"""MXU multi-walk SA engine for very large networks.
+
+Same synchronous multi-walk semantics as
+:mod:`tnco_tpu.kernels.sa_multiwalk` (P concurrent leaf-to-root walks per
+replica, Metropolis accepts against the shared total, pairwise-disjoint
+application) — but every row gather and row write is a one-hot batched
+matmul on the MXU instead of a masked pass over the ``[N, ...]`` state.
+
+Why: on Sycamore-scale networks (N ~ 3000, W = 64 lanes) the masked
+engines are compute-bound on ``[P, N, W, B]`` broadcasts (~5.5 ms per
+masked pass at B=256, P=64) and XLA's gather/scatter lowering costs
+~1.1 ms per call / 7.4 ms per scatter (docs/ROADMAP.md measurements).  A
+batched GEMM ``[Q, N] x [N, F]`` over B lanes moves the same rows in
+tens of microseconds of MXU time.
+
+Exactness: MXU operands are bf16, so the state is stored as bf16 *piece
+planes* — every 32-bit quantity split into four 8-bit pieces (node ids:
+two pieces of ``id+1``; ``lcc`` float32 bitcast to uint32 first).  Each
+piece is an integer in [0, 255], exactly representable in bf16; one-hot
+rows are exactly 0/1; products are exact; float32 accumulation over a
+one-hot row adds exact zeros to a single exact value.  Row *placement*
+(the apply step) uses the same trick in reverse: kept rows are replaced
+via ``placed = einsum(onehot, new_row_pieces)`` plus a written-row mask —
+kept proposals touch pairwise-disjoint rows, so sums never collide.
+
+The per-walk proposal math is shared with the masked multi-walk engine
+(same draws, same widths, same accept rule, same conflict filter, and
+float updates written as ``old + (new - old)``), so trajectories are
+BIT-IDENTICAL to ``run_multiwalk`` — enforced by
+tests/test_sa_multiwalk.py::test_mxu_bit_identical.
+
+Reference semantics: include/tnco/optimize/infinite_memory/
+optimizer.hpp:90-221 (proposal geometry / acceptance), as for the other
+engines.
+"""
+
+import functools as fts
+
+import jax
+import jax.numpy as jnp
+
+from tnco_tpu.kernels.sa_batched import (SABatch, _log2_total_b, _width_b,
+                                         compute_hyper_b)
+from tnco_tpu.kernels.sa_infinite import SweepConfig
+from tnco_tpu.kernels.sa_multiwalk import (NULL, _accept, _claim_disjoint,
+                                           _draws)
+from tnco_tpu.ops import costs as costs_ops
+
+__all__ = ['run_multiwalk_mxu']
+
+_BF = jnp.bfloat16
+
+# Feature-plane layout of the packed state R [N, F, B]:
+#   [par(2) | c0(2) | c1(2) | lcc(4) | inds(4W)]
+_PAR, _C0, _C1, _LCC = 0, 2, 4, 6
+_INDS = 10
+
+
+def _id_pieces(x):
+    """int32 ids in {-1 .. 65534} -> two bf16 planes of ``id + 1``."""
+    y = (x + 1).astype(jnp.uint32)
+    return ((y & 255).astype(_BF), (y >> 8).astype(_BF))
+
+
+def _id_from(g0, g1):
+    """f32 gather outputs -> int32 ids (all-zero one-hot row -> NULL)."""
+    return (g0 + 256.0 * g1).astype(jnp.int32) - 1
+
+
+def _u32_pieces(x):
+    return tuple(((x >> (8 * k)) & jnp.uint32(255)).astype(_BF)
+                 for k in range(4))
+
+
+def _u32_from(gs):
+    out = gs[0].astype(jnp.uint32)
+    for k in (1, 2, 3):
+        out = out | (gs[k].astype(jnp.uint32) << (8 * k))
+    return out
+
+
+def _f32_pieces(x):
+    return _u32_pieces(jax.lax.bitcast_convert_type(x, jnp.uint32))
+
+
+def _f32_from(gs):
+    return jax.lax.bitcast_convert_type(_u32_from(gs), jnp.float32)
+
+
+def pack_state(c0, c1, par, lcc, inds):
+    """[N,B] node arrays + [N,W,B] lanes -> piece planes [N, F, B]."""
+    n = c0.shape[0]
+    if n >= 65535:
+        raise ValueError("MXU engine supports trees up to 65534 nodes.")
+    planes = list(_id_pieces(par)) + list(_id_pieces(c0)) + \
+        list(_id_pieces(c1)) + list(_f32_pieces(lcc))
+    for k in range(4):
+        planes.append(
+            ((inds >> (8 * k)) & jnp.uint32(255)).astype(_BF))
+    # inds pieces interleave as [W,4] -> flatten to 4W planes
+    head = jnp.stack(planes[:_INDS], axis=1)          # [N, 10, B]
+    tail = jnp.stack(planes[_INDS:], axis=2)          # [N, W, 4, B]
+    tail = tail.reshape(tail.shape[0], -1, tail.shape[-1])
+    return jnp.concatenate([head, tail], axis=1)
+
+
+def unpack_state(R):
+    """Inverse of :func:`pack_state`."""
+    gs = R.astype(jnp.float32)
+    par = _id_from(gs[:, _PAR], gs[:, _PAR + 1])
+    c0 = _id_from(gs[:, _C0], gs[:, _C0 + 1])
+    c1 = _id_from(gs[:, _C1], gs[:, _C1 + 1])
+    lcc = _f32_from([gs[:, _LCC + k] for k in range(4)])
+    w = (R.shape[1] - _INDS) // 4
+    tail = gs[:, _INDS:].reshape(gs.shape[0], w, 4, gs.shape[-1])
+    inds = _u32_from([tail[:, :, k] for k in range(4)])
+    return c0, c1, par, lcc, inds
+
+
+def _lanes_from(gf, sl):
+    """Gathered f32 features -> uint32 lanes for slice ``sl``."""
+    q, _, b = gf.shape
+    tail = gf[:, sl].reshape(q, -1, 4, b)
+    return _u32_from([tail[:, :, k] for k in range(4)])
+
+
+def _oh(idx, n):
+    """[Q, B] row ids -> bf16 one-hot [Q, N, B] (NULL -> all-zero)."""
+    iota = jnp.arange(n, dtype=jnp.int32)
+    return (iota[None, :, None] == idx[:, None, :]).astype(_BF)
+
+
+def _gather(oh, R):
+    """One-hot rows [Q,N,B] x planes [N,F,B] -> exact f32 [Q,F,B]."""
+    return jnp.einsum('qnb,nfb->qfb', oh, R,
+                      preferred_element_type=jnp.float32)
+
+
+def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
+              sparse_wb, log2_n_projs):
+    (R, minR, min_lt, keys, pos, moves, applied) = carry
+    n_leaves = cfg.n_leaves
+    f = R.shape[1]
+    ii = slice(_INDS, f)
+
+    keys, leaf, rand_bit, u, _ = _draws(keys, n_leaves, n_walks,
+                                        log2d_w32.dtype, 4)
+
+    def width(lanes_pwb):
+        return jax.vmap(
+            lambda lw: _width_b(lw, log2d_w32, sparse_wb=sparse_wb,
+                                log2_n_projs=log2_n_projs))(lanes_pwb)
+
+    lcc = _f32_from([R[:, _LCC + k].astype(jnp.float32)
+                     for k in range(4)])
+    lt = _log2_total_b(lcc, n_leaves)
+
+    # ---- Round 1: restart finished walks at a fresh leaf --------------
+    g1 = _gather(_oh(jnp.concatenate([pos, leaf]), n),
+                 R[:, _PAR:_PAR + 2])
+    par_pos = _id_from(g1[:n_walks, 0], g1[:n_walks, 1])
+    new_pos = _id_from(g1[n_walks:, 0], g1[n_walks:, 1])
+    at_boundary = (pos == NULL) | (par_pos == NULL)
+    pos = jnp.where(at_boundary, new_pos, pos)
+    b = pos
+
+    # ---- Round 2: everything at B ------------------------------------
+    oh_b = _oh(b, n)
+    gb = _gather(oh_b, R)
+    a = _id_from(gb[:, _PAR], gb[:, _PAR + 1])
+    c0b = _id_from(gb[:, _C0], gb[:, _C0 + 1])
+    c1b = _id_from(gb[:, _C1], gb[:, _C1 + 1])
+    l_b = _f32_from([gb[:, _LCC + k] for k in range(4)])
+    inds_b = _lanes_from(gb, ii)
+
+    # ---- Round 3: everything at A and B's children -------------------
+    oh3 = _oh(jnp.concatenate([a, c0b, c1b]), n)
+    g3 = _gather(oh3, R)
+    ga, g0, gc1 = (g3[:n_walks], g3[n_walks:2 * n_walks],
+                   g3[2 * n_walks:])
+    c0a = _id_from(ga[:, _C0], ga[:, _C0 + 1])
+    c1a = _id_from(ga[:, _C1], ga[:, _C1 + 1])
+    l_a = _f32_from([ga[:, _LCC + k] for k in range(4)])
+    inds_a = _lanes_from(ga, ii)
+    inds0 = _lanes_from(g0, ii)
+    inds1 = _lanes_from(gc1, ii)
+    c = jnp.where(c0a == b, c1a, c0a)
+
+    # ---- Round 4: C's index set --------------------------------------
+    oh_c = _oh(c, n)
+    inds_c = _lanes_from(_gather(oh_c, R[:, ii]), slice(0, f - _INDS))
+
+    # ---- Shared-index pick + hyper-on-the-fly (same math as masked) --
+    i0 = jnp.any(inds0 & inds_c, axis=1)
+    i1 = jnp.any(inds1 & inds_c, axis=1)
+    take0 = jnp.where(cfg.disable_shared_inds | (i0 & i1), rand_bit, i0)
+    d = jnp.where(take0, c0b, c1b)
+    e = jnp.where(take0, c1b, c0b)
+    t0m = take0[:, None, :]
+    inds_d = jnp.where(t0m, inds0, inds1)
+    inds_e = jnp.where(t0m, inds1, inds0)
+    hyp_a = inds_a & inds_b & inds_c
+    hyp_b = inds_b & inds0 & inds1
+    new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
+
+    ev = dict(a=a, b=b, c=c, d=d, e=e)
+    ln_b = width(inds_d | inds_c)
+    ln_a = width(new_inds_b | inds_e)
+    l_new = costs_ops.new_total_log2(lt[None, :], l_a, l_b, ln_a, ln_b)
+    accept = _accept(cfg, u, beta, l_new, lt, ev)
+    keep = _claim_disjoint(accept, ev)
+
+    # ---- Apply: one placement GEMM over the 4P target rows ------------
+    # New full-row values (floats written as old + (new - old) so the
+    # trajectory matches the masked engine bit for bit).
+    def row_pieces(c0_n, c1_n, par_n, lcc_n, inds_n):
+        planes = list(_id_pieces(par_n)) + list(_id_pieces(c0_n)) + \
+            list(_id_pieces(c1_n)) + list(_f32_pieces(lcc_n))
+        head = jnp.stack(planes, axis=1)              # [P, 10, B]
+        tail = jnp.stack(
+            [((inds_n >> (8 * k)) & jnp.uint32(255)).astype(_BF)
+             for k in range(4)], axis=2)              # [P, W, 4, B]
+        tail = tail.reshape(tail.shape[0], -1, tail.shape[-1])
+        return jnp.concatenate([head.astype(_BF), tail], axis=1)
+
+    par_b = a  # B's parent is A, unchanged
+    v_b = row_pieces(jnp.where(c0b == e, c, c0b),
+                     jnp.where(c1b == e, c, c1b), par_b,
+                     l_b + (ln_b - l_b), new_inds_b)
+    par_a = _id_from(ga[:, _PAR], ga[:, _PAR + 1])
+    v_a = row_pieces(jnp.where(c0a == c, e, c0a),
+                     jnp.where(c1a == c, e, c1a), par_a,
+                     l_a + (ln_a - l_a), inds_a)
+    # C and E swap parents; their other features are unchanged.
+    gc = _gather(oh_c, R[:, :_INDS])
+    ge = jnp.where(t0m, gc1[:, :_INDS], g0[:, :_INDS])
+    v_c = row_pieces(_id_from(gc[:, _C0], gc[:, _C0 + 1]),
+                     _id_from(gc[:, _C1], gc[:, _C1 + 1]), b,
+                     _f32_from([gc[:, _LCC + k] for k in range(4)]),
+                     inds_c)
+    v_e = row_pieces(_id_from(ge[:, _C0], ge[:, _C0 + 1]),
+                     _id_from(ge[:, _C1], ge[:, _C1 + 1]), a,
+                     _f32_from([ge[:, _LCC + k] for k in range(4)]),
+                     inds_e)
+
+    oh_e = jnp.where(t0m, oh3[2 * n_walks:], oh3[n_walks:2 * n_walks])
+    oh4 = jnp.concatenate([oh_b, oh3[:n_walks], oh_c, oh_e])
+    keep4 = jnp.tile(keep, (4, 1))
+    v4 = jnp.concatenate([v_b, v_a, v_c, v_e])
+    v4 = jnp.where(keep4[:, None, :], v4, _BF(0))
+    placed = jnp.einsum('qnb,qfb->nfb', oh4, v4,
+                        preferred_element_type=jnp.float32)
+    written = jnp.einsum('qnb,qb->nb', oh4,
+                         keep4.astype(_BF),
+                         preferred_element_type=jnp.float32) > 0.5
+    R = jnp.where(written[:, None, :], placed.astype(_BF), R)
+
+    pos = a
+    moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
+    applied = applied + jnp.sum(keep.astype(jnp.int32))
+
+    # ---- Min tracking -------------------------------------------------
+    lcc = _f32_from([R[:, _LCC + k].astype(jnp.float32)
+                     for k in range(4)])
+    lt_new = _log2_total_b(lcc, n_leaves)
+    improved = lt_new < min_lt
+    min_lt = jnp.where(improved, lt_new, min_lt)
+    minR = jax.lax.cond(
+        jnp.any(improved),
+        lambda mR: jnp.where(improved[None, None, :], R, mR),
+        lambda mR: mR, minR)
+
+    return (R, minR, min_lt, keys, pos, moves, applied)
+
+
+@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks'))
+def run_multiwalk_mxu(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
+                      n_walks: int, pos, sparse_wb=None,
+                      log2_n_projs=None):
+    """One MXU multi-walk iteration per beta; same contract as
+    :func:`tnco_tpu.kernels.sa_multiwalk.run_multiwalk` (bit-identical
+    trajectories)."""
+    n = batch.c0.shape[0]
+    R = pack_state(batch.c0, batch.c1, batch.par, batch.lcc, batch.inds)
+    minR = pack_state(batch.min_c0, batch.min_c1, batch.min_par,
+                      jnp.zeros_like(batch.lcc), batch.min_inds)
+
+    def step(carry, beta):
+        return _iter_mxu(carry, beta, log2d_w32, cfg, n_walks, n,
+                         sparse_wb, log2_n_projs), None
+
+    carry = (R, minR, batch.min_log2_total, batch.keys, pos,
+             jnp.int32(0), jnp.int32(0))
+    carry, _ = jax.lax.scan(step, carry, betas)
+    (R, minR, min_lt, keys, pos, moves, applied) = carry
+    c0, c1, par, lcc, inds = unpack_state(R)
+    min_c0, min_c1, min_par, _, min_inds = unpack_state(minR)
+    lt = _log2_total_b(lcc, cfg.n_leaves)
+    improved = lt < min_lt
+    min_lt = jnp.where(improved, lt, min_lt)
+    impn, impw = improved[None, :], improved[None, None, :]
+    min_c0 = jnp.where(impn, c0, min_c0)
+    min_c1 = jnp.where(impn, c1, min_c1)
+    min_par = jnp.where(impn, par, min_par)
+    min_inds = jnp.where(impw, inds, min_inds)
+    hyper = compute_hyper_b(c0, c1, inds)
+    out = SABatch(c0, c1, par, inds, hyper, lcc, lt, min_lt, min_c0,
+                  min_c1, min_par, min_inds, keys)
+    return out, {'moves': moves, 'applied': applied, 'pos': pos}
