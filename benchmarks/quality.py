@@ -20,7 +20,9 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                 n_tpu_replicas: int | None = None,
                 n_cpu_replicas: int = 256,
                 exchange_every: int = 0,
-                engine: str = 'auto') -> dict:
+                engine: str = 'auto',
+                n_walks: int = 8,
+                walk_chunk: int = 0) -> dict:
     import jax.numpy as jnp
 
     from benchmarks.run import build_config
@@ -38,7 +40,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                           'finite-width configs; ignored.')
         return _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                                seconds, seed, n_tpu_replicas,
-                               n_cpu_replicas, engine)
+                               n_cpu_replicas, engine, n_walks, walk_chunk)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
 
     n_paths = 32
@@ -67,7 +69,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
             template.inds_array.shape[1] <= 32768 else 64
     ctrees = [tree(r) for r in range(n_tpu_replicas)]
     runner = ReplicaRunner(ctrees, list(range(n_tpu_replicas)),
-                           cmodel=SimpleCostModel(), engine=engine)
+                           cmodel=SimpleCostModel(), engine=engine,
+                           n_walks=n_walks, walk_chunk=walk_chunk)
     chunk_sweeps = 128
     # Warm-up compile outside the budget
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
@@ -134,7 +137,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
 
 def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                     seconds, seed, n_tpu_replicas, n_cpu_replicas,
-                    engine: str = 'auto') -> dict:
+                    engine: str = 'auto', n_walks: int = 8,
+                    walk_chunk: int = 0) -> dict:
     """Finite-width protocol: width-capped SA + slices, same budget rule."""
     import jax.numpy as jnp
 
@@ -168,7 +172,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
             template.inds_array.shape[1] <= 32768 else 32
     ctrees = [tree(r) for r in range(n_tpu_replicas)]
     runner = ReplicaRunnerFW(ctrees, list(range(n_tpu_replicas)),
-                             cmodel=cmodel, engine=engine)
+                             cmodel=cmodel, engine=engine,
+                             n_walks=n_walks, walk_chunk=walk_chunk)
     chunk_sweeps = 64
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps, update_slices=10)
@@ -253,11 +258,17 @@ def main() -> None:
     parser.add_argument('--engine', default='auto',
                         help="'auto' | 'batched' | 'vmapped' | 'native' "
                              "| 'multiwalk'.")
+    parser.add_argument('--n-walks', type=int, default=8,
+                        help='Concurrent walks per replica (multiwalk).')
+    parser.add_argument('--walk-chunk', type=int, default=0,
+                        help='Walk group size (multiwalk; 0 = all at '
+                             'once).')
     args = parser.parse_args()
     res = run_quality(args.config, args.seconds, args.seed,
                       args.tpu_replicas, args.cpu_replicas,
                       exchange_every=args.exchange_every,
-                      engine=args.engine)
+                      engine=args.engine, n_walks=args.n_walks,
+                      walk_chunk=args.walk_chunk)
     print(json.dumps(res, indent=1))
 
 

@@ -231,6 +231,27 @@ def test_multiwalk_runner(rng, random_seed):
                                  abs=1e-3)
 
 
+def test_mxu_runner(rng, random_seed):
+    from tnco_tpu.parallel.replicas import ReplicaRunner
+
+    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed,
+                                                n_replicas=5)
+    run = ReplicaRunner(ctrees, list(range(5)), engine='mxu', n_walks=4)
+    mw = ReplicaRunner(ctrees, list(range(5)), engine='multiwalk',
+                       n_walks=4)
+    out = run.run(np.linspace(0, 10, 48), chunk_size=16)
+    out_mw = mw.run(np.linspace(0, 10, 48), chunk_size=16)
+    assert out['moves'] == 48 * 4 * 5
+    # Bit-identical to the masked multi-walk engine through the runner
+    np.testing.assert_array_equal(run.log2_min_totals(),
+                                  mw.log2_min_totals())
+    best_i, best = run.best()
+    tree = run.min_ctree(best_i)
+    is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
+    assert best == pytest.approx(math.log2(tree.total_cost_exact()),
+                                 abs=1e-3)
+
+
 def test_multiwalk_fw_runner(rng, random_seed):
     """FW multiwalk: widths respected after slicing, exact min costs."""
     import functools as fts

@@ -475,7 +475,7 @@ class BaseOptimizer:
     seed: int | None = None
     verbose: int = 0
     # tnco-tpu extension: replica-batch engine selection
-    # ('auto' | 'batched' | 'vmapped' | 'native' | 'multiwalk').
+    # ('auto' | 'batched' | 'vmapped' | 'native' | 'multiwalk' | 'mxu').
     engine: str = 'auto'
 
     def optimize(self, *args: Any, **kwargs: Any) -> Any:

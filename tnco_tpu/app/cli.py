@@ -57,7 +57,7 @@ def _build_parser() -> argparse.ArgumentParser:
     opt.add_argument('--cost-type', default='float64')
     opt.add_argument('--engine', default='auto',
                      help="Replica-batch engine: 'auto' | 'batched' | "
-                          "'vmapped' | 'native' | 'multiwalk'.")
+                          "'vmapped' | 'native' | 'multiwalk' | 'mxu'.")
     opt.add_argument('--output-format', default='json')
     opt.add_argument('--output-filename', default=None)
     opt.add_argument('--output-compression', default='auto')

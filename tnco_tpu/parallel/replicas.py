@@ -148,6 +148,11 @@ class ReplicaRunner:
         semantics.  ``walk_chunk`` in (0, n_walks) evaluates walks in
         groups of that size (bit-identical results; bounds the fused
         temporaries that stall XLA compilation on very large networks).
+
+        'mxu' is the multi-walk engine with one-hot GEMM gathers and
+        placements (kernels/sa_multiwalk_mxu.py): bit-identical
+        trajectories to 'multiwalk', much faster on very large networks
+        (Sycamore-scale) where the masked broadcasts dominate.
         """
         ctrees = list(ctrees)
         seeds = list(seeds)
@@ -189,7 +194,8 @@ class ReplicaRunner:
                 engine = 'native'
             else:
                 engine = 'vmapped'
-        if engine not in ('batched', 'vmapped', 'native', 'multiwalk'):
+        if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
+                          'mxu'):
             raise ValueError(f"Unknown engine: {engine!r}")
         self.engine = engine
         self.n_walks = int(n_walks)
@@ -227,8 +233,8 @@ class ReplicaRunner:
                 batch = _shard_batch(batch, mesh)
         self.states = batch
         self._mw_pos = jnp.full((self.n_walks, len(ctrees)), -1,
-                                jnp.int32) if engine == 'multiwalk' else \
-            None
+                                jnp.int32) if engine in ('multiwalk',
+                                                         'mxu') else None
         self.n_replicas = len(ctrees)
         self.sweeps_done = 0
         self.moves_done = 0
@@ -314,10 +320,12 @@ class ReplicaRunner:
             Metrics dict with per-replica ``log2_min_total`` (final) and the
             number of sweeps executed.
         """
-        if exchange_every and self.engine not in ('batched', 'multiwalk'):
+        if exchange_every and self.engine not in ('batched', 'multiwalk',
+                                                  'mxu'):
             from warnings import warn
-            warn(f"exchange_every is only supported by the 'batched' and "
-                 f"'multiwalk' engines (engine={self.engine!r}); ignored.")
+            warn(f"exchange_every is only supported by the 'batched', "
+                 f"'multiwalk' and 'mxu' engines "
+                 f"(engine={self.engine!r}); ignored.")
         if self.engine == 'native':
             return self._run_native(betas, chunk_size, timeout, callback)
         betas = np.asarray(betas, dtype=np.asarray(self.log2d).dtype)
@@ -351,6 +359,14 @@ class ReplicaRunner:
                     self.log2_n_projs, walk_chunk=self.walk_chunk)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
+            elif self.engine == 'mxu':
+                from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
+                self.states, metrics = mxu.run_multiwalk_mxu(
+                    self.states, jnp.asarray(chunk), self.log2d_w32,
+                    self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
+                    self.log2_n_projs)
+                self._mw_pos = metrics['pos']
+                last_min = self.states.min_log2_total
             else:
                 self.states, metrics = sa.run_sweeps_batch(
                     self.states, jnp.asarray(chunk), self.log2d, self.cfg,
@@ -361,7 +377,7 @@ class ReplicaRunner:
             pos += chunk_size
             n_chunks += 1
             if (exchange_every and
-                    self.engine in ('batched', 'multiwalk') and
+                    self.engine in ('batched', 'multiwalk', 'mxu') and
                     pos < n and n_chunks % exchange_every == 0):
                 if self.mesh is not None:
                     self.states = exchange_best_sharded(
