@@ -193,6 +193,39 @@ def test_mxu_bit_identical(n_walks, rng, random_seed):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_mxu_fw_bit_identical(rng, random_seed):
+    """Finite-width MXU engine == masked FW multi-walk engine, bit for
+    bit (width cap, shared slices, periodic reslice)."""
+    from tnco_tpu.kernels import sa_finite_batched as sfb
+    from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
+    from tnco_tpu.kernels.sa_finite import SweepConfigFW
+
+    n_walks = 4
+    max_width = 3.0
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=3)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfigFW(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    skip = jnp.zeros(n_lanes, dtype=jnp.uint32)
+    batch = sfb.init_batch_fw(ctrees, list(range(3)), max_width,
+                              np.asarray(log2d),
+                              skip_lanes=np.asarray(skip))
+    pos = jnp.full((n_walks, 3), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 30, dtype=jnp.float32)
+    upd = jnp.asarray(np.arange(30) % 10 == 0)
+
+    ref, mref = smw.run_multiwalk_fw(batch, betas, upd, max_width,
+                                     log2d_w32, skip, cfg, n_walks, pos)
+    got, mgot = mxu.run_multiwalk_fw_mxu(batch, betas, upd, max_width,
+                                         log2d_w32, skip, cfg, n_walks,
+                                         pos)
+    assert int(mref['applied']) == int(mgot['applied'])
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_multiwalk_greedy_monotone(rng, random_seed):
     ctrees, *_ = _setup(rng, random_seed, n_replicas=4)
     template = ctrees[0]
@@ -297,6 +330,31 @@ def test_multiwalk_fw_runner(rng, random_seed):
             total += fts.reduce(op.mul, (dmap[x] for x in union), 1)
         got = float(run.log2_min_totals()[i])
         assert got == pytest.approx(math.log2(total), abs=1e-3)
+
+
+def test_mxu_fw_runner(rng, random_seed):
+    """FW mxu engine through the public runner: bit-identical to the
+    masked FW multi-walk engine."""
+    from tnco_tpu.optimize.finite_width import SimpleCostModel
+    from tnco_tpu.parallel.replicas import ReplicaRunnerFW
+
+    max_width = 2.5
+    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed,
+                                                n_replicas=4)
+    runs = {}
+    for engine in ('mxu', 'multiwalk'):
+        run = ReplicaRunnerFW(ctrees, list(range(4)),
+                              cmodel=SimpleCostModel(max_width=max_width),
+                              engine=engine, n_walks=4)
+        run.run(np.linspace(0, 10, 64), chunk_size=32, update_slices=8)
+        runs[engine] = run
+    np.testing.assert_array_equal(runs['mxu'].log2_min_totals(),
+                                  runs['multiwalk'].log2_min_totals())
+    i = int(np.argmin(runs['mxu'].log2_min_totals()))
+    tree = runs['mxu'].min_ctree(i)
+    is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
+    np.testing.assert_array_equal(runs['mxu'].min_slices_lanes(i),
+                                  runs['multiwalk'].min_slices_lanes(i))
 
 
 def test_multiwalk_sparse_cost_model(rng, random_seed):

@@ -46,14 +46,18 @@ from tnco_tpu.kernels.sa_multiwalk import (NULL, _accept, _claim_disjoint,
                                            _draws)
 from tnco_tpu.ops import costs as costs_ops
 
-__all__ = ['run_multiwalk_mxu']
+__all__ = ['run_multiwalk_mxu', 'run_multiwalk_fw_mxu']
 
 _BF = jnp.bfloat16
 
 # Feature-plane layout of the packed state R [N, F, B]:
 #   [par(2) | c0(2) | c1(2) | lcc(4) | inds(4W)]
+# The finite-width variant inserts a width_pre f32 block before inds:
+#   [par(2) | c0(2) | c1(2) | lcc(4) | wpre(4) | inds(4W)]
 _PAR, _C0, _C1, _LCC = 0, 2, 4, 6
 _INDS = 10
+_WPRE = 10
+_INDS_FW = 14
 
 
 def _id_pieces(x):
@@ -87,34 +91,45 @@ def _f32_from(gs):
     return jax.lax.bitcast_convert_type(_u32_from(gs), jnp.float32)
 
 
-def pack_state(c0, c1, par, lcc, inds):
-    """[N,B] node arrays + [N,W,B] lanes -> piece planes [N, F, B]."""
+def pack_state(c0, c1, par, lcc, inds, width=None):
+    """[N,B] node arrays + [N,W,B] lanes -> piece planes [N, F, B].
+
+    With ``width`` (finite-width pre-slicing widths, [N,B] f32) the
+    layout gains the wpre block between lcc and inds.
+    """
     n = c0.shape[0]
     if n >= 65535:
         raise ValueError("MXU engine supports trees up to 65534 nodes.")
     planes = list(_id_pieces(par)) + list(_id_pieces(c0)) + \
         list(_id_pieces(c1)) + list(_f32_pieces(lcc))
+    if width is not None:
+        planes += list(_f32_pieces(width))
+    n_head = len(planes)
     for k in range(4):
         planes.append(
             ((inds >> (8 * k)) & jnp.uint32(255)).astype(_BF))
     # inds pieces interleave as [W,4] -> flatten to 4W planes
-    head = jnp.stack(planes[:_INDS], axis=1)          # [N, 10, B]
-    tail = jnp.stack(planes[_INDS:], axis=2)          # [N, W, 4, B]
+    head = jnp.stack(planes[:n_head], axis=1)         # [N, 10|14, B]
+    tail = jnp.stack(planes[n_head:], axis=2)         # [N, W, 4, B]
     tail = tail.reshape(tail.shape[0], -1, tail.shape[-1])
     return jnp.concatenate([head, tail], axis=1)
 
 
-def unpack_state(R):
+def unpack_state(R, with_width=False):
     """Inverse of :func:`pack_state`."""
     gs = R.astype(jnp.float32)
     par = _id_from(gs[:, _PAR], gs[:, _PAR + 1])
     c0 = _id_from(gs[:, _C0], gs[:, _C0 + 1])
     c1 = _id_from(gs[:, _C1], gs[:, _C1 + 1])
     lcc = _f32_from([gs[:, _LCC + k] for k in range(4)])
-    w = (R.shape[1] - _INDS) // 4
-    tail = gs[:, _INDS:].reshape(gs.shape[0], w, 4, gs.shape[-1])
+    i0 = _INDS_FW if with_width else _INDS
+    w = (R.shape[1] - i0) // 4
+    tail = gs[:, i0:].reshape(gs.shape[0], w, 4, gs.shape[-1])
     inds = _u32_from([tail[:, :, k] for k in range(4)])
-    return c0, c1, par, lcc, inds
+    if not with_width:
+        return c0, c1, par, lcc, inds
+    width = _f32_from([gs[:, _WPRE + k] for k in range(4)])
+    return c0, c1, par, lcc, inds, width
 
 
 def _lanes_from(gf, sl):
@@ -306,4 +321,224 @@ def run_multiwalk_mxu(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
     hyper = compute_hyper_b(c0, c1, inds)
     out = SABatch(c0, c1, par, inds, hyper, lcc, lt, min_lt, min_c0,
                   min_c1, min_par, min_inds, keys)
+    return out, {'moves': moves, 'applied': applied, 'pos': pos}
+
+
+def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
+                 skip_wb, cfg, n_walks, n, sparse_wb, log2_n_projs):
+    """Finite-width MXU iteration: width-capped proposals against the
+    shared per-lane slice set + periodic greedy reslice-if-better
+    (bit-identical to the masked FW multi-walk engine)."""
+    from tnco_tpu.kernels.sa_finite import _WIDTH_EPS
+    from tnco_tpu.kernels.sa_finite_batched import (_greedy_slices_b,
+                                                    _lcc_fw_b)
+
+    (R, slices, minR, min_slices, min_lt, keys, pos, moves,
+     applied) = carry
+    n_leaves = cfg.n_leaves
+    f = R.shape[1]
+    ii = slice(_INDS_FW, f)
+
+    keys, leaf, rand_bit, u, (k_reslice,) = _draws(
+        keys, n_leaves, n_walks, log2d_w32.dtype, 5)
+
+    def width(lanes_pwb):
+        return jax.vmap(
+            lambda lw: _width_b(lw, log2d_w32, sparse_wb=sparse_wb,
+                                log2_n_projs=log2_n_projs))(lanes_pwb)
+
+    lcc = _f32_from([R[:, _LCC + k].astype(jnp.float32)
+                     for k in range(4)])
+    lt = _log2_total_b(lcc, n_leaves)
+    sl = slices[None, :, :]  # [1, W, B] broadcast over P
+
+    # ---- Gather rounds (same structure as the IM engine) --------------
+    g1 = _gather(_oh(jnp.concatenate([pos, leaf]), n),
+                 R[:, _PAR:_PAR + 2])
+    par_pos = _id_from(g1[:n_walks, 0], g1[:n_walks, 1])
+    new_pos = _id_from(g1[n_walks:, 0], g1[n_walks:, 1])
+    at_boundary = (pos == NULL) | (par_pos == NULL)
+    pos = jnp.where(at_boundary, new_pos, pos)
+    b = pos
+
+    oh_b = _oh(b, n)
+    gb = _gather(oh_b, R)
+    a = _id_from(gb[:, _PAR], gb[:, _PAR + 1])
+    c0b = _id_from(gb[:, _C0], gb[:, _C0 + 1])
+    c1b = _id_from(gb[:, _C1], gb[:, _C1 + 1])
+    l_b = _f32_from([gb[:, _LCC + k] for k in range(4)])
+    w_b = _f32_from([gb[:, _WPRE + k] for k in range(4)])
+    inds_b = _lanes_from(gb, ii)
+
+    oh3 = _oh(jnp.concatenate([a, c0b, c1b]), n)
+    g3 = _gather(oh3, R)
+    ga, g0, gc1 = (g3[:n_walks], g3[n_walks:2 * n_walks],
+                   g3[2 * n_walks:])
+    c0a = _id_from(ga[:, _C0], ga[:, _C0 + 1])
+    c1a = _id_from(ga[:, _C1], ga[:, _C1 + 1])
+    l_a = _f32_from([ga[:, _LCC + k] for k in range(4)])
+    inds_a = _lanes_from(ga, ii)
+    inds0 = _lanes_from(g0, ii)
+    inds1 = _lanes_from(gc1, ii)
+    c = jnp.where(c0a == b, c1a, c0a)
+
+    oh_c = _oh(c, n)
+    gc = _gather(oh_c, R)
+    inds_c = _lanes_from(gc, ii)
+
+    i0 = jnp.any(inds0 & inds_c, axis=1)
+    i1 = jnp.any(inds1 & inds_c, axis=1)
+    take0 = jnp.where(cfg.disable_shared_inds | (i0 & i1), rand_bit, i0)
+    d = jnp.where(take0, c0b, c1b)
+    e = jnp.where(take0, c1b, c0b)
+    t0m = take0[:, None, :]
+    inds_d = jnp.where(t0m, inds0, inds1)
+    inds_e = jnp.where(t0m, inds1, inds0)
+    hyp_a = inds_a & inds_b & inds_c
+    hyp_b = inds_b & inds0 & inds1
+    new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
+
+    ev = dict(a=a, b=b, c=c, d=d, e=e)
+    new_width_b = width(new_inds_b)
+    new_sliced_width_b = width(new_inds_b & ~sl)
+    fits = new_sliced_width_b <= max_width + _WIDTH_EPS
+    ln_b = width((inds_d | inds_c) | sl)
+    ln_a = width((new_inds_b | inds_e) | sl)
+    l_new = costs_ops.new_total_log2(lt[None, :], l_a, l_b, ln_a, ln_b)
+    accept = _accept(cfg, u, beta, l_new, lt, ev) & fits
+    keep = _claim_disjoint(accept, ev)
+
+    # ---- Apply (placement GEMM over the 4P target rows) ---------------
+    def row_pieces(c0_n, c1_n, par_n, lcc_n, wpre_n, inds_n):
+        planes = list(_id_pieces(par_n)) + list(_id_pieces(c0_n)) + \
+            list(_id_pieces(c1_n)) + list(_f32_pieces(lcc_n)) + \
+            list(_f32_pieces(wpre_n))
+        head = jnp.stack(planes, axis=1)              # [P, 14, B]
+        tail = jnp.stack(
+            [((inds_n >> (8 * k)) & jnp.uint32(255)).astype(_BF)
+             for k in range(4)], axis=2)
+        tail = tail.reshape(tail.shape[0], -1, tail.shape[-1])
+        return jnp.concatenate([head.astype(_BF), tail], axis=1)
+
+    v_b = row_pieces(jnp.where(c0b == e, c, c0b),
+                     jnp.where(c1b == e, c, c1b), a,
+                     l_b + (ln_b - l_b), w_b + (new_width_b - w_b),
+                     new_inds_b)
+    par_a = _id_from(ga[:, _PAR], ga[:, _PAR + 1])
+    w_a = _f32_from([ga[:, _WPRE + k] for k in range(4)])
+    v_a = row_pieces(jnp.where(c0a == c, e, c0a),
+                     jnp.where(c1a == c, e, c1a), par_a,
+                     l_a + (ln_a - l_a), w_a, inds_a)
+    ge = jnp.where(t0m, gc1[:, :_INDS_FW], g0[:, :_INDS_FW])
+    v_c = row_pieces(_id_from(gc[:, _C0], gc[:, _C0 + 1]),
+                     _id_from(gc[:, _C1], gc[:, _C1 + 1]), b,
+                     _f32_from([gc[:, _LCC + k] for k in range(4)]),
+                     _f32_from([gc[:, _WPRE + k] for k in range(4)]),
+                     inds_c)
+    v_e = row_pieces(_id_from(ge[:, _C0], ge[:, _C0 + 1]),
+                     _id_from(ge[:, _C1], ge[:, _C1 + 1]), a,
+                     _f32_from([ge[:, _LCC + k] for k in range(4)]),
+                     _f32_from([ge[:, _WPRE + k] for k in range(4)]),
+                     inds_e)
+
+    oh_e = jnp.where(t0m, oh3[2 * n_walks:], oh3[n_walks:2 * n_walks])
+    oh4 = jnp.concatenate([oh_b, oh3[:n_walks], oh_c, oh_e])
+    keep4 = jnp.tile(keep, (4, 1))
+    v4 = jnp.concatenate([v_b, v_a, v_c, v_e])
+    v4 = jnp.where(keep4[:, None, :], v4, _BF(0))
+    placed = jnp.einsum('qnb,qfb->nfb', oh4, v4,
+                        preferred_element_type=jnp.float32)
+    written = jnp.einsum('qnb,qb->nb', oh4, keep4.astype(_BF),
+                         preferred_element_type=jnp.float32) > 0.5
+    R = jnp.where(written[:, None, :], placed.astype(_BF), R)
+
+    pos = a
+    moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
+    applied = applied + jnp.sum(keep.astype(jnp.int32))
+
+    # ---- Periodic greedy reslice-if-better (lockstep FW cadence) ------
+    def do_reslice(args):
+        R_, slices_ = args
+        c0_, c1_, _, lcc_, inds_, width_ = unpack_state(R_,
+                                                        with_width=True)
+        new_slices = _greedy_slices_b(c0_, inds_, width_, k_reslice,
+                                      max_width, log2d_w32, skip_wb,
+                                      sparse_wb, log2_n_projs)
+        new_lcc = _lcc_fw_b(c0_, c1_, inds_, new_slices, log2d_w32,
+                            sparse_wb, log2_n_projs)
+        better = (_log2_total_b(new_lcc, n_leaves) <
+                  _log2_total_b(lcc_, n_leaves))
+        lcc_sel = jnp.where(better[None, :], new_lcc, lcc_)
+        lcc_block = jnp.stack(_f32_pieces(lcc_sel), axis=1)
+        R_ = jnp.concatenate(
+            [R_[:, :_LCC], lcc_block, R_[:, _LCC + 4:]], axis=1)
+        return R_, jnp.where(better[None, :], new_slices, slices_)
+
+    has_slices = jnp.any(slices != 0)
+    R, slices = jax.lax.cond(update_slices & has_slices, do_reslice,
+                             lambda x: x, (R, slices))
+
+    lcc = _f32_from([R[:, _LCC + k].astype(jnp.float32)
+                     for k in range(4)])
+    lt_new = _log2_total_b(lcc, n_leaves)
+    improved = lt_new < min_lt
+    min_lt = jnp.where(improved, lt_new, min_lt)
+
+    def snap(args):
+        mR, msl = args
+        return (jnp.where(improved[None, None, :], R, mR),
+                jnp.where(improved[None, :], slices, msl))
+
+    minR, min_slices = jax.lax.cond(jnp.any(improved), snap,
+                                    lambda x: x, (minR, min_slices))
+
+    return (R, slices, minR, min_slices, min_lt, keys, pos, moves,
+            applied)
+
+
+@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks'))
+def run_multiwalk_fw_mxu(batch, betas, update_slices_mask, max_width,
+                         log2d_w32, skip_wb, cfg, n_walks: int, pos,
+                         sparse_wb=None, log2_n_projs=None):
+    """Finite-width MXU multi-walk: same contract as
+    :func:`tnco_tpu.kernels.sa_multiwalk.run_multiwalk_fw`
+    (bit-identical trajectories)."""
+    from tnco_tpu.kernels.sa_finite_batched import SABatchFW
+
+    n = batch.c0.shape[0]
+    max_width = jnp.asarray(max_width, log2d_w32.dtype)
+    R = pack_state(batch.c0, batch.c1, batch.par, batch.lcc, batch.inds,
+                   width=batch.width)
+    minR = pack_state(batch.min_c0, batch.min_c1, batch.min_par,
+                      jnp.zeros_like(batch.lcc), batch.min_inds,
+                      width=jnp.zeros_like(batch.width))
+
+    def step(carry, x):
+        beta, upd = x
+        return _iter_fw_mxu(carry, beta, upd, max_width, log2d_w32,
+                            skip_wb, cfg, n_walks, n, sparse_wb,
+                            log2_n_projs), None
+
+    carry = (R, batch.slices, minR, batch.min_slices,
+             batch.min_log2_total, batch.keys, pos, jnp.int32(0),
+             jnp.int32(0))
+    carry, _ = jax.lax.scan(step, carry, (betas, update_slices_mask))
+    (R, slices, minR, min_slices, min_lt, keys, pos, moves,
+     applied) = carry
+    c0, c1, par, lcc, inds, width_pre = unpack_state(R, with_width=True)
+    min_c0, min_c1, min_par, _, min_inds, _ = unpack_state(
+        minR, with_width=True)
+    lt = _log2_total_b(lcc, cfg.n_leaves)
+    improved = lt < min_lt
+    min_lt = jnp.where(improved, lt, min_lt)
+    impn, impw = improved[None, :], improved[None, None, :]
+    min_c0 = jnp.where(impn, c0, min_c0)
+    min_c1 = jnp.where(impn, c1, min_c1)
+    min_par = jnp.where(impn, par, min_par)
+    min_inds = jnp.where(impw, inds, min_inds)
+    min_slices = jnp.where(impn, slices, min_slices)
+    hyper = compute_hyper_b(c0, c1, inds)
+    out = SABatchFW(c0, c1, par, inds, hyper, lcc, width_pre, slices, lt,
+                    min_lt, min_c0, min_c1, min_par, min_inds, min_slices,
+                    keys)
     return out, {'moves': moves, 'applied': applied, 'pos': pos}

@@ -513,10 +513,11 @@ class ReplicaRunnerFW:
                 engine = 'native'
             else:
                 engine = 'vmapped'
-        if engine not in ('batched', 'vmapped', 'native', 'multiwalk'):
+        if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
+                          'mxu'):
             raise ValueError(f"Unknown engine: {engine!r}")
-        if engine == 'multiwalk' and max_number_new_slices:
-            raise ValueError("engine='multiwalk' does not support "
+        if engine in ('multiwalk', 'mxu') and max_number_new_slices:
+            raise ValueError(f"engine={engine!r} does not support "
                              "max_number_new_slices.")
         self.engine = engine
         self.n_walks = int(n_walks)
@@ -546,8 +547,8 @@ class ReplicaRunnerFW:
         if engine == 'vmapped':
             batch = _to_vmapped_fw(batch)
         self._mw_pos = jnp.full((self.n_walks, len(ctrees)), -1,
-                                jnp.int32) if engine == 'multiwalk' else \
-            None
+                                jnp.int32) if engine in ('multiwalk',
+                                                         'mxu') else None
         self.mesh = mesh
         if mesh is not None:
             shard = replica_sharding(mesh)
@@ -655,10 +656,12 @@ class ReplicaRunnerFW:
             callback=None,
             exchange_every: int = 0,
             exchange_fraction: float = 0.25) -> dict:
-        if exchange_every and self.engine not in ('batched', 'multiwalk'):
+        if exchange_every and self.engine not in ('batched', 'multiwalk',
+                                                  'mxu'):
             from warnings import warn
-            warn(f"exchange_every is only supported by the 'batched' and "
-                 f"'multiwalk' engines (engine={self.engine!r}); ignored.")
+            warn(f"exchange_every is only supported by the 'batched', "
+                 f"'multiwalk' and 'mxu' engines "
+                 f"(engine={self.engine!r}); ignored.")
         if self.engine == 'native':
             return self._run_native_fw(betas, update_slices, chunk_size,
                                        timeout, callback)
@@ -695,6 +698,15 @@ class ReplicaRunnerFW:
                     self.log2_n_projs, walk_chunk=self.walk_chunk)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
+            elif self.engine == 'mxu':
+                from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
+                self.states, metrics = mxu.run_multiwalk_fw_mxu(
+                    self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
+                    self.max_width, self.log2d_w32, self.skip_lanes,
+                    self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
+                    self.log2_n_projs)
+                self._mw_pos = metrics['pos']
+                last_min = self.states.min_log2_total
             else:
                 self.states, metrics = saf.run_sweeps_fw_batch(
                     self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
@@ -706,7 +718,7 @@ class ReplicaRunnerFW:
             pos += chunk_size
             n_chunks += 1
             if (exchange_every and
-                    self.engine in ('batched', 'multiwalk') and
+                    self.engine in ('batched', 'multiwalk', 'mxu') and
                     pos < n and n_chunks % exchange_every == 0):
                 self.states = exchange_best_fw(self.states,
                                                exchange_fraction)
@@ -728,7 +740,7 @@ class ReplicaRunnerFW:
                 self._nat_best_nodes[replica],
                 self._nat_best_inds[replica])
         s = self.states
-        if self.engine in ('batched', 'multiwalk'):
+        if self.engine in ('batched', 'multiwalk', 'mxu'):
             nodes = np.stack([
                 np.asarray(s.min_c0[:, replica]),
                 np.asarray(s.min_c1[:, replica]),
@@ -746,7 +758,7 @@ class ReplicaRunnerFW:
             return self.template.replace_arrays(
                 self._nat_nodes[replica], self._nat_inds[replica])
         s = self.states
-        if self.engine in ('batched', 'multiwalk'):
+        if self.engine in ('batched', 'multiwalk', 'mxu'):
             nodes = np.stack([
                 np.asarray(s.c0[:, replica]),
                 np.asarray(s.c1[:, replica]),
@@ -761,14 +773,14 @@ class ReplicaRunnerFW:
         """Current slice lanes of ``replica``."""
         if self.engine == 'native':
             return self._nat_slices[replica].copy()
-        if self.engine in ('batched', 'multiwalk'):
+        if self.engine in ('batched', 'multiwalk', 'mxu'):
             return np.asarray(self.states.slices[..., replica])
         return np.asarray(self.states.slices[replica])
 
     def min_slices_lanes(self, replica: int) -> np.ndarray:
         if self.engine == 'native':
             return self._nat_best_slices[replica].copy()
-        if self.engine in ('batched', 'multiwalk'):
+        if self.engine in ('batched', 'multiwalk', 'mxu'):
             return np.asarray(self.states.min_slices[..., replica])
         return np.asarray(self.states.min_slices[replica])
 
