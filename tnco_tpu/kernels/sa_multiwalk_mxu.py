@@ -140,15 +140,24 @@ def _lanes_from(gf, sl):
 
 
 def _oh(idx, n):
-    """[Q, B] row ids -> bf16 one-hot [Q, N, B] (NULL -> all-zero)."""
+    """[Q, B] row ids -> bf16 one-hot [B, Q, N] (NULL -> all-zero).
+
+    Batch-leading so the GEMMs consume it without operand transposes.
+    """
     iota = jnp.arange(n, dtype=jnp.int32)
-    return (iota[None, :, None] == idx[:, None, :]).astype(_BF)
+    return (iota[None, None, :] == idx.T[:, :, None]).astype(_BF)
 
 
-def _gather(oh, R):
-    """One-hot rows [Q,N,B] x planes [N,F,B] -> exact f32 [Q,F,B]."""
-    return jnp.einsum('qnb,nfb->qfb', oh, R,
-                      preferred_element_type=jnp.float32)
+def _gather(oh, Rb):
+    """One-hot rows [B,Q,N] x planes [B,N,F] -> exact f32 [Q,F,B].
+
+    ``Rb`` is the batch-leading view of the state, transposed ONCE per
+    iteration — with lane-minor operands XLA re-transposed the whole
+    state around every dot (the dominant per-iteration cost).
+    """
+    g = jnp.einsum('bqn,bnf->bqf', oh, Rb,
+                   preferred_element_type=jnp.float32)
+    return jnp.transpose(g, (1, 2, 0))
 
 
 def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
@@ -169,10 +178,11 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
     lcc = _f32_from([R[:, _LCC + k].astype(jnp.float32)
                      for k in range(4)])
     lt = _log2_total_b(lcc, n_leaves)
+    Rb = jnp.transpose(R, (2, 0, 1))  # [B, N, F], once per iteration
 
     # ---- Round 1: restart finished walks at a fresh leaf --------------
     g1 = _gather(_oh(jnp.concatenate([pos, leaf]), n),
-                 R[:, _PAR:_PAR + 2])
+                 Rb[:, :, _PAR:_PAR + 2])
     par_pos = _id_from(g1[:n_walks, 0], g1[:n_walks, 1])
     new_pos = _id_from(g1[n_walks:, 0], g1[n_walks:, 1])
     at_boundary = (pos == NULL) | (par_pos == NULL)
@@ -181,7 +191,7 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
 
     # ---- Round 2: everything at B ------------------------------------
     oh_b = _oh(b, n)
-    gb = _gather(oh_b, R)
+    gb = _gather(oh_b, Rb)
     a = _id_from(gb[:, _PAR], gb[:, _PAR + 1])
     c0b = _id_from(gb[:, _C0], gb[:, _C0 + 1])
     c1b = _id_from(gb[:, _C1], gb[:, _C1 + 1])
@@ -190,7 +200,7 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
 
     # ---- Round 3: everything at A and B's children -------------------
     oh3 = _oh(jnp.concatenate([a, c0b, c1b]), n)
-    g3 = _gather(oh3, R)
+    g3 = _gather(oh3, Rb)
     ga, g0, gc1 = (g3[:n_walks], g3[n_walks:2 * n_walks],
                    g3[2 * n_walks:])
     c0a = _id_from(ga[:, _C0], ga[:, _C0 + 1])
@@ -203,7 +213,8 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
 
     # ---- Round 4: C's index set --------------------------------------
     oh_c = _oh(c, n)
-    inds_c = _lanes_from(_gather(oh_c, R[:, ii]), slice(0, f - _INDS))
+    inds_c = _lanes_from(_gather(oh_c, Rb[:, :, ii]),
+                         slice(0, f - _INDS))
 
     # ---- Shared-index pick + hyper-on-the-fly (same math as masked) --
     i0 = jnp.any(inds0 & inds_c, axis=1)
@@ -247,7 +258,7 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
                      jnp.where(c1a == c, e, c1a), par_a,
                      l_a + (ln_a - l_a), inds_a)
     # C and E swap parents; their other features are unchanged.
-    gc = _gather(oh_c, R[:, :_INDS])
+    gc = _gather(oh_c, Rb[:, :, :_INDS])
     ge = jnp.where(t0m, gc1[:, :_INDS], g0[:, :_INDS])
     v_c = row_pieces(_id_from(gc[:, _C0], gc[:, _C0 + 1]),
                      _id_from(gc[:, _C1], gc[:, _C1 + 1]), b,
@@ -258,17 +269,19 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
                      _f32_from([ge[:, _LCC + k] for k in range(4)]),
                      inds_e)
 
-    oh_e = jnp.where(t0m, oh3[2 * n_walks:], oh3[n_walks:2 * n_walks])
-    oh4 = jnp.concatenate([oh_b, oh3[:n_walks], oh_c, oh_e])
+    oh_e = jnp.where(take0.T[:, :, None], oh3[:, 2 * n_walks:],
+                     oh3[:, n_walks:2 * n_walks])
+    oh4 = jnp.concatenate([oh_b, oh3[:, :n_walks], oh_c, oh_e], axis=1)
     keep4 = jnp.tile(keep, (4, 1))
     v4 = jnp.concatenate([v_b, v_a, v_c, v_e])
     v4 = jnp.where(keep4[:, None, :], v4, _BF(0))
-    placed = jnp.einsum('qnb,qfb->nfb', oh4, v4,
+    v4b = jnp.transpose(v4, (2, 0, 1))                # [B, 4P, F]
+    placed = jnp.einsum('bqn,bqf->bnf', oh4, v4b,
                         preferred_element_type=jnp.float32)
-    written = jnp.einsum('qnb,qb->nb', oh4,
-                         keep4.astype(_BF),
+    written = jnp.einsum('bqn,bq->bn', oh4, keep4.T.astype(_BF),
                          preferred_element_type=jnp.float32) > 0.5
-    R = jnp.where(written[:, None, :], placed.astype(_BF), R)
+    Rb_new = jnp.where(written[:, :, None], placed.astype(_BF), Rb)
+    R = jnp.transpose(Rb_new, (1, 2, 0))
 
     pos = a
     moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
@@ -351,10 +364,11 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
                      for k in range(4)])
     lt = _log2_total_b(lcc, n_leaves)
     sl = slices[None, :, :]  # [1, W, B] broadcast over P
+    Rb = jnp.transpose(R, (2, 0, 1))  # [B, N, F], once per iteration
 
     # ---- Gather rounds (same structure as the IM engine) --------------
     g1 = _gather(_oh(jnp.concatenate([pos, leaf]), n),
-                 R[:, _PAR:_PAR + 2])
+                 Rb[:, :, _PAR:_PAR + 2])
     par_pos = _id_from(g1[:n_walks, 0], g1[:n_walks, 1])
     new_pos = _id_from(g1[n_walks:, 0], g1[n_walks:, 1])
     at_boundary = (pos == NULL) | (par_pos == NULL)
@@ -362,7 +376,7 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
     b = pos
 
     oh_b = _oh(b, n)
-    gb = _gather(oh_b, R)
+    gb = _gather(oh_b, Rb)
     a = _id_from(gb[:, _PAR], gb[:, _PAR + 1])
     c0b = _id_from(gb[:, _C0], gb[:, _C0 + 1])
     c1b = _id_from(gb[:, _C1], gb[:, _C1 + 1])
@@ -371,7 +385,7 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
     inds_b = _lanes_from(gb, ii)
 
     oh3 = _oh(jnp.concatenate([a, c0b, c1b]), n)
-    g3 = _gather(oh3, R)
+    g3 = _gather(oh3, Rb)
     ga, g0, gc1 = (g3[:n_walks], g3[n_walks:2 * n_walks],
                    g3[2 * n_walks:])
     c0a = _id_from(ga[:, _C0], ga[:, _C0 + 1])
@@ -383,7 +397,7 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
     c = jnp.where(c0a == b, c1a, c0a)
 
     oh_c = _oh(c, n)
-    gc = _gather(oh_c, R)
+    gc = _gather(oh_c, Rb)
     inds_c = _lanes_from(gc, ii)
 
     i0 = jnp.any(inds0 & inds_c, axis=1)
@@ -441,16 +455,19 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
                      _f32_from([ge[:, _WPRE + k] for k in range(4)]),
                      inds_e)
 
-    oh_e = jnp.where(t0m, oh3[2 * n_walks:], oh3[n_walks:2 * n_walks])
-    oh4 = jnp.concatenate([oh_b, oh3[:n_walks], oh_c, oh_e])
+    oh_e = jnp.where(take0.T[:, :, None], oh3[:, 2 * n_walks:],
+                     oh3[:, n_walks:2 * n_walks])
+    oh4 = jnp.concatenate([oh_b, oh3[:, :n_walks], oh_c, oh_e], axis=1)
     keep4 = jnp.tile(keep, (4, 1))
     v4 = jnp.concatenate([v_b, v_a, v_c, v_e])
     v4 = jnp.where(keep4[:, None, :], v4, _BF(0))
-    placed = jnp.einsum('qnb,qfb->nfb', oh4, v4,
+    v4b = jnp.transpose(v4, (2, 0, 1))                # [B, 4P, F]
+    placed = jnp.einsum('bqn,bqf->bnf', oh4, v4b,
                         preferred_element_type=jnp.float32)
-    written = jnp.einsum('qnb,qb->nb', oh4, keep4.astype(_BF),
+    written = jnp.einsum('bqn,bq->bn', oh4, keep4.T.astype(_BF),
                          preferred_element_type=jnp.float32) > 0.5
-    R = jnp.where(written[:, None, :], placed.astype(_BF), R)
+    Rb_new = jnp.where(written[:, :, None], placed.astype(_BF), Rb)
+    R = jnp.transpose(Rb_new, (1, 2, 0))
 
     pos = a
     moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
