@@ -72,9 +72,10 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                            cmodel=SimpleCostModel(), engine=engine,
                            n_walks=n_walks, walk_chunk=walk_chunk)
     chunk_sweeps = 128
-    # Warm-up compile outside the budget
+    # Warm-up compile outside the budget (not counted in tpu_moves)
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps)
+    runner.moves_done = 0
     t0 = time.perf_counter()
     while True:
         frac0 = (time.perf_counter() - t0) / seconds
@@ -177,6 +178,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     chunk_sweeps = 64
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps, update_slices=10)
+    runner.moves_done = 0
     t0 = time.perf_counter()
     while True:
         frac0 = (time.perf_counter() - t0) / seconds

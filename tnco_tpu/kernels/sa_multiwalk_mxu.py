@@ -269,9 +269,9 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
                      _f32_from([ge[:, _LCC + k] for k in range(4)]),
                      inds_e)
 
-    oh_e = jnp.where(take0.T[:, :, None], oh3[:, 2 * n_walks:],
-                     oh3[:, n_walks:2 * n_walks])
-    oh4 = jnp.concatenate([oh_b, oh3[:, :n_walks], oh_c, oh_e], axis=1)
+    # One fresh one-hot build over the stacked target ids is cheaper
+    # than selecting/concatenating the gather-round one-hots.
+    oh4 = _oh(jnp.concatenate([b, a, c, e]), n)
     keep4 = jnp.tile(keep, (4, 1))
     v4 = jnp.concatenate([v_b, v_a, v_c, v_e])
     v4 = jnp.where(keep4[:, None, :], v4, _BF(0))
@@ -455,9 +455,9 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
                      _f32_from([ge[:, _WPRE + k] for k in range(4)]),
                      inds_e)
 
-    oh_e = jnp.where(take0.T[:, :, None], oh3[:, 2 * n_walks:],
-                     oh3[:, n_walks:2 * n_walks])
-    oh4 = jnp.concatenate([oh_b, oh3[:, :n_walks], oh_c, oh_e], axis=1)
+    # One fresh one-hot build over the stacked target ids is cheaper
+    # than selecting/concatenating the gather-round one-hots.
+    oh4 = _oh(jnp.concatenate([b, a, c, e]), n)
     keep4 = jnp.tile(keep, (4, 1))
     v4 = jnp.concatenate([v_b, v_a, v_c, v_e])
     v4 = jnp.where(keep4[:, None, :], v4, _BF(0))
