@@ -29,7 +29,11 @@ def main() -> None:
     platform = jax.devices()[0].platform
     n_replicas = 8192 if platform != 'cpu' else 32
     n_iters = 512 if platform != 'cpu' else 32
-    n_walks = 8
+    # P=16 walks: same applied-moves/s as P=8 with ~1.4x the proposal
+    # throughput and equal-or-better best costs at equal wall-clock
+    # (docs/QUALITY.md); the pairwise conflict filter made the extra
+    # walks cheap.
+    n_walks = 16
 
     from tnco_tpu.kernels import sa_batched as sb
     from tnco_tpu.kernels import sa_multiwalk as smw
