@@ -477,6 +477,8 @@ class BaseOptimizer:
     # tnco-tpu extension: replica-batch engine selection
     # ('auto' | 'batched' | 'vmapped' | 'native' | 'multiwalk' | 'mxu').
     engine: str = 'auto'
+    # Concurrent walks per replica (multiwalk/mxu engines).
+    n_walks: int = 8
 
     def optimize(self, *args: Any, **kwargs: Any) -> Any:
         raise NotImplementedError()
@@ -541,7 +543,8 @@ def Optimizer(method: str = 'sa',
               backend: str | None = None,
               seed: int | None = None,
               verbose: int = 0,
-              engine: str = 'auto') -> BaseOptimizer:
+              engine: str = 'auto',
+              n_walks: int = 8) -> BaseOptimizer:
     """Factory: picks the implementation module by ``method``/``max_width``.
 
     Reference: tnco/app/app.py:798-878.
@@ -563,6 +566,7 @@ def Optimizer(method: str = 'sa',
                 backend=backend,
                 seed=seed,
                 engine=engine,
+                n_walks=n_walks,
                 verbose=verbose)
 
     module = 'tnco_tpu.app'

@@ -55,6 +55,9 @@ def _build_parser() -> argparse.ArgumentParser:
     opt.add_argument('--n-jobs', type=_literal, default=-1)
     opt.add_argument('--width-type', default='float32')
     opt.add_argument('--cost-type', default='float64')
+    opt.add_argument('--n-walks', type=int, default=8,
+                     help='Concurrent walks per replica '
+                          '(multiwalk/mxu engines).')
     opt.add_argument('--engine', default='auto',
                      help="Replica-batch engine: 'auto' | 'batched' | "
                           "'vmapped' | 'native' | 'multiwalk' | 'mxu'.")
@@ -119,7 +122,8 @@ def main(argv=None) -> int:
                               atol=args.atol,
                               seed=args.seed,
                               verbose=args.verbose,
-                              engine=args.engine)
+                              engine=args.engine,
+                              n_walks=args.n_walks)
         betas = tuple(args.betas) if isinstance(args.betas,
                                                 (list, tuple)) else \
             args.betas

@@ -141,6 +141,7 @@ class Optimizer(BaseOptimizer):
             runner = ReplicaRunnerFW(ctrees, seeds, cmodel=cmodel,
                                      prob_kind='mh',
                                      engine=self.engine,
+                                     n_walks=self.n_walks,
                                      dtype=bitops.device_dtype(
                                          self.cost_type))
             runner.run(betas, update_slices=update_slices, timeout=timeout)

@@ -137,6 +137,7 @@ class Optimizer(BaseOptimizer):
                                    cmodel=cmodel,
                                    prob_kind='mh',
                                    engine=self.engine,
+                                   n_walks=self.n_walks,
                                    dtype=bitops.device_dtype(
                                        self.cost_type))
             runner.run(betas, timeout=timeout)
