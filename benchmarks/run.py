@@ -33,6 +33,11 @@ def build_config(name: str, seed: int = 0):
         return networks.qaoa_tn(26, 4, seed), 30.0  # max_width 2^30
     if name == 'sycamore':
         return networks.sycamore_like_tn(20, seed), None
+    if name == 'sycamore_fw':
+        # The quantum-advantage workflow proper: the Sycamore-like
+        # network under a memory cap (width <= 2^30), tree + slices
+        # co-optimized (reference finite_width/sa.py).
+        return networks.sycamore_like_tn(20, seed), 30.0
     raise ValueError(f'Unknown config: {name}')
 
 
