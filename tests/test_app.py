@@ -163,6 +163,20 @@ def test_optimize_readme_end_to_end():
     json.loads(res[0].to_json())
 
 
+def test_optimize_engine_n_walks_end_to_end():
+    """engine/n_walks knobs reach the replica runner through the app."""
+    opt = Optimizer(method='sa', seed=42, engine='multiwalk', n_walks=4)
+    assert opt.engine == 'multiwalk' and opt.n_walks == 4
+    tn, res = opt.optimize(README_TN, betas=(0, 50), n_steps=60,
+                           n_runs=4, fuse=False)
+    assert int(res[0].cost) == 10
+
+    opt = Optimizer(method='sa', seed=42, engine='mxu', n_walks=4)
+    tn, res = opt.optimize(README_TN, betas=(0, 50), n_steps=60,
+                           n_runs=4, fuse=False)
+    assert int(res[0].cost) == 10
+
+
 def test_optimize_json_output_and_determinism():
     opt1 = Optimizer(method='sa', seed=7, output_format='json')
     out1 = opt1.optimize(README_TN, betas=(0, 50), n_steps=50, n_runs=3)
