@@ -259,12 +259,13 @@ def main() -> None:
                              '(0 = independent runs).')
     parser.add_argument('--engine', default='auto',
                         help="'auto' | 'batched' | 'vmapped' | 'native' "
-                             "| 'multiwalk'.")
+                             "| 'multiwalk' | 'mxu'.")
     parser.add_argument('--n-walks', type=int, default=8,
-                        help='Concurrent walks per replica (multiwalk).')
+                        help='Concurrent walks per replica (multiwalk '
+                             'and mxu engines).')
     parser.add_argument('--walk-chunk', type=int, default=0,
-                        help='Walk group size (multiwalk; 0 = all at '
-                             'once).')
+                        help='Walk group size (multiwalk and mxu '
+                             'engines; 0 = all at once).')
     args = parser.parse_args()
     res = run_quality(args.config, args.seconds, args.seed,
                       args.tpu_replicas, args.cpu_replicas,

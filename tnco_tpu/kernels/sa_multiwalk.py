@@ -136,6 +136,8 @@ def _eval_chunked(body, pos, leaf, rand_bit, walk_chunk):
     temporaries are live at a time.
     """
     p = pos.shape[0]
+    if walk_chunk < 0:
+        raise ValueError(f"walk_chunk ({walk_chunk}) must be >= 0.")
     if not walk_chunk or walk_chunk >= p:
         return body(pos, leaf, rand_bit)
     if p % walk_chunk:
