@@ -175,17 +175,29 @@ def _width_b(lanes_wb, log2d_w32, *, sparse_wb=None, log2_n_projs=None):
     if sparse_wb is None:
         bits = ((lanes_wb[:, None, :] >> shifts[None, :, None]) &
                 jnp.uint32(1)).astype(log2d_w32.dtype)
-        return jnp.einsum('wsb,ws->b', bits, log2d_w32)
+        # Same (w*32+s)-ordered pairwise halving as bitops.width: the two
+        # lowerings must produce bit-identical widths (engine invariant).
+        k = lanes_wb.shape[0] * 32
+        terms = (bits * log2d_w32[:, :, None]).reshape(k, -1)
+        n = k
+        p = 1 << (n - 1).bit_length() if n > 1 else 1
+        if p != n:
+            terms = jnp.concatenate(
+                [terms,
+                 jnp.zeros((p - n,) + terms.shape[1:], terms.dtype)], axis=0)
+        while terms.shape[0] > 1:
+            h = terms.shape[0] // 2
+            terms = terms[:h] + terms[h:]
+        return terms[0].reshape(lanes_wb.shape[1:])
     dense = _width_b(lanes_wb & ~sparse_wb, log2d_w32)
     sparse = _width_b(lanes_wb & sparse_wb, log2d_w32)
     return dense + jnp.minimum(sparse, log2_n_projs)
 
 
 def _log2_total_b(lcc, n_leaves):
-    internal = lcc[n_leaves:]
-    m = jnp.max(internal, axis=0)
-    s = jnp.sum(jnp.exp2(internal - m[None, :]), axis=0)
-    return m + jnp.log2(s)
+    # Shared order-pinned reduction: bit-identical to the vmapped oracle
+    # and to every other engine layout (see costs.pairwise_sum).
+    return costs_ops.log2_total_from_lcc(lcc, n_leaves)
 
 
 def compute_hyper_b(c0, c1, inds):

@@ -57,14 +57,41 @@ def expand_bits(lanes: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
                         lanes.shape[-1] * LANE_BITS).astype(dtype)
 
 
+def pairwise_sum_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Sum over the LAST axis with a pinned pairwise-halving order.
+
+    A plain dot/``jnp.sum`` lets XLA pick the reduction order per lowering,
+    so the vmapped oracle and the lane-major engines can disagree by an ulp
+    on the same width — enough to flip a knife-edge Metropolis accept and
+    break the cross-engine bit-identity invariant.  The explicit halving
+    tree (pad with exact zeros to a power of two, add the two halves until
+    one element remains) pins the per-element operation tree; XLA does not
+    reassociate distinct HLO adds.  ``sa_batched._width_b`` uses the same
+    pairing over its leading bit axis, so all engines agree bit-for-bit.
+    """
+    n = x.shape[-1]
+    if n == 0:
+        return jnp.zeros(x.shape[:-1], x.dtype)
+    p = 1 << (n - 1).bit_length() if n > 1 else 1
+    if p != n:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (p - n,), x.dtype)], axis=-1)
+    while x.shape[-1] > 1:
+        h = x.shape[-1] // 2
+        x = x[..., :h] + x[..., h:]
+    return x[..., 0]
+
+
 def width(lanes: jnp.ndarray, log2_dims_padded: jnp.ndarray) -> jnp.ndarray:
     """Sum of log2 dims over set bits: ``f32[...]``.
 
     Equals ``log2(prod dims over the index set)`` — both the tensor *width*
     (finite_width/cost_model/simple.hpp:38-57) and the log2 of the simple
     contraction cost (infinite_memory/cost_model/simple.hpp:37-55).
+    Order-pinned (see ``pairwise_sum_last``).
     """
-    return expand_bits(lanes, log2_dims_padded.dtype) @ log2_dims_padded
+    return pairwise_sum_last(
+        expand_bits(lanes, log2_dims_padded.dtype) * log2_dims_padded)
 
 
 def any_bits(lanes: jnp.ndarray) -> jnp.ndarray:

@@ -38,19 +38,47 @@ def ccost_log2(union_lanes, log2_dims_padded, *, sparse_lanes=None,
     return dense + jnp.minimum(sparse, log2_n_projs)
 
 
+def pairwise_sum(x):
+    """Sum over axis 0 with a PINNED pairwise-halving order.
+
+    ``jnp.sum`` lets XLA pick the reduction order per lowering, so a
+    vmapped ``[N]`` reduce and a lane-major ``[N, B]`` reduce of the same
+    values can differ by an ulp — enough to flip a knife-edge Metropolis
+    accept between engines that must stay bit-identical.  An explicit
+    halving tree (pad with exact zeros to a power of two, then repeatedly
+    add the two halves) fixes the operation tree per element, and XLA does
+    not reassociate distinct HLO adds, so every engine layout — ``[N]``,
+    ``[N, B]``, ``[N, P, B]`` — produces identical per-element results.
+    """
+    n = x.shape[0]
+    if n == 0:
+        return jnp.zeros(x.shape[1:], x.dtype)
+    p = 1 << (n - 1).bit_length() if n > 1 else 1
+    if p != n:
+        x = jnp.concatenate(
+            [x, jnp.zeros((p - n,) + x.shape[1:], x.dtype)], axis=0)
+    while x.shape[0] > 1:
+        h = x.shape[0] // 2
+        x = x[:h] + x[h:]
+    return x[0]
+
+
 def log2_total_from_lcc(lcc, n_leaves: int):
     """Stable ``log2(sum_i 2^lcc[i])`` over internal nodes.
 
     ``lcc`` is laid out leaves-first, so internal nodes are the static slice
-    ``lcc[n_leaves:]`` (leaves never change role under tree moves).
+    ``lcc[n_leaves:]`` (leaves never change role under tree moves).  The
+    leading axis is the node axis; any trailing axes (replica batch, walk)
+    are reduced element-wise with an order-pinned pairwise sum so every
+    engine layout computes bit-identical totals (see ``pairwise_sum``).
     """
     internal = lcc[n_leaves:]
     if internal.shape[0] == 0:
         # Single-tensor tree: total cost 0 (log2 = -inf); use a large
         # negative sentinel that exp2s to exactly 0 in f32.
-        return jnp.asarray(-jnp.inf, dtype=lcc.dtype)
-    m = jnp.max(internal)
-    s = jnp.sum(jnp.exp2(internal - m))
+        return jnp.full(internal.shape[1:], -jnp.inf, dtype=lcc.dtype)
+    m = jnp.max(internal, axis=0)
+    s = pairwise_sum(jnp.exp2(internal - m[None]))
     return m + jnp.log2(s)
 
 
