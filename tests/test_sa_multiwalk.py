@@ -192,6 +192,13 @@ def test_mxu_bit_identical(n_walks, rng, random_seed):
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # walk_chunk changes no values (one-hot gathers are exact).
+    gotc, mgotc = mxu.run_multiwalk_mxu(batch, betas, log2d_w32, cfg,
+                                        n_walks, pos, walk_chunk=2)
+    assert int(mgot['applied']) == int(mgotc['applied'])
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(gotc)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_mxu_fw_bit_identical(rng, random_seed):
     """Finite-width MXU engine == masked FW multi-walk engine, bit for
@@ -223,6 +230,14 @@ def test_mxu_fw_bit_identical(rng, random_seed):
                                          pos)
     assert int(mref['applied']) == int(mgot['applied'])
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # walk_chunk changes no values (one-hot gathers are exact).
+    gotc, mgotc = mxu.run_multiwalk_fw_mxu(batch, betas, upd, max_width,
+                                           log2d_w32, skip, cfg, n_walks,
+                                           pos, walk_chunk=2)
+    assert int(mgot['applied']) == int(mgotc['applied'])
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(gotc)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

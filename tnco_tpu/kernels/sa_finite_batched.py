@@ -166,10 +166,25 @@ def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
         return _width_b(lanes_wb, log2d_w32, sparse_wb=sparse_wb,
                         log2_n_projs=log2_n_projs)
 
-    def body(t, slices):
-        xs = inds[t]  # [w, b]
+    # Sliced widths of ALL nodes, chunked over the node axis so the
+    # expanded-bit temporaries stay bounded at Sycamore scale.  vmapping
+    # w_of adds a batch axis to elementwise ops only, so each node's f32
+    # width is IDENTICAL to a direct w_of call (engine bit-identity).
+    chunk = 64
+    n_pad = -(-n // chunk) * chunk
+    inds_pad = inds if n_pad == n else jnp.concatenate(
+        [inds, jnp.zeros((n_pad - n, w, b), jnp.uint32)])
+
+    def all_sw(slices):
+        sliced = inds_pad & ~slices[None]
+        out = jax.lax.map(jax.vmap(w_of),
+                          sliced.reshape(n_pad // chunk, chunk, w, b))
+        return out.reshape(n_pad, b)[:n]
+
+    def select_at(slices, t_star, sw, active):
+        """The v1 per-node selection, applied at node ``t_star[b]``."""
+        xs = jnp.take_along_axis(inds, t_star[None, None, :], axis=0)[0]
         sliced = xs & ~slices
-        sw = w_of(sliced)  # [b]
 
         cand_sorted = jnp.take_along_axis(expand(sliced), order,
                                           axis=0) * (1.0 - skip_sorted)
@@ -188,10 +203,9 @@ def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
             w_before = (w_d0[None, :] - cum_d +
                         jnp.minimum(w_s0[None, :] - cum_s, log2_n_projs))
 
-        need = sw > max_width + _WIDTH_EPS
         selected_sorted = ((cand_sorted > 0) &
                            (w_before > max_width + _WIDTH_EPS) &
-                           need[None, :])
+                           active[None, :])
         # scatter back to index space per lane
         selected = jnp.zeros((n_bits, b), jnp.bool_)
         selected = jax.vmap(
@@ -205,8 +219,36 @@ def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
             dtype=jnp.uint32)
         return slices | sel_lanes
 
+    # Process only the nodes that actually need new slices, first-over
+    # node per round.  Output-identical to the v1 single pass over all N
+    # nodes (greedy/utils.hpp:24-125 order): slices only grow, so widths
+    # only shrink — a node that fit at its turn never becomes over-width
+    # later, each needy node is processed at most once, and the first
+    # still-over node is always past every previously processed one.
+    # Rounds ~ #needy nodes (tens) instead of N (thousands).
     slices0 = jnp.zeros((w, b), dtype=jnp.uint32)
-    return jax.lax.fori_loop(0, n, body, slices0)
+    processed0 = jnp.zeros((n, b), dtype=jnp.bool_)
+    iota_nodes = jnp.arange(n, dtype=jnp.int32)[:, None]
+
+    def cond(carry):
+        _, w_cur, processed, r = carry
+        over = (~processed) & (w_cur > max_width + _WIDTH_EPS)
+        return jnp.any(over) & (r < n)
+
+    def round_body(carry):
+        slices, w_cur, processed, r = carry
+        over = (~processed) & (w_cur > max_width + _WIDTH_EPS)
+        active = jnp.any(over, axis=0)                       # [b]
+        t_star = jnp.argmax(over, axis=0).astype(jnp.int32)  # first over
+        sw = jnp.take_along_axis(w_cur, t_star[None, :], axis=0)[0]
+        slices = select_at(slices, t_star, sw, active)
+        processed = processed | ((iota_nodes == t_star[None, :]) &
+                                 active[None, :])
+        return (slices, all_sw(slices), processed, r + 1)
+
+    carry = (slices0, all_sw(slices0), processed0, jnp.int32(0))
+    slices, _, _, _ = jax.lax.while_loop(cond, round_body, carry)
+    return slices
 
 
 def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,

@@ -43,7 +43,7 @@ from tnco_tpu.kernels.sa_batched import (SABatch, _log2_total_b, _width_b,
                                          compute_hyper_b)
 from tnco_tpu.kernels.sa_infinite import SweepConfig
 from tnco_tpu.kernels.sa_multiwalk import (NULL, _accept, _claim_disjoint,
-                                           _draws)
+                                           _draws, _eval_chunked)
 from tnco_tpu.ops import costs as costs_ops
 
 __all__ = ['run_multiwalk_mxu', 'run_multiwalk_fw_mxu']
@@ -160,8 +160,46 @@ def _gather(oh, Rb):
     return jnp.transpose(g, (1, 2, 0))
 
 
+def _place(Rb, ev, keep, n):
+    """Apply kept proposals: full-row placement GEMM for B and A,
+    par-plane-only placement for C and E (their other features never
+    change, and the old bf16 planes are bit-identical to a re-written
+    round-trip, so the narrow write is exact and ~halves placement
+    traffic).  Kept walks touch pairwise-disjoint rows, so sums never
+    collide."""
+    keep2 = jnp.tile(keep, (2, 1))
+
+    # Full rows: targets {B, A}.
+    oh2 = _oh(jnp.concatenate([ev['b'], ev['a']]), n)
+    v2 = jnp.concatenate([ev['v_b'], ev['v_a']])
+    v2 = jnp.where(keep2[:, None, :], v2, _BF(0))
+    v2b = jnp.transpose(v2, (2, 0, 1))                # [B, 2P, F]
+    placed = jnp.einsum('bqn,bqf->bnf', oh2, v2b,
+                        preferred_element_type=jnp.float32)
+    written = jnp.einsum('bqn,bq->bn', oh2, keep2.T.astype(_BF),
+                         preferred_element_type=jnp.float32) > 0.5
+
+    # Par planes only: C's parent becomes B, E's parent becomes A.
+    ohce = _oh(jnp.concatenate([ev['c'], ev['e']]), n)
+    v_c = jnp.stack(_id_pieces(ev['b']), axis=1)      # [P, 2, B]
+    v_e = jnp.stack(_id_pieces(ev['a']), axis=1)
+    vce = jnp.concatenate([v_c, v_e])
+    vce = jnp.where(keep2[:, None, :], vce, _BF(0))
+    vceb = jnp.transpose(vce, (2, 0, 1))              # [B, 2P, 2]
+    placed_par = jnp.einsum('bqn,bqf->bnf', ohce, vceb,
+                            preferred_element_type=jnp.float32)
+    written_ce = jnp.einsum('bqn,bq->bn', ohce, keep2.T.astype(_BF),
+                            preferred_element_type=jnp.float32) > 0.5
+
+    Rb_new = jnp.where(written[:, :, None], placed.astype(_BF), Rb)
+    par_new = jnp.where(written_ce[:, :, None], placed_par.astype(_BF),
+                        Rb_new[:, :, _PAR:_PAR + 2])
+    Rb_new = jnp.concatenate([par_new, Rb_new[:, :, _PAR + 2:]], axis=2)
+    return jnp.transpose(Rb_new, (1, 2, 0))
+
+
 def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
-              sparse_wb, log2_n_projs):
+              sparse_wb, log2_n_projs, walk_chunk=0):
     (R, minR, min_lt, keys, pos, moves, applied) = carry
     n_leaves = cfg.n_leaves
     f = R.shape[1]
@@ -180,65 +218,6 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
     lt = _log2_total_b(lcc, n_leaves)
     Rb = jnp.transpose(R, (2, 0, 1))  # [B, N, F], once per iteration
 
-    # ---- Round 1: restart finished walks at a fresh leaf --------------
-    g1 = _gather(_oh(jnp.concatenate([pos, leaf]), n),
-                 Rb[:, :, _PAR:_PAR + 2])
-    par_pos = _id_from(g1[:n_walks, 0], g1[:n_walks, 1])
-    new_pos = _id_from(g1[n_walks:, 0], g1[n_walks:, 1])
-    at_boundary = (pos == NULL) | (par_pos == NULL)
-    pos = jnp.where(at_boundary, new_pos, pos)
-    b = pos
-
-    # ---- Round 2: everything at B ------------------------------------
-    oh_b = _oh(b, n)
-    gb = _gather(oh_b, Rb)
-    a = _id_from(gb[:, _PAR], gb[:, _PAR + 1])
-    c0b = _id_from(gb[:, _C0], gb[:, _C0 + 1])
-    c1b = _id_from(gb[:, _C1], gb[:, _C1 + 1])
-    l_b = _f32_from([gb[:, _LCC + k] for k in range(4)])
-    inds_b = _lanes_from(gb, ii)
-
-    # ---- Round 3: everything at A and B's children -------------------
-    oh3 = _oh(jnp.concatenate([a, c0b, c1b]), n)
-    g3 = _gather(oh3, Rb)
-    ga, g0, gc1 = (g3[:n_walks], g3[n_walks:2 * n_walks],
-                   g3[2 * n_walks:])
-    c0a = _id_from(ga[:, _C0], ga[:, _C0 + 1])
-    c1a = _id_from(ga[:, _C1], ga[:, _C1 + 1])
-    l_a = _f32_from([ga[:, _LCC + k] for k in range(4)])
-    inds_a = _lanes_from(ga, ii)
-    inds0 = _lanes_from(g0, ii)
-    inds1 = _lanes_from(gc1, ii)
-    c = jnp.where(c0a == b, c1a, c0a)
-
-    # ---- Round 4: C's index set --------------------------------------
-    oh_c = _oh(c, n)
-    inds_c = _lanes_from(_gather(oh_c, Rb[:, :, ii]),
-                         slice(0, f - _INDS))
-
-    # ---- Shared-index pick + hyper-on-the-fly (same math as masked) --
-    i0 = jnp.any(inds0 & inds_c, axis=1)
-    i1 = jnp.any(inds1 & inds_c, axis=1)
-    take0 = jnp.where(cfg.disable_shared_inds | (i0 & i1), rand_bit, i0)
-    d = jnp.where(take0, c0b, c1b)
-    e = jnp.where(take0, c1b, c0b)
-    t0m = take0[:, None, :]
-    inds_d = jnp.where(t0m, inds0, inds1)
-    inds_e = jnp.where(t0m, inds1, inds0)
-    hyp_a = inds_a & inds_b & inds_c
-    hyp_b = inds_b & inds0 & inds1
-    new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
-
-    ev = dict(a=a, b=b, c=c, d=d, e=e)
-    ln_b = width(inds_d | inds_c)
-    ln_a = width(new_inds_b | inds_e)
-    l_new = costs_ops.new_total_log2(lt[None, :], l_a, l_b, ln_a, ln_b)
-    accept = _accept(cfg, u, beta, l_new, lt, ev)
-    keep = _claim_disjoint(accept, ev)
-
-    # ---- Apply: one placement GEMM over the 4P target rows ------------
-    # New full-row values (floats written as old + (new - old) so the
-    # trajectory matches the masked engine bit for bit).
     def row_pieces(c0_n, c1_n, par_n, lcc_n, inds_n):
         planes = list(_id_pieces(par_n)) + list(_id_pieces(c0_n)) + \
             list(_id_pieces(c1_n)) + list(_f32_pieces(lcc_n))
@@ -249,41 +228,87 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
         tail = tail.reshape(tail.shape[0], -1, tail.shape[-1])
         return jnp.concatenate([head.astype(_BF), tail], axis=1)
 
-    par_b = a  # B's parent is A, unchanged
-    v_b = row_pieces(jnp.where(c0b == e, c, c0b),
-                     jnp.where(c1b == e, c, c1b), par_b,
-                     l_b + (ln_b - l_b), new_inds_b)
-    par_a = _id_from(ga[:, _PAR], ga[:, _PAR + 1])
-    v_a = row_pieces(jnp.where(c0a == c, e, c0a),
-                     jnp.where(c1a == c, e, c1a), par_a,
-                     l_a + (ln_a - l_a), inds_a)
-    # C and E swap parents; their other features are unchanged.
-    gc = _gather(oh_c, Rb[:, :, :_INDS])
-    ge = jnp.where(t0m, gc1[:, :_INDS], g0[:, :_INDS])
-    v_c = row_pieces(_id_from(gc[:, _C0], gc[:, _C0 + 1]),
-                     _id_from(gc[:, _C1], gc[:, _C1 + 1]), b,
-                     _f32_from([gc[:, _LCC + k] for k in range(4)]),
-                     inds_c)
-    v_e = row_pieces(_id_from(ge[:, _C0], ge[:, _C0 + 1]),
-                     _id_from(ge[:, _C1], ge[:, _C1 + 1]), a,
-                     _f32_from([ge[:, _LCC + k] for k in range(4)]),
-                     inds_e)
+    def eval_body(pos_g, leaf_g, rand_bit_g):
+        """Gather rounds + proposal math for one walk group.
 
-    # One fresh one-hot build over the stacked target ids is cheaper
-    # than selecting/concatenating the gather-round one-hots.
-    oh4 = _oh(jnp.concatenate([b, a, c, e]), n)
-    keep4 = jnp.tile(keep, (4, 1))
-    v4 = jnp.concatenate([v_b, v_a, v_c, v_e])
-    v4 = jnp.where(keep4[:, None, :], v4, _BF(0))
-    v4b = jnp.transpose(v4, (2, 0, 1))                # [B, 4P, F]
-    placed = jnp.einsum('bqn,bqf->bnf', oh4, v4b,
-                        preferred_element_type=jnp.float32)
-    written = jnp.einsum('bqn,bq->bn', oh4, keep4.T.astype(_BF),
-                         preferred_element_type=jnp.float32) > 0.5
-    Rb_new = jnp.where(written[:, :, None], placed.astype(_BF), Rb)
-    R = jnp.transpose(Rb_new, (1, 2, 0))
+        One-hot GEMM gathers are exact (one nonzero per row), so group
+        size does not change any value — ``walk_chunk`` only bounds the
+        live one-hot temporaries (the B>=1024 / P=256 XLA compile-stall
+        fix, mirroring the masked engine's walk_chunk).
+        """
+        p_g = pos_g.shape[0]
 
-    pos = a
+        # Round 1: restart finished walks at a fresh leaf.
+        g1 = _gather(_oh(jnp.concatenate([pos_g, leaf_g]), n),
+                     Rb[:, :, _PAR:_PAR + 2])
+        par_pos = _id_from(g1[:p_g, 0], g1[:p_g, 1])
+        new_pos = _id_from(g1[p_g:, 0], g1[p_g:, 1])
+        at_boundary = (pos_g == NULL) | (par_pos == NULL)
+        b = jnp.where(at_boundary, new_pos, pos_g)
+
+        # Round 2: everything at B.
+        gb = _gather(_oh(b, n), Rb)
+        a = _id_from(gb[:, _PAR], gb[:, _PAR + 1])
+        c0b = _id_from(gb[:, _C0], gb[:, _C0 + 1])
+        c1b = _id_from(gb[:, _C1], gb[:, _C1 + 1])
+        l_b = _f32_from([gb[:, _LCC + k] for k in range(4)])
+        inds_b = _lanes_from(gb, ii)
+
+        # Round 3: everything at A and B's children.
+        g3 = _gather(_oh(jnp.concatenate([a, c0b, c1b]), n), Rb)
+        ga, g0, gc1 = g3[:p_g], g3[p_g:2 * p_g], g3[2 * p_g:]
+        c0a = _id_from(ga[:, _C0], ga[:, _C0 + 1])
+        c1a = _id_from(ga[:, _C1], ga[:, _C1 + 1])
+        l_a = _f32_from([ga[:, _LCC + k] for k in range(4)])
+        inds_a = _lanes_from(ga, ii)
+        inds0 = _lanes_from(g0, ii)
+        inds1 = _lanes_from(gc1, ii)
+        c = jnp.where(c0a == b, c1a, c0a)
+
+        # Round 4: C's index set (indices only — C's other features are
+        # never read, and its only update is the par-plane write below).
+        inds_c = _lanes_from(_gather(_oh(c, n), Rb[:, :, ii]),
+                             slice(0, f - _INDS))
+
+        # Shared-index pick + hyper-on-the-fly (same math as masked).
+        i0 = jnp.any(inds0 & inds_c, axis=1)
+        i1 = jnp.any(inds1 & inds_c, axis=1)
+        take0 = jnp.where(cfg.disable_shared_inds | (i0 & i1),
+                          rand_bit_g, i0)
+        d = jnp.where(take0, c0b, c1b)
+        e = jnp.where(take0, c1b, c0b)
+        t0m = take0[:, None, :]
+        inds_d = jnp.where(t0m, inds0, inds1)
+        inds_e = jnp.where(t0m, inds1, inds0)
+        hyp_a = inds_a & inds_b & inds_c
+        hyp_b = inds_b & inds0 & inds1
+        new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
+
+        ln_b = width(inds_d | inds_c)
+        ln_a = width(new_inds_b | inds_e)
+
+        # New full-row values for B and A (floats written as
+        # old + (new - old) so the trajectory matches the masked engine
+        # bit for bit).
+        v_b = row_pieces(jnp.where(c0b == e, c, c0b),
+                         jnp.where(c1b == e, c, c1b), a,
+                         l_b + (ln_b - l_b), new_inds_b)
+        par_a = _id_from(ga[:, _PAR], ga[:, _PAR + 1])
+        v_a = row_pieces(jnp.where(c0a == c, e, c0a),
+                         jnp.where(c1a == c, e, c1a), par_a,
+                         l_a + (ln_a - l_a), inds_a)
+        return dict(a=a, b=b, c=c, d=d, e=e, l_a=l_a, l_b=l_b,
+                    ln_a=ln_a, ln_b=ln_b, v_b=v_b, v_a=v_a)
+
+    ev = _eval_chunked(eval_body, pos, leaf, rand_bit, walk_chunk)
+    l_new = costs_ops.new_total_log2(lt[None, :], ev['l_a'], ev['l_b'],
+                                     ev['ln_a'], ev['ln_b'])
+    accept = _accept(cfg, u, beta, l_new, lt, ev)
+    keep = _claim_disjoint(accept, ev)
+
+    R = _place(Rb, ev, keep, n)
+
+    pos = ev['a']
     moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
     applied = applied + jnp.sum(keep.astype(jnp.int32))
 
@@ -301,13 +326,14 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
     return (R, minR, min_lt, keys, pos, moves, applied)
 
 
-@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks'))
+@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk'))
 def run_multiwalk_mxu(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
                       n_walks: int, pos, sparse_wb=None,
-                      log2_n_projs=None):
+                      log2_n_projs=None, walk_chunk: int = 0):
     """One MXU multi-walk iteration per beta; same contract as
     :func:`tnco_tpu.kernels.sa_multiwalk.run_multiwalk` (bit-identical
-    trajectories)."""
+    trajectories).  ``walk_chunk`` bounds the live one-hot temporaries
+    (identical results for every chunking)."""
     n = batch.c0.shape[0]
     R = pack_state(batch.c0, batch.c1, batch.par, batch.lcc, batch.inds)
     minR = pack_state(batch.min_c0, batch.min_c1, batch.min_par,
@@ -315,7 +341,7 @@ def run_multiwalk_mxu(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
 
     def step(carry, beta):
         return _iter_mxu(carry, beta, log2d_w32, cfg, n_walks, n,
-                         sparse_wb, log2_n_projs), None
+                         sparse_wb, log2_n_projs, walk_chunk), None
 
     carry = (R, minR, batch.min_log2_total, batch.keys, pos,
              jnp.int32(0), jnp.int32(0))
@@ -338,7 +364,8 @@ def run_multiwalk_mxu(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
 
 
 def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
-                 skip_wb, cfg, n_walks, n, sparse_wb, log2_n_projs):
+                 skip_wb, cfg, n_walks, n, sparse_wb, log2_n_projs,
+                 walk_chunk=0):
     """Finite-width MXU iteration: width-capped proposals against the
     shared per-lane slice set + periodic greedy reslice-if-better
     (bit-identical to the masked FW multi-walk engine)."""
@@ -366,63 +393,6 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
     sl = slices[None, :, :]  # [1, W, B] broadcast over P
     Rb = jnp.transpose(R, (2, 0, 1))  # [B, N, F], once per iteration
 
-    # ---- Gather rounds (same structure as the IM engine) --------------
-    g1 = _gather(_oh(jnp.concatenate([pos, leaf]), n),
-                 Rb[:, :, _PAR:_PAR + 2])
-    par_pos = _id_from(g1[:n_walks, 0], g1[:n_walks, 1])
-    new_pos = _id_from(g1[n_walks:, 0], g1[n_walks:, 1])
-    at_boundary = (pos == NULL) | (par_pos == NULL)
-    pos = jnp.where(at_boundary, new_pos, pos)
-    b = pos
-
-    oh_b = _oh(b, n)
-    gb = _gather(oh_b, Rb)
-    a = _id_from(gb[:, _PAR], gb[:, _PAR + 1])
-    c0b = _id_from(gb[:, _C0], gb[:, _C0 + 1])
-    c1b = _id_from(gb[:, _C1], gb[:, _C1 + 1])
-    l_b = _f32_from([gb[:, _LCC + k] for k in range(4)])
-    w_b = _f32_from([gb[:, _WPRE + k] for k in range(4)])
-    inds_b = _lanes_from(gb, ii)
-
-    oh3 = _oh(jnp.concatenate([a, c0b, c1b]), n)
-    g3 = _gather(oh3, Rb)
-    ga, g0, gc1 = (g3[:n_walks], g3[n_walks:2 * n_walks],
-                   g3[2 * n_walks:])
-    c0a = _id_from(ga[:, _C0], ga[:, _C0 + 1])
-    c1a = _id_from(ga[:, _C1], ga[:, _C1 + 1])
-    l_a = _f32_from([ga[:, _LCC + k] for k in range(4)])
-    inds_a = _lanes_from(ga, ii)
-    inds0 = _lanes_from(g0, ii)
-    inds1 = _lanes_from(gc1, ii)
-    c = jnp.where(c0a == b, c1a, c0a)
-
-    oh_c = _oh(c, n)
-    gc = _gather(oh_c, Rb)
-    inds_c = _lanes_from(gc, ii)
-
-    i0 = jnp.any(inds0 & inds_c, axis=1)
-    i1 = jnp.any(inds1 & inds_c, axis=1)
-    take0 = jnp.where(cfg.disable_shared_inds | (i0 & i1), rand_bit, i0)
-    d = jnp.where(take0, c0b, c1b)
-    e = jnp.where(take0, c1b, c0b)
-    t0m = take0[:, None, :]
-    inds_d = jnp.where(t0m, inds0, inds1)
-    inds_e = jnp.where(t0m, inds1, inds0)
-    hyp_a = inds_a & inds_b & inds_c
-    hyp_b = inds_b & inds0 & inds1
-    new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
-
-    ev = dict(a=a, b=b, c=c, d=d, e=e)
-    new_width_b = width(new_inds_b)
-    new_sliced_width_b = width(new_inds_b & ~sl)
-    fits = new_sliced_width_b <= max_width + _WIDTH_EPS
-    ln_b = width((inds_d | inds_c) | sl)
-    ln_a = width((new_inds_b | inds_e) | sl)
-    l_new = costs_ops.new_total_log2(lt[None, :], l_a, l_b, ln_a, ln_b)
-    accept = _accept(cfg, u, beta, l_new, lt, ev) & fits
-    keep = _claim_disjoint(accept, ev)
-
-    # ---- Apply (placement GEMM over the 4P target rows) ---------------
     def row_pieces(c0_n, c1_n, par_n, lcc_n, wpre_n, inds_n):
         planes = list(_id_pieces(par_n)) + list(_id_pieces(c0_n)) + \
             list(_id_pieces(c1_n)) + list(_f32_pieces(lcc_n)) + \
@@ -434,42 +404,80 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
         tail = tail.reshape(tail.shape[0], -1, tail.shape[-1])
         return jnp.concatenate([head.astype(_BF), tail], axis=1)
 
-    v_b = row_pieces(jnp.where(c0b == e, c, c0b),
-                     jnp.where(c1b == e, c, c1b), a,
-                     l_b + (ln_b - l_b), w_b + (new_width_b - w_b),
-                     new_inds_b)
-    par_a = _id_from(ga[:, _PAR], ga[:, _PAR + 1])
-    w_a = _f32_from([ga[:, _WPRE + k] for k in range(4)])
-    v_a = row_pieces(jnp.where(c0a == c, e, c0a),
-                     jnp.where(c1a == c, e, c1a), par_a,
-                     l_a + (ln_a - l_a), w_a, inds_a)
-    ge = jnp.where(t0m, gc1[:, :_INDS_FW], g0[:, :_INDS_FW])
-    v_c = row_pieces(_id_from(gc[:, _C0], gc[:, _C0 + 1]),
-                     _id_from(gc[:, _C1], gc[:, _C1 + 1]), b,
-                     _f32_from([gc[:, _LCC + k] for k in range(4)]),
-                     _f32_from([gc[:, _WPRE + k] for k in range(4)]),
-                     inds_c)
-    v_e = row_pieces(_id_from(ge[:, _C0], ge[:, _C0 + 1]),
-                     _id_from(ge[:, _C1], ge[:, _C1 + 1]), a,
-                     _f32_from([ge[:, _LCC + k] for k in range(4)]),
-                     _f32_from([ge[:, _WPRE + k] for k in range(4)]),
-                     inds_e)
+    def eval_body(pos_g, leaf_g, rand_bit_g):
+        """Gather rounds + width-capped proposal math for one walk
+        group (exact for any ``walk_chunk``; see the IM engine)."""
+        p_g = pos_g.shape[0]
 
-    # One fresh one-hot build over the stacked target ids is cheaper
-    # than selecting/concatenating the gather-round one-hots.
-    oh4 = _oh(jnp.concatenate([b, a, c, e]), n)
-    keep4 = jnp.tile(keep, (4, 1))
-    v4 = jnp.concatenate([v_b, v_a, v_c, v_e])
-    v4 = jnp.where(keep4[:, None, :], v4, _BF(0))
-    v4b = jnp.transpose(v4, (2, 0, 1))                # [B, 4P, F]
-    placed = jnp.einsum('bqn,bqf->bnf', oh4, v4b,
-                        preferred_element_type=jnp.float32)
-    written = jnp.einsum('bqn,bq->bn', oh4, keep4.T.astype(_BF),
-                         preferred_element_type=jnp.float32) > 0.5
-    Rb_new = jnp.where(written[:, :, None], placed.astype(_BF), Rb)
-    R = jnp.transpose(Rb_new, (1, 2, 0))
+        g1 = _gather(_oh(jnp.concatenate([pos_g, leaf_g]), n),
+                     Rb[:, :, _PAR:_PAR + 2])
+        par_pos = _id_from(g1[:p_g, 0], g1[:p_g, 1])
+        new_pos = _id_from(g1[p_g:, 0], g1[p_g:, 1])
+        at_boundary = (pos_g == NULL) | (par_pos == NULL)
+        b = jnp.where(at_boundary, new_pos, pos_g)
 
-    pos = a
+        gb = _gather(_oh(b, n), Rb)
+        a = _id_from(gb[:, _PAR], gb[:, _PAR + 1])
+        c0b = _id_from(gb[:, _C0], gb[:, _C0 + 1])
+        c1b = _id_from(gb[:, _C1], gb[:, _C1 + 1])
+        l_b = _f32_from([gb[:, _LCC + k] for k in range(4)])
+        w_b = _f32_from([gb[:, _WPRE + k] for k in range(4)])
+        inds_b = _lanes_from(gb, ii)
+
+        g3 = _gather(_oh(jnp.concatenate([a, c0b, c1b]), n), Rb)
+        ga, g0, gc1 = g3[:p_g], g3[p_g:2 * p_g], g3[2 * p_g:]
+        c0a = _id_from(ga[:, _C0], ga[:, _C0 + 1])
+        c1a = _id_from(ga[:, _C1], ga[:, _C1 + 1])
+        l_a = _f32_from([ga[:, _LCC + k] for k in range(4)])
+        inds_a = _lanes_from(ga, ii)
+        inds0 = _lanes_from(g0, ii)
+        inds1 = _lanes_from(gc1, ii)
+        c = jnp.where(c0a == b, c1a, c0a)
+
+        # C: indices only (its sole update is the par-plane write).
+        inds_c = _lanes_from(_gather(_oh(c, n), Rb[:, :, ii]),
+                             slice(0, f - _INDS_FW))
+
+        i0 = jnp.any(inds0 & inds_c, axis=1)
+        i1 = jnp.any(inds1 & inds_c, axis=1)
+        take0 = jnp.where(cfg.disable_shared_inds | (i0 & i1),
+                          rand_bit_g, i0)
+        d = jnp.where(take0, c0b, c1b)
+        e = jnp.where(take0, c1b, c0b)
+        t0m = take0[:, None, :]
+        inds_d = jnp.where(t0m, inds0, inds1)
+        inds_e = jnp.where(t0m, inds1, inds0)
+        hyp_a = inds_a & inds_b & inds_c
+        hyp_b = inds_b & inds0 & inds1
+        new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
+
+        new_width_b = width(new_inds_b)
+        new_sliced_width_b = width(new_inds_b & ~sl)
+        fits = new_sliced_width_b <= max_width + _WIDTH_EPS
+        ln_b = width((inds_d | inds_c) | sl)
+        ln_a = width((new_inds_b | inds_e) | sl)
+
+        v_b = row_pieces(jnp.where(c0b == e, c, c0b),
+                         jnp.where(c1b == e, c, c1b), a,
+                         l_b + (ln_b - l_b), w_b + (new_width_b - w_b),
+                         new_inds_b)
+        par_a = _id_from(ga[:, _PAR], ga[:, _PAR + 1])
+        w_a = _f32_from([ga[:, _WPRE + k] for k in range(4)])
+        v_a = row_pieces(jnp.where(c0a == c, e, c0a),
+                         jnp.where(c1a == c, e, c1a), par_a,
+                         l_a + (ln_a - l_a), w_a, inds_a)
+        return dict(a=a, b=b, c=c, d=d, e=e, l_a=l_a, l_b=l_b,
+                    ln_a=ln_a, ln_b=ln_b, fits=fits, v_b=v_b, v_a=v_a)
+
+    ev = _eval_chunked(eval_body, pos, leaf, rand_bit, walk_chunk)
+    l_new = costs_ops.new_total_log2(lt[None, :], ev['l_a'], ev['l_b'],
+                                     ev['ln_a'], ev['ln_b'])
+    accept = _accept(cfg, u, beta, l_new, lt, ev) & ev['fits']
+    keep = _claim_disjoint(accept, ev)
+
+    R = _place(Rb, ev, keep, n)
+
+    pos = ev['a']
     moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
     applied = applied + jnp.sum(keep.astype(jnp.int32))
 
@@ -513,13 +521,14 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
             applied)
 
 
-@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks'))
+@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk'))
 def run_multiwalk_fw_mxu(batch, betas, update_slices_mask, max_width,
                          log2d_w32, skip_wb, cfg, n_walks: int, pos,
-                         sparse_wb=None, log2_n_projs=None):
+                         sparse_wb=None, log2_n_projs=None,
+                         walk_chunk: int = 0):
     """Finite-width MXU multi-walk: same contract as
     :func:`tnco_tpu.kernels.sa_multiwalk.run_multiwalk_fw`
-    (bit-identical trajectories)."""
+    (bit-identical trajectories; ``walk_chunk`` changes no values)."""
     from tnco_tpu.kernels.sa_finite_batched import SABatchFW
 
     n = batch.c0.shape[0]
@@ -534,7 +543,7 @@ def run_multiwalk_fw_mxu(batch, betas, update_slices_mask, max_width,
         beta, upd = x
         return _iter_fw_mxu(carry, beta, upd, max_width, log2d_w32,
                             skip_wb, cfg, n_walks, n, sparse_wb,
-                            log2_n_projs), None
+                            log2_n_projs, walk_chunk), None
 
     carry = (R, batch.slices, minR, batch.min_slices,
              batch.min_log2_total, batch.keys, pos, jnp.int32(0),

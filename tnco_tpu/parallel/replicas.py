@@ -364,7 +364,7 @@ class ReplicaRunner:
                 self.states, metrics = mxu.run_multiwalk_mxu(
                     self.states, jnp.asarray(chunk), self.log2d_w32,
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs)
+                    self.log2_n_projs, walk_chunk=self.walk_chunk)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             else:
@@ -704,7 +704,7 @@ class ReplicaRunnerFW:
                     self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
                     self.max_width, self.log2d_w32, self.skip_lanes,
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs)
+                    self.log2_n_projs, walk_chunk=self.walk_chunk)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             else:
