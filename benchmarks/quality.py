@@ -101,9 +101,10 @@ def run_quality(name: str, seconds: float, seed: int = 0,
             [tree(r).nodes_array.copy() for r in range(n_cpu_replicas)])
         inds = np.stack(
             [tree(r).inds_array.copy() for r in range(n_cpu_replicas)])
-        seeds = np.arange(n_cpu_replicas, dtype=np.uint64)
+        base_seeds = np.arange(n_cpu_replicas, dtype=np.uint64)
         chunk_sweeps_cpu = 64
         bests = np.full(n_cpu_replicas, np.inf)
+        chunk_idx = 0
         t0 = time.perf_counter()
         while True:
             frac0 = (time.perf_counter() - t0) / seconds
@@ -112,9 +113,16 @@ def run_quality(name: str, seconds: float, seed: int = 0,
             betas_chunk = np.linspace(min(frac0, 1.0) * beta_max,
                                       min(frac0 + 0.05, 1.0) * beta_max,
                                       chunk_sweeps_cpu)
-            best, moves, nodes, inds = native.sa_run(
+            # Fresh per-chunk seed offsets + final-tree resume: reusing
+            # the same seeds replays identical mt19937 streams every
+            # chunk, and the default in-place result is the BEST tree —
+            # both silently cripple the annealing across chunk
+            # boundaries (found by a controlled reference comparison).
+            seeds = base_seeds + np.uint64(chunk_idx * n_cpu_replicas)
+            chunk_idx += 1
+            best, moves, nodes, inds, _, _ = native.sa_run(
                 nodes, inds, template.log2_dims_array, betas_chunk, seeds,
-                n_threads=0)
+                n_threads=0, return_final=True)
             bests = np.minimum(bests, best)
             cpu_moves += moves
         cpu_time = time.perf_counter() - t0
@@ -210,9 +218,10 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
             [tree(r).inds_array.copy() for r in range(n_cpu_replicas)])
         slices = np.stack(slices0)
         skip = np.zeros(template.inds_array.shape[1], dtype=np.uint32)
-        seeds = np.arange(n_cpu_replicas, dtype=np.uint64)
+        base_seeds = np.arange(n_cpu_replicas, dtype=np.uint64)
         chunk_cpu = 64
         bests = np.full(n_cpu_replicas, np.inf)
+        chunk_idx = 0
         t0 = time.perf_counter()
         while True:
             frac0 = (time.perf_counter() - t0) / seconds
@@ -221,10 +230,14 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
             betas_chunk = np.linspace(min(frac0, 1.0) * beta_max,
                                       min(frac0 + 0.05, 1.0) * beta_max,
                                       chunk_cpu)
-            best, moves, nodes, inds, slices = native.sa_run_fw(
+            # Same chunk-boundary discipline as the IM arm (fresh seed
+            # offsets, resume from the FINAL tree, not the best one).
+            seeds = base_seeds + np.uint64(chunk_idx * n_cpu_replicas)
+            chunk_idx += 1
+            best, moves, nodes, inds, slices, _, _, _ = native.sa_run_fw(
                 nodes, inds, slices, template.log2_dims_array, skip,
                 float(max_width), betas_chunk, seeds, reslice_every=10,
-                n_threads=0)
+                n_threads=0, return_final=True)
             bests = np.minimum(bests, best)
             cpu_moves += moves
         cpu_time = time.perf_counter() - t0

@@ -101,24 +101,28 @@ def init_batch(ctrees, seeds, log2_dims_padded, *, sparse_lanes=None,
     hyper = np.where(internal[:, None, :], inds & inds_c0 & inds_c1,
                      np.uint32(0))
 
-    # log2 cost per node: width of union of children (+ sparse cap)
+    # log2 cost per node: width of union of children (+ sparse cap).
+    # Accumulated word by word — a single [N, W, 32, B] float64 expansion
+    # is multi-GB at Sycamore scale (the round-1 "wedged worker" was in
+    # fact this array swapping the 1-core host for minutes).
     union = inds_c0 | inds_c1
     shifts = np.arange(32, dtype=np.uint32)
-    bits = ((union[:, :, None, :] >> shifts[None, None, :, None]) &
-            1).astype(np.float64)
+    log2d_w32 = log2d.reshape(w, 32)
 
-    def w_of(mask_bits):
-        return np.einsum('nwsb,ws->nb', mask_bits,
-                         log2d.reshape(w, 32))
+    def w_of(lanes_nwb):
+        out = np.zeros((n, b), dtype=np.float64)
+        for word in range(w):
+            bits = ((lanes_nwb[:, word, None, :] >>
+                     shifts[None, :, None]) & 1).astype(np.float64)
+            out += np.einsum('nsb,s->nb', bits, log2d_w32[word])
+        return out
 
     if sparse_lanes is None:
-        lcc = w_of(bits)
+        lcc = w_of(union)
     else:
         sp = np.asarray(sparse_lanes, dtype=np.uint32)
-        spb = ((sp[None, :, None, None] >> shifts[None, None, :, None]) &
-               1).astype(np.float64)
-        dense = w_of(bits * (1 - spb))
-        sparse = w_of(bits * spb)
+        dense = w_of(union & ~sp[None, :, None])
+        sparse = w_of(union & sp[None, :, None])
         lcc = dense + np.minimum(sparse, float(log2_n_projs))
     lcc = np.where(internal, lcc, -np.inf).astype(dtype)
 
