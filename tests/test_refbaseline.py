@@ -8,7 +8,7 @@ costs to agree — the true parity oracle that round 1 lacked
 (VERDICT "Next round" item 4).
 
 Reference semantics under test: cost model
-/root/reference/include/tnco/optimize/infinite_memory/cost_model/simple.hpp:37-83
+include/tnco/optimize/infinite_memory/cost_model/simple.hpp:37-83
 and the SA optimum on the README 4-chain (README.md:90-100).
 """
 

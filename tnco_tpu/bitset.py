@@ -186,7 +186,7 @@ class Bitset:
             raise IndexError("Index out of range.")
         return Bitset(self._mask & ~(1 << pos), n=self._n)
 
-    # Predicates ---------------------------------------------------------------
+    # Predicates --------------------------------------------------------------
     def intersects(self, other: 'Bitset') -> bool:
         self._check(other)
         return bool(self._mask & other._mask)
@@ -224,7 +224,7 @@ class Bitset:
     def __bool__(self) -> bool:
         return self.any()
 
-    # Codecs --------------------------------------------------------------------
+    # Codecs ------------------------------------------------------------------
     def __str__(self) -> str:
         return ''.join('1' if (self._mask >> i) & 1 else '0'
                        for i in range(self._n))

@@ -377,7 +377,7 @@ class ContractionTree:
         """``float64[n_inds]`` log2 of each dimension."""
         return np.log2(self._dims.astype(np.float64))
 
-    # -- Label-space API (reference parity) ------------------------------------
+    # -- Label-space API (reference parity) -----------------------------------
 
     def __len__(self) -> int:
         return len(self._nodes)
@@ -401,7 +401,7 @@ class ContractionTree:
 
     @property
     def inds(self):
-        """Label-space per-node index sets (reference tnco/ctree.py:300-330)."""
+        """Label-space per-node index sets (ref tnco/ctree.py:300-330)."""
         order = self._inds_order
         inds_arr = self._inds
 
@@ -445,7 +445,7 @@ class ContractionTree:
     def inds_order(self) -> tuple:
         return self._inds_order
 
-    # -- Validation ------------------------------------------------------------
+    # -- Validation -----------------------------------------------------------
 
     def is_valid(self,
                  check_shared_inds: bool = False,
@@ -551,7 +551,7 @@ class ContractionTree:
         nodes[pos_c, 2] = pos_b
         nodes[pos_d, 2] = pos_a
 
-    # -- Path round-trip ---------------------------------------------------------
+    # -- Path round-trip ------------------------------------------------------
 
     def path(self) -> list[tuple[int, int]]:
         """Contraction path in linear (einsum) format.
@@ -584,7 +584,7 @@ class ContractionTree:
         bits = _expand_bits(self._inds, self._n_inds)
         return float((bits @ log2d).max())
 
-    # -- Exact costs (host, bigint) ----------------------------------------------
+    # -- Exact costs (host, bigint) -------------------------------------------
 
     def contraction_log2_costs(self) -> np.ndarray:
         """``float64[N]`` log2 contraction cost per node (0-width for leaves).
@@ -621,7 +621,7 @@ class ContractionTree:
             total += c
         return total
 
-    # -- Equality / pickle --------------------------------------------------------
+    # -- Equality / pickle ----------------------------------------------------
 
     def __eq__(self, other: Any) -> bool:
         return (isinstance(other, ContractionTree) and
@@ -650,7 +650,7 @@ class ContractionTree:
                                 (self._n_tensors, self._tensors_pos,
                                  self._inds_order))
 
-    # -- Functional mutation (host-side) -------------------------------------------
+    # -- Functional mutation (host-side) --------------------------------------
 
     def replace_arrays(self, nodes: np.ndarray,
                        inds: np.ndarray) -> 'ContractionTree':

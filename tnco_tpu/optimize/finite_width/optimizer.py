@@ -132,7 +132,7 @@ class Optimizer:
         b = Bitset.from_lanes(np.asarray(lanes), len(order))
         return frozenset(order[p] for p in b.positions())
 
-    # -- Optimization ----------------------------------------------------------
+    # -- Optimization ---------------------------------------------------------
 
     def update(self, prob: BaseProbability, *,
                update_slices: bool = True) -> None:
@@ -163,7 +163,7 @@ class Optimizer:
             self._skip_lanes, cfg, self._sparse_lanes, self._log2_n_projs)
         return {k: np.asarray(v) for k, v in metrics.items()}
 
-    # -- Views --------------------------------------------------------------------
+    # -- Views ----------------------------------------------------------------
 
     @property
     def ctree(self) -> ContractionTree:
@@ -223,7 +223,7 @@ class Optimizer:
     def prng_state(self) -> str:
         return key_to_state(self._state.key)
 
-    # -- Audit ---------------------------------------------------------------------
+    # -- Audit ----------------------------------------------------------------
 
     def is_valid(self, *, atol: float | None = None,
                  return_message: bool = False):
@@ -285,7 +285,7 @@ class Optimizer:
             return False, "Cost for min ctree is not correct."
         return True, ""
 
-    # -- Pickle -------------------------------------------------------------------------
+    # -- Pickle ---------------------------------------------------------------
 
     @classmethod
     def __build__(cls, ctree, cmodel, max_number_new_slices, seed,

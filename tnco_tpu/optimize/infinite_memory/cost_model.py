@@ -1,7 +1,7 @@
 """Label-space cost models (infinite memory).
 
 Reference: tnco/optimize/infinite_memory/cost_model.py:28-221 and
-include/tnco/optimize/infinite_memory/cost_model/{simple,simple_sparse_inds}.hpp.
+include/tnco/optimize/infinite_memory/cost_model/simple*.hpp.
 
 ``SimpleCostModel``: cost of a contraction = product of dims over
 ``in1 | in2`` (every index counted once).  With ``sparse_inds``, the sparse

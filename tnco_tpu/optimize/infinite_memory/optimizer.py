@@ -124,7 +124,7 @@ class Optimizer:
         if not valid:
             raise ValueError(msg)
 
-    # -- Optimization -----------------------------------------------------------
+    # -- Optimization ---------------------------------------------------------
 
     def update(self, prob: BaseProbability) -> None:
         """One SA sweep (reference update,
@@ -152,7 +152,7 @@ class Optimizer:
                                              self._log2_n_projs)
         return {k: np.asarray(v) for k, v in metrics.items()}
 
-    # -- Views ---------------------------------------------------------------------
+    # -- Views ----------------------------------------------------------------
 
     @property
     def ctree(self) -> ContractionTree:
@@ -203,7 +203,7 @@ class Optimizer:
     def prng_state(self) -> str:
         return key_to_state(self._state.key)
 
-    # -- Audit -------------------------------------------------------------------------
+    # -- Audit ----------------------------------------------------------------
 
     def is_valid(self, *, atol: float | None = None,
                  return_message: bool = False):
@@ -248,7 +248,7 @@ class Optimizer:
             return False, "Cost for min ctree is not correct."
         return True, ""
 
-    # -- Pickle -------------------------------------------------------------------------
+    # -- Pickle ---------------------------------------------------------------
 
     @classmethod
     def __build__(cls, ctree, cmodel, seed, disable_shared_inds, atol,

@@ -616,7 +616,8 @@ class ReplicaRunnerFW:
         log2d = self.template.log2_dims_array
         skip = np.asarray(self.skip_lanes, dtype=np.uint32)
         while pos < n:
-            if timeout is not None and                     time.perf_counter() - start > timeout:
+            if (timeout is not None and
+                    time.perf_counter() - start > timeout):
                 break
             chunk = betas[pos:pos + chunk_size]
             seeds = self._nat_seeds + np.uint64(
