@@ -2,7 +2,8 @@
 
 The production-grade Pallas engine.  Combines two designs:
 
-- **VMEM residency** (from :mod:`pallas_sweep`): a replica block's entire
+- **VMEM residency** (from the deleted pallas_sweep experiment): a
+  replica block's entire
   state lives in VMEM for a whole chunk of iterations; HBM is touched once
   per chunk.
 - **Continuous move stream** (from ``sa_batched.run_stream_batched``):
@@ -10,7 +11,9 @@ The production-grade Pallas engine.  Combines two designs:
   (min snapshot, next leaf, next beta) in that iteration and continues.
   No data-dependent loops at all: one ``fori_loop`` over a static iteration
   count, so the kernel is immune to the Mosaic ``while_loop`` issues that
-  wedge the chip (see :mod:`pallas_sweep`).
+  wedge the chip (lesson from the deleted pallas_sweep lockstep
+  variant: its while_loop miscompiled and wedged the chip; findings
+  recorded in docs/ROADMAP.md).
 
 Per-lane semantics match the reference SA: K sweeps over the beta ramp,
 each sweep a leaf-to-root walk of uncle swaps with Metropolis acceptance in
