@@ -35,6 +35,7 @@ engines.
 """
 
 import functools as fts
+import os
 
 import jax
 import jax.numpy as jnp
@@ -148,6 +149,9 @@ def _oh(idx, n):
     return (iota[None, None, :] == idx.T[:, :, None]).astype(_BF)
 
 
+_GATHER_IMPL = os.environ.get('TNCO_TPU_MXU_GATHER', 'onehot')
+
+
 def _gather(oh, Rb):
     """One-hot rows [B,Q,N] x planes [B,N,F] -> exact f32 [Q,F,B].
 
@@ -158,6 +162,23 @@ def _gather(oh, Rb):
     g = jnp.einsum('bqn,bnf->bqf', oh, Rb,
                    preferred_element_type=jnp.float32)
     return jnp.transpose(g, (1, 2, 0))
+
+
+def _gather_rows(idx, Rb):
+    """Row gather [Q,B] ids from [B,N,F] -> exact f32 [Q,F,B].
+
+    Implementation is selectable via TNCO_TPU_MXU_GATHER: 'onehot'
+    (MXU GEMM against a materialized one-hot — exact: one nonzero per
+    row) or 'xla' (native take_along_axis — exact trivially).  Both
+    return NULL rows as zeros, so values are identical either way.
+    """
+    if _GATHER_IMPL == 'xla':
+        safe = jnp.maximum(idx, 0)                      # [Q, B]
+        g = jnp.take_along_axis(
+            Rb, safe.T[:, :, None], axis=1)             # [B, Q, F]
+        g = jnp.where((idx > NULL).T[:, :, None], g, _BF(0))
+        return jnp.transpose(g, (1, 2, 0)).astype(jnp.float32)
+    return _gather(_oh(idx, Rb.shape[1]), Rb)
 
 
 def _place(Rb, ev, keep, n):
@@ -239,15 +260,15 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
         p_g = pos_g.shape[0]
 
         # Round 1: restart finished walks at a fresh leaf.
-        g1 = _gather(_oh(jnp.concatenate([pos_g, leaf_g]), n),
-                     Rb[:, :, _PAR:_PAR + 2])
+        g1 = _gather_rows(jnp.concatenate([pos_g, leaf_g]),
+                          Rb[:, :, _PAR:_PAR + 2])
         par_pos = _id_from(g1[:p_g, 0], g1[:p_g, 1])
         new_pos = _id_from(g1[p_g:, 0], g1[p_g:, 1])
         at_boundary = (pos_g == NULL) | (par_pos == NULL)
         b = jnp.where(at_boundary, new_pos, pos_g)
 
         # Round 2: everything at B.
-        gb = _gather(_oh(b, n), Rb)
+        gb = _gather_rows(b, Rb)
         a = _id_from(gb[:, _PAR], gb[:, _PAR + 1])
         c0b = _id_from(gb[:, _C0], gb[:, _C0 + 1])
         c1b = _id_from(gb[:, _C1], gb[:, _C1 + 1])
@@ -255,7 +276,7 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
         inds_b = _lanes_from(gb, ii)
 
         # Round 3: everything at A and B's children.
-        g3 = _gather(_oh(jnp.concatenate([a, c0b, c1b]), n), Rb)
+        g3 = _gather_rows(jnp.concatenate([a, c0b, c1b]), Rb)
         ga, g0, gc1 = g3[:p_g], g3[p_g:2 * p_g], g3[2 * p_g:]
         c0a = _id_from(ga[:, _C0], ga[:, _C0 + 1])
         c1a = _id_from(ga[:, _C1], ga[:, _C1 + 1])
@@ -267,7 +288,7 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
 
         # Round 4: C's index set (indices only — C's other features are
         # never read, and its only update is the par-plane write below).
-        inds_c = _lanes_from(_gather(_oh(c, n), Rb[:, :, ii]),
+        inds_c = _lanes_from(_gather_rows(c, Rb[:, :, ii]),
                              slice(0, f - _INDS))
 
         # Shared-index pick + hyper-on-the-fly (same math as masked).
@@ -409,14 +430,14 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
         group (exact for any ``walk_chunk``; see the IM engine)."""
         p_g = pos_g.shape[0]
 
-        g1 = _gather(_oh(jnp.concatenate([pos_g, leaf_g]), n),
-                     Rb[:, :, _PAR:_PAR + 2])
+        g1 = _gather_rows(jnp.concatenate([pos_g, leaf_g]),
+                          Rb[:, :, _PAR:_PAR + 2])
         par_pos = _id_from(g1[:p_g, 0], g1[:p_g, 1])
         new_pos = _id_from(g1[p_g:, 0], g1[p_g:, 1])
         at_boundary = (pos_g == NULL) | (par_pos == NULL)
         b = jnp.where(at_boundary, new_pos, pos_g)
 
-        gb = _gather(_oh(b, n), Rb)
+        gb = _gather_rows(b, Rb)
         a = _id_from(gb[:, _PAR], gb[:, _PAR + 1])
         c0b = _id_from(gb[:, _C0], gb[:, _C0 + 1])
         c1b = _id_from(gb[:, _C1], gb[:, _C1 + 1])
@@ -424,7 +445,7 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
         w_b = _f32_from([gb[:, _WPRE + k] for k in range(4)])
         inds_b = _lanes_from(gb, ii)
 
-        g3 = _gather(_oh(jnp.concatenate([a, c0b, c1b]), n), Rb)
+        g3 = _gather_rows(jnp.concatenate([a, c0b, c1b]), Rb)
         ga, g0, gc1 = g3[:p_g], g3[p_g:2 * p_g], g3[2 * p_g:]
         c0a = _id_from(ga[:, _C0], ga[:, _C0 + 1])
         c1a = _id_from(ga[:, _C1], ga[:, _C1 + 1])
@@ -435,7 +456,7 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
         c = jnp.where(c0a == b, c1a, c0a)
 
         # C: indices only (its sole update is the par-plane write).
-        inds_c = _lanes_from(_gather(_oh(c, n), Rb[:, :, ii]),
+        inds_c = _lanes_from(_gather_rows(c, Rb[:, :, ii]),
                              slice(0, f - _INDS_FW))
 
         i0 = jnp.any(inds0 & inds_c, axis=1)
