@@ -1,0 +1,83 @@
+"""Row-major Pallas walker engine == masked multi-walk engine, bitwise.
+
+Runs the walker in interpreter mode on CPU (the conftest forces the CPU
+platform); on-chip exactness is exercised by the benchmark drivers.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jax
+from tnco_tpu.ctree import ContractionTree
+from tnco_tpu.kernels import pallas_walker as pw
+from tnco_tpu.kernels import sa_batched as sb
+from tnco_tpu.kernels import sa_multiwalk as smw
+from tnco_tpu.kernels.sa_infinite import SweepConfig
+from tnco_tpu.ops import bitops
+from tnco_tpu.testing.utils import generate_random_tensors
+from tnco_tpu.utils.tn import get_random_contraction_path
+
+
+def _setup(rng, random_seed, n_replicas):
+    ts_inds, output_inds, dims = generate_random_tensors(
+        rng, min_n_tensors=8, max_n_tensors=14, n_output_inds=1)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    trees = []
+    for r in range(n_replicas):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        trees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    return trees
+
+
+@pytest.mark.parametrize('n_walks', [4, 8])
+def test_walker_bit_identical(n_walks, rng, random_seed):
+    trees = _setup(rng, random_seed, n_replicas=3)
+    template = trees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    batch = sb.init_batch(trees, [0, 1, 2], np.asarray(log2d))
+    pos = jnp.full((n_walks, 3), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 30, dtype=jnp.float32)
+
+    ref, mref = smw.run_multiwalk(batch, betas, log2d_w32, cfg, n_walks,
+                                  pos)
+    got, mgot = pw.run_walker(batch, betas, log2d_w32, cfg, n_walks,
+                              pos, interpret=True)
+    assert int(mref['moves']) == int(mgot['moves'])
+    assert int(mref['applied']) == int(mgot['applied'])
+    np.testing.assert_array_equal(np.asarray(mref['pos']),
+                                  np.asarray(mgot['pos']))
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_walker_continuation(rng, random_seed):
+    """Two chained walker calls == one masked run of the same length."""
+    trees = _setup(rng, random_seed, n_replicas=2)
+    template = trees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    batch = sb.init_batch(trees, [5, 6], np.asarray(log2d))
+    p = 4
+    pos = jnp.full((p, 2), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 6.0, 20, dtype=jnp.float32)
+
+    ref, mref = smw.run_multiwalk(batch, betas, log2d_w32, cfg, p, pos)
+
+    mid, m1 = pw.run_walker(batch, betas[:10], log2d_w32, cfg, p, pos,
+                            interpret=True)
+    got, m2 = pw.run_walker(mid, betas[10:], log2d_w32, cfg, p,
+                            m1['pos'], interpret=True)
+    assert int(mref['moves']) == int(m1['moves']) + int(m2['moves'])
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,480 @@
+"""Row-major Pallas multi-walk engine: VMEM-resident state, O(1) rows.
+
+The masked engines pay O(N) per row access ([P,N,W,B] broadcasts) and
+the MXU engine pays O(N) in one-hot GEMM traffic; both are why
+Sycamore-scale throughput sits ~100x below the small-network headline.
+This engine makes a row access O(1): each replica's state lives in VMEM
+as ``[N_pad, 128]`` int32 ROWS (lanes = [c0, c1, par, lcc, inds[0..W)],
+zero-padded to 128 lanes) and a node lookup is a dynamic-SUBLANE slice
+``ref[pl.ds(id, 1), :]`` — the cheap direction on TPU.  One replica per
+grid step; P walks are gathered row by row in a ``fori_loop``, then all
+proposal math runs vectorized as ``[P, 128]`` VPU tiles.
+
+Semantics are IDENTICAL to :func:`tnco_tpu.kernels.sa_multiwalk
+.run_multiwalk` (same proposal geometry, accept rule, priority conflict
+filter, additive float updates) and the random draws are precomputed
+OUTSIDE the kernel with the same threefry streams, so trajectories are
+bit-identical to the masked/MXU engines (exact in interpret mode;
+on-chip exactness additionally requires Mosaic's exp2/log2 to round
+like XLA's — checked by tests at small scale).  Width and log2-total
+reductions replicate the order-pinned pairwise trees of
+``bitops.pairwise_sum_last`` / ``costs.pairwise_sum`` exactly (w-major
+halving then bit halving, zero padding, pow2(N_int) total-tree size).
+
+Mosaic constraints honoured (docs/ROADMAP.md findings): fori-only
+control flow, no uint any() (i8->i1 truncation), no lane-dynamic
+indexing (transposes instead).
+
+Reference semantics: include/tnco/optimize/infinite_memory/
+optimizer.hpp:90-221, as for all engines.
+"""
+
+import functools as fts
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tnco_tpu.kernels.sa_batched import (SABatch, _log2_total_b,
+                                         compute_hyper_b)
+from tnco_tpu.kernels.sa_infinite import SweepConfig
+from tnco_tpu.kernels.sa_multiwalk import NULL, _draws
+
+__all__ = ['run_walker', 'walker_supported']
+
+_LANES = 128
+_C0, _C1, _PAR, _LCC, _INDS = 0, 1, 2, 3, 4
+_SCALED_FLOOR = np.float32(2.0**-60)
+_NEG_INF = np.float32(-np.inf)
+
+
+def _pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def walker_supported(n: int, n_leaves: int, w: int) -> bool:
+    return w + _INDS <= _LANES and n - n_leaves > 0 and n < 30000
+
+
+def _n_pad(n: int, n_leaves: int) -> int:
+    """Row padding such that the internal slice is exactly
+    pow2(N_int) long (the pinned log2-total pairing must match
+    ``costs.pairwise_sum``'s zero-padded tree)."""
+    return n_leaves + _pow2(n - n_leaves)
+
+
+def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int):
+    n_leaves = cfg.n_leaves
+    n_int_pad = _pow2(n - n_leaves)
+    pp = _LANES  # walk sublanes padded to the vector width
+    wp = _pow2(w)
+
+    def kernel(log2d_ref, betas_ref, leaf_ref, bit_ref, u_ref,
+               state_in, min_in, pos_in, minlt_in,
+               state_ref, min_ref, pos_ref, minlt_ref, stats_ref,
+               rows_b, rows_a, rows_0, rows_1, rows_c,
+               rows_nb, rows_na, ids_ref, fv_ref, krow_ref):
+        state_ref[:] = state_in[:]
+        min_ref[:] = min_in[:]
+        pos_ref[:] = pos_in[:]
+        minlt_ref[:] = minlt_in[:]
+        stats_ref[:] = jnp.zeros((1, _LANES), jnp.int32)
+
+        iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        iota_pcol = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0)
+        valid_col = iota_pcol < p
+        zero_row = jnp.zeros((1, _LANES), jnp.int32)
+        inds_mask = (iota_lane >= _INDS) & (iota_lane < _INDS + w)
+
+        def u32(x):
+            return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+        def i32(x):
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+        def f32(x):
+            return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+        def row_of(idx):
+            """State row; zeros for NULL (matches a NULL one-hot)."""
+            r = state_ref[pl.ds(jnp.maximum(idx, 0), 1), :]
+            return jnp.where(idx < 0, zero_row, r)
+
+        def any_bits(x_u32):
+            """[P,128] uint32, inds lanes only -> [P,1] bool."""
+            nz = jnp.where(inds_mask & (i32(x_u32) != 0), 1, 0)
+            return jnp.sum(nz, axis=1, keepdims=True) > 0
+
+        def width_pinned(rows_u32):
+            """[P,128] rows -> [P,1] f32 width; exact pinned pairing
+            (w-major lane halving per bit, then bit halving)."""
+            per_s = []
+            for s in range(32):
+                bits = i32((rows_u32 >> jnp.uint32(s)) &
+                           jnp.uint32(1)).astype(jnp.float32)
+                t = (bits * log2d_ref[pl.ds(s, 1), :])[:, _INDS:_INDS + w]
+                if wp != w:
+                    t = jnp.concatenate(
+                        [t, jnp.zeros((t.shape[0], wp - w), jnp.float32)],
+                        axis=1)
+                while t.shape[1] > 1:
+                    h = t.shape[1] // 2
+                    t = t[:, :h] + t[:, h:]
+                per_s.append(t)
+            while len(per_s) > 1:
+                h = len(per_s) // 2
+                per_s = [per_s[i] + per_s[i + h] for i in range(h)]
+            return per_s[0]
+
+        def log2_total():
+            lcc_col = f32(
+                state_ref[pl.ds(n_leaves, n_int_pad), _LCC:_LCC + 1])
+            m = jnp.max(lcc_col, axis=0, keepdims=True)
+            t = jnp.exp2(lcc_col - m)
+            while t.shape[0] > 1:
+                h = t.shape[0] // 2
+                t = t[:h] + t[h:]
+            return (m + jnp.log2(t))[0, 0]
+
+        def set_lane(base, lane, col_i32):
+            return jnp.where(iota_lane == lane, col_i32, base)
+
+        def step(it, _):
+            lt = log2_total()
+
+            # ---- Per-walk gathers (dynamic sublane row reads) --------
+            def gbody(i, _):
+                pos_i = pos_ref[i, 0]
+                par_pos = jnp.where(
+                    pos_i < 0, NULL,
+                    state_ref[jnp.maximum(pos_i, 0), _PAR])
+                leaf_i = leaf_ref[it, i]
+                new_pos = state_ref[leaf_i, _PAR]
+                boundary = (pos_i == NULL) | (par_pos == NULL)
+                b_i = jnp.where(boundary, new_pos, pos_i)
+                rows_b[pl.ds(i, 1), :] = row_of(b_i)
+                a_i = rows_b[i, _PAR]
+                rows_a[pl.ds(i, 1), :] = row_of(a_i)
+                rows_0[pl.ds(i, 1), :] = row_of(rows_b[i, _C0])
+                rows_1[pl.ds(i, 1), :] = row_of(rows_b[i, _C1])
+                c0a = rows_a[i, _C0]
+                c_i = jnp.where(c0a == b_i, rows_a[i, _C1], c0a)
+                rows_c[pl.ds(i, 1), :] = row_of(c_i)
+                ids_ref[pl.ds(i, 1), 0:1] = jnp.full((1, 1), b_i,
+                                                     jnp.int32)
+                ids_ref[pl.ds(i, 1), 1:2] = jnp.full((1, 1), a_i,
+                                                     jnp.int32)
+                ids_ref[pl.ds(i, 1), 2:3] = jnp.full((1, 1), c_i,
+                                                     jnp.int32)
+                # draw scalars -> per-walk sublane columns (avoids a
+                # lane->sublane relayout of the [1, P] draw rows)
+                ids_ref[pl.ds(i, 1), 5:6] = jnp.full(
+                    (1, 1), bit_ref[it, i], jnp.int32)
+                fv_ref[pl.ds(i, 1), 0:1] = jnp.full(
+                    (1, 1), u_ref[it, i], jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, p, gbody, 0)
+
+            # ---- Vector phase ----------------------------------------
+            rb, ra = rows_b[:], rows_a[:]
+            r0, r1, rc = rows_0[:], rows_1[:], rows_c[:]
+            ids = ids_ref[:]
+            b_col = ids[:, 0:1]
+            a_col = ids[:, 1:2]
+            c_col = ids[:, 2:3]
+            c0b_col = rb[:, _C0:_C0 + 1]
+            c1b_col = rb[:, _C1:_C1 + 1]
+
+            i0 = any_bits(u32(r0) & u32(rc))
+            i1 = any_bits(u32(r1) & u32(rc))
+            both = i0 & i1
+            rand_b = ids[:, 5:6] > 0
+            u_col = fv_ref[:, 0:1]
+            pick_rand = both if not cfg.disable_shared_inds else \
+                jnp.ones_like(both)
+            take0 = (pick_rand & rand_b) | (~pick_rand & i0)
+            d_col = jnp.where(take0, c0b_col, c1b_col)
+            e_col = jnp.where(take0, c1b_col, c0b_col)
+            t0m = take0  # [P,1] broadcasts over lanes
+            inds_d = jnp.where(t0m, u32(r0), u32(r1))
+            inds_e = jnp.where(t0m, u32(r1), u32(r0))
+            hyp_a = u32(ra) & u32(rb) & u32(rc)
+            hyp_b = u32(rb) & u32(r0) & u32(r1)
+            new_inds_b = ((inds_d ^ u32(rc)) | hyp_a | hyp_b) & \
+                jnp.where(inds_mask, jnp.uint32(0xFFFFFFFF),
+                          jnp.uint32(0))
+
+            l_a = f32(ra[:, _LCC:_LCC + 1])
+            l_b = f32(rb[:, _LCC:_LCC + 1])
+            ln_b = width_pinned(inds_d | u32(rc))
+            ln_a = width_pinned(new_inds_b | inds_e)
+
+            m = jnp.maximum(lt, jnp.maximum(ln_a, ln_b))
+            s = (jnp.exp2(lt - m) - jnp.exp2(l_a - m) -
+                 jnp.exp2(l_b - m) + jnp.exp2(ln_a - m) +
+                 jnp.exp2(ln_b - m))
+            l_new = m + jnp.log2(jnp.maximum(s, _SCALED_FLOOR))
+
+            beta = betas_ref[it, 0]
+            if cfg.prob_kind == 'mh':
+                acc = jnp.log2(u_col) <= -beta * (l_new - lt)
+            elif cfg.prob_kind == 'greedy':
+                acc = l_new <= lt
+            else:
+                acc = jnp.ones_like(l_new, dtype=bool)
+            accept = acc & (b_col != NULL) & (a_col != NULL) & valid_col
+
+            # New B and A rows, fully vectorized.
+            v_b = rb
+            v_b = set_lane(v_b, _C0,
+                           jnp.where(c0b_col == e_col, c_col, c0b_col))
+            v_b = set_lane(v_b, _C1,
+                           jnp.where(c1b_col == e_col, c_col, c1b_col))
+            v_b = set_lane(v_b, _PAR, a_col)
+            v_b = set_lane(v_b, _LCC, i32(l_b + (ln_b - l_b)))
+            v_b = jnp.where(inds_mask, i32(new_inds_b), v_b)
+            c0a_col = ra[:, _C0:_C0 + 1]
+            c1a_col = ra[:, _C1:_C1 + 1]
+            v_a = ra
+            v_a = set_lane(v_a, _C0,
+                           jnp.where(c0a_col == c_col, e_col, c0a_col))
+            v_a = set_lane(v_a, _C1,
+                           jnp.where(c1a_col == c_col, e_col, c1a_col))
+            v_a = set_lane(v_a, _LCC, i32(l_a + (ln_a - l_a)))
+            rows_nb[:] = v_b
+            rows_na[:] = v_a
+            ids_ref[:, 3:4] = d_col
+            ids_ref[:, 4:5] = e_col
+            ids_ref[:, 6:7] = jnp.where(accept, 1, 0)
+
+            # ---- Priority conflict filter ----------------------------
+            # conf[p, q] = walks p and q share any of their 5 nodes
+            # (symmetric: built from all 5x5 ordered id pairs).  The
+            # sequential priority scan mirrors _claim_disjoint exactly:
+            # lower walk index wins; only KEPT walks block.
+            id_cols = (b_col, a_col, c_col, d_col, e_col)
+            conf = jnp.zeros((pp, pp), jnp.int32)
+            for x in id_cols:
+                for y in id_cols:
+                    conf = conf | jnp.where(x == y.reshape(1, pp), 1, 0)
+
+            iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, pp), 1)
+
+            def claim(pi, keep_row):
+                conf_p = jax.lax.dynamic_slice(conf, (pi, 0), (1, pp))
+                blocked = jnp.sum(
+                    jnp.where((keep_row > 0) & (conf_p > 0) &
+                              (iota_row < pi), 1, 0)) > 0
+                acc_p = ids_ref[pi, 6] > 0
+                k_p = jnp.where(acc_p & ~blocked, 1, 0)
+                return keep_row | jnp.where(iota_row == pi, k_p, 0)
+
+            keep_row = jax.lax.fori_loop(
+                0, p, claim, jnp.zeros((1, pp), jnp.int32))
+            krow_ref[:] = keep_row
+
+            # ---- Apply kept proposals --------------------------------
+            def abody(i, _):
+                @pl.when(krow_ref[0, i] > 0)
+                def _():
+                    b_i = ids_ref[i, 0]
+                    a_i = ids_ref[i, 1]
+                    c_i = ids_ref[i, 2]
+                    e_i = ids_ref[i, 4]
+                    state_ref[pl.ds(b_i, 1), :] = rows_nb[pl.ds(i, 1), :]
+                    state_ref[pl.ds(a_i, 1), :] = rows_na[pl.ds(i, 1), :]
+                    state_ref[pl.ds(c_i, 1), _PAR:_PAR + 1] = \
+                        jnp.full((1, 1), b_i, jnp.int32)
+                    state_ref[pl.ds(e_i, 1), _PAR:_PAR + 1] = \
+                        jnp.full((1, 1), a_i, jnp.int32)
+
+                return 0
+
+            jax.lax.fori_loop(0, p, abody, 0)
+
+            pos_ref[:] = jnp.where(valid_col, a_col,
+                                   jnp.full((pp, 1), NULL, jnp.int32))
+
+            n_applied = jnp.sum(keep_row)
+            stats_ref[0, 0] = stats_ref[0, 0] + p
+            stats_ref[0, 1] = stats_ref[0, 1] + n_applied
+
+            # ---- Min tracking ----------------------------------------
+            lt_new = log2_total()
+
+            @pl.when(lt_new < minlt_ref[0, 0])
+            def _():
+                minlt_ref[0, 0] = lt_new
+                min_ref[:] = state_ref[:]
+
+            return 0
+
+        jax.lax.fori_loop(0, k_iters, step, 0)
+
+    return kernel
+
+
+def _pack_rows(c0, c1, par, lcc, inds, n_pad):
+    """[N,B]/[N,W,B] replica-minor arrays -> [B, N_pad, 128] i32 rows."""
+    n, b = c0.shape
+    w = inds.shape[1]
+    bc = jax.lax.bitcast_convert_type
+    rows = jnp.zeros((b, n_pad, _LANES), jnp.int32)
+    rows = rows.at[:, n:, _C0:_PAR + 1].set(NULL)
+    rows = rows.at[:, n:, _LCC].set(
+        bc(jnp.float32(_NEG_INF), jnp.int32))
+    rows = rows.at[:, :n, _C0].set(c0.T)
+    rows = rows.at[:, :n, _C1].set(c1.T)
+    rows = rows.at[:, :n, _PAR].set(par.T)
+    rows = rows.at[:, :n, _LCC].set(bc(lcc, jnp.int32).T)
+    rows = rows.at[:, :n, _INDS:_INDS + w].set(
+        bc(inds, jnp.int32).transpose(2, 0, 1))
+    return rows
+
+
+def _unpack_rows(rows, n, w):
+    """[B, N_pad, 128] i32 -> (c0, c1, par, lcc, inds) replica-minor."""
+    bc = jax.lax.bitcast_convert_type
+    c0 = rows[:, :n, _C0].T
+    c1 = rows[:, :n, _C1].T
+    par = rows[:, :n, _PAR].T
+    lcc = bc(rows[:, :n, _LCC], jnp.float32).T
+    inds = bc(rows[:, :n, _INDS:_INDS + w],
+              jnp.uint32).transpose(1, 2, 0)
+    return c0, c1, par, lcc, inds
+
+
+@fts.partial(jax.jit,
+             static_argnames=('cfg', 'n_walks', 'interpret'))
+def run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
+               n_walks: int, pos, sparse_wb=None, log2_n_projs=None,
+               interpret: bool = False):
+    """Same contract as :func:`sa_multiwalk.run_multiwalk` (IM only,
+    dense cost model; sparse_wb unsupported)."""
+    if sparse_wb is not None:
+        raise NotImplementedError('walker engine: dense cost model only')
+    n, b = batch.c0.shape
+    w = batch.inds.shape[1]
+    p = n_walks
+    n_pad = _n_pad(n, cfg.n_leaves)
+    k = int(betas.shape[0])
+
+    # Precompute the draw streams (identical threefry draws to the
+    # masked/MXU engines).
+    def draw_step(keys, _):
+        keys, leaf, rand_bit, u, _ = _draws(keys, cfg.n_leaves, p,
+                                            log2d_w32.dtype, 4)
+        return keys, (leaf, rand_bit, u)
+
+    keys, (leaf, rand_bit, u) = jax.lax.scan(draw_step, batch.keys,
+                                             None, length=k)
+    # [K, P, B] -> per-replica [B, K, P_pad]
+    def to_blocks(x, fill, dtype):
+        xp = jnp.full((k, _LANES, b), fill, dtype)
+        xp = xp.at[:, :p, :].set(x.astype(dtype))
+        return xp.transpose(2, 0, 1).reshape(b * k, _LANES)
+
+    leaf_b = to_blocks(leaf, 0, jnp.int32)
+    bit_b = to_blocks(rand_bit, 0, jnp.int32)
+    u_b = to_blocks(u, 1.0, jnp.float32)
+
+    rows = _pack_rows(batch.c0, batch.c1, batch.par, batch.lcc,
+                      batch.inds, n_pad).reshape(b * n_pad, _LANES)
+    min_rows = _pack_rows(batch.min_c0, batch.min_c1, batch.min_par,
+                          jnp.zeros_like(batch.lcc), batch.min_inds,
+                          n_pad).reshape(b * n_pad, _LANES)
+    pos_b = jnp.full((b, _LANES), NULL, jnp.int32)
+    pos_b = pos_b.at[:, :p].set(pos.T).reshape(b * _LANES, 1)
+    minlt = batch.min_log2_total.reshape(b, 1)
+
+    # log2 dims laid out [32, 128]: log2d_t[s, _INDS + w] = log2 dim of
+    # bit w*32 + s; zero elsewhere (id lanes contribute nothing).
+    log2d_t = jnp.zeros((32, _LANES), jnp.float32)
+    log2d_t = log2d_t.at[:, _INDS:_INDS + w].set(
+        jnp.asarray(log2d_w32, jnp.float32).T)
+    betas_col = jnp.asarray(betas, jnp.float32).reshape(k, 1)
+
+    kernel = _make_kernel(cfg, n, w, p, k)
+
+    def shared(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def per_rep(rows_per, width):
+        return pl.BlockSpec((rows_per, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b * n_pad, _LANES), jnp.int32),   # state
+        jax.ShapeDtypeStruct((b * n_pad, _LANES), jnp.int32),   # min
+        jax.ShapeDtypeStruct((b * _LANES, 1), jnp.int32),       # pos
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),              # minlt
+        jax.ShapeDtypeStruct((b, _LANES), jnp.int32),           # stats
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b,),
+        in_specs=[
+            shared((32, _LANES)),          # log2d
+            shared((k, 1)),                # betas
+            per_rep(k, _LANES),            # leaf
+            per_rep(k, _LANES),            # bit
+            per_rep(k, _LANES),            # u
+            per_rep(n_pad, _LANES),        # state in
+            per_rep(n_pad, _LANES),        # min in
+            per_rep(_LANES, 1),            # pos in
+            per_rep(1, 1),                 # minlt in
+        ],
+        out_specs=[
+            per_rep(n_pad, _LANES),
+            per_rep(n_pad, _LANES),
+            per_rep(_LANES, 1),
+            per_rep(1, 1),
+            per_rep(1, _LANES),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_b
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_a
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_0
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_1
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_c
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_nb
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_na
+            pltpu.VMEM((_LANES, 8), jnp.int32),        # ids
+            pltpu.VMEM((_LANES, 8), jnp.float32),      # fv (u draws)
+            pltpu.VMEM((1, _LANES), jnp.int32),        # keep row
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(log2d_t, betas_col, leaf_b, bit_b, u_b, rows, min_rows, pos_b,
+      minlt)
+
+    rows_out, min_out, pos_out, minlt_out, stats = outs
+    rows_out = rows_out.reshape(b, n_pad, _LANES)
+    min_out = min_out.reshape(b, n_pad, _LANES)
+    c0, c1, par, lcc, inds = _unpack_rows(rows_out, n, w)
+    mc0, mc1, mpar, _, minds = _unpack_rows(min_out, n, w)
+    pos_out = pos_out.reshape(b, _LANES)[:, :p].T
+    min_lt = minlt_out.reshape(b)
+
+    lt = _log2_total_b(lcc, cfg.n_leaves)
+    improved = lt < min_lt
+    min_lt = jnp.where(improved, lt, min_lt)
+    impn, impw = improved[None, :], improved[None, None, :]
+    mc0 = jnp.where(impn, c0, mc0)
+    mc1 = jnp.where(impn, c1, mc1)
+    mpar = jnp.where(impn, par, mpar)
+    minds = jnp.where(impw, inds, minds)
+    hyper = compute_hyper_b(c0, c1, inds)
+    out = SABatch(c0, c1, par, inds, hyper, lcc, lt, min_lt, mc0, mc1,
+                  mpar, minds, keys)
+    moves = jnp.sum(stats[:, 0])
+    applied = jnp.sum(stats[:, 1])
+    return out, {'moves': moves, 'applied': applied, 'pos': pos_out}
