@@ -347,13 +347,23 @@ def _unpack_rows(rows, n, w):
     return c0, c1, par, lcc, inds
 
 
-@fts.partial(jax.jit,
-             static_argnames=('cfg', 'n_walks', 'interpret'))
 def run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
                n_walks: int, pos, sparse_wb=None, log2_n_projs=None,
-               interpret: bool = False):
+               interpret: bool | None = None):
     """Same contract as :func:`sa_multiwalk.run_multiwalk` (IM only,
-    dense cost model; sparse_wb unsupported)."""
+    dense cost model; sparse_wb unsupported).  ``interpret=None`` picks
+    the Pallas interpreter automatically off-TPU."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != 'tpu'
+    return _run_walker(batch, betas, log2d_w32, cfg, n_walks, pos,
+                       sparse_wb, log2_n_projs, interpret)
+
+
+@fts.partial(jax.jit,
+             static_argnames=('cfg', 'n_walks', 'interpret'))
+def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
+                n_walks: int, pos, sparse_wb=None, log2_n_projs=None,
+                interpret: bool = False):
     if sparse_wb is not None:
         raise NotImplementedError('walker engine: dense cost model only')
     n, b = batch.c0.shape

@@ -195,7 +195,7 @@ class ReplicaRunner:
             else:
                 engine = 'vmapped'
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
-                          'mxu'):
+                          'mxu', 'walker'):
             raise ValueError(f"Unknown engine: {engine!r}")
         self.engine = engine
         self.n_walks = int(n_walks)
@@ -232,9 +232,10 @@ class ReplicaRunner:
             else:
                 batch = _shard_batch(batch, mesh)
         self.states = batch
-        self._mw_pos = jnp.full((self.n_walks, len(ctrees)), -1,
-                                jnp.int32) if engine in ('multiwalk',
-                                                         'mxu') else None
+        self._mw_pos = (jnp.full((self.n_walks, len(ctrees)), -1,
+                                 jnp.int32)
+                        if engine in ('multiwalk', 'mxu', 'walker')
+                        else None)
         self.n_replicas = len(ctrees)
         self.sweeps_done = 0
         self.moves_done = 0
@@ -365,6 +366,14 @@ class ReplicaRunner:
                     self.states, jnp.asarray(chunk), self.log2d_w32,
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
                     self.log2_n_projs, walk_chunk=self.walk_chunk)
+                self._mw_pos = metrics['pos']
+                last_min = self.states.min_log2_total
+            elif self.engine == 'walker':
+                from tnco_tpu.kernels import pallas_walker as pwk
+                self.states, metrics = pwk.run_walker(
+                    self.states, jnp.asarray(chunk), self.log2d_w32,
+                    self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
+                    self.log2_n_projs)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             else:
