@@ -1,0 +1,104 @@
+"""Single-chip engine throughput on Sycamore-scale shapes.
+
+Usage::
+
+    python -m benchmarks.engine_bench --engine walker --replicas 256 \
+        --n-walks 128 [--walk-chunk 0] [--iters 64] [--config sycamore]
+
+Prints proposals/s, applied/s and ms/iteration for one engine at one
+shape, measured inside a single jitted scan (per-call tunnel overhead
+excluded; see docs/ROADMAP.md measurement notes).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--engine', default='walker',
+                    help="'walker' | 'multiwalk' | 'mxu'")
+    ap.add_argument('--config', default='sycamore')
+    ap.add_argument('--replicas', type=int, default=256)
+    ap.add_argument('--n-walks', type=int, default=128)
+    ap.add_argument('--walk-chunk', type=int, default=0)
+    ap.add_argument('--iters', type=int, default=64)
+    ap.add_argument('--seed', type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.run import build_config
+    from tnco_tpu.ctree import ContractionTree
+    from tnco_tpu.kernels import sa_batched as sb
+    from tnco_tpu.kernels.sa_infinite import SweepConfig
+    from tnco_tpu.ops import bitops
+    from tnco_tpu.utils.tn import get_random_contraction_path
+
+    (ts_inds, output_inds, dims), _ = build_config(args.config, args.seed)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    n_paths = min(args.replicas, 8)
+    paths = [
+        get_random_contraction_path(ts_inds, output_inds,
+                                    merge_paths=False, seed=args.seed + r)
+        for r in range(n_paths)
+    ]
+    trees = [
+        ContractionTree([p for p in paths[r] if p][0], ts_inds, dims,
+                        output_inds=output_inds, check_shared_inds=True,
+                        inds_order=order) for r in range(n_paths)
+    ]
+    ctrees = [trees[r % n_paths] for r in range(args.replicas)]
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    print(f'N={len(template)} lanes={n_lanes} B={args.replicas} '
+          f'P={args.n_walks} wc={args.walk_chunk} engine={args.engine}',
+          flush=True)
+    t0 = time.perf_counter()
+    batch = sb.init_batch(ctrees, list(range(args.replicas)),
+                          np.asarray(log2d))
+    jax.block_until_ready(batch.lcc)
+    np.asarray(batch.min_log2_total)
+    print(f'batch built+uploaded in {time.perf_counter()-t0:.1f}s',
+          flush=True)
+
+    pos = jnp.full((args.n_walks, args.replicas), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 30.0, args.iters, dtype=jnp.float32)
+
+    def run(b, pos_):
+        if args.engine == 'walker':
+            from tnco_tpu.kernels import pallas_walker as pw
+            return pw.run_walker(b, betas, log2d_w32, cfg, args.n_walks,
+                                 pos_)
+        if args.engine == 'mxu':
+            from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
+            return mxu.run_multiwalk_mxu(b, betas, log2d_w32, cfg,
+                                         args.n_walks, pos_,
+                                         walk_chunk=args.walk_chunk)
+        from tnco_tpu.kernels import sa_multiwalk as smw
+        return smw.run_multiwalk(b, betas, log2d_w32, cfg, args.n_walks,
+                                 pos_, walk_chunk=args.walk_chunk)
+
+    t0 = time.perf_counter()
+    out, m = run(batch, pos)
+    int(m['moves'])
+    print(f'compile+run1: {time.perf_counter()-t0:.1f}s', flush=True)
+
+    t0 = time.perf_counter()
+    out, m = run(batch, pos)
+    moves, applied = int(m['moves']), int(m['applied'])
+    dt = time.perf_counter() - t0
+    print(f'proposals/s: {moves/dt:.3e}  applied/s: {applied/dt:.3e}  '
+          f'frac: {applied/max(moves,1):.2f}  '
+          f'iter_ms: {dt/args.iters*1000:.2f}  '
+          f'best: {float(jnp.min(out.min_log2_total)):.3f}')
+
+
+if __name__ == '__main__':
+    main()
