@@ -81,3 +81,38 @@ def test_walker_continuation(rng, random_seed):
     assert int(mref['moves']) == int(m1['moves']) + int(m2['moves'])
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_walker_fw_bit_identical(rng, random_seed):
+    """FW walker (kernel segments + XLA reslices) == masked FW engine."""
+    from tnco_tpu.kernels import sa_finite_batched as sfb
+    from tnco_tpu.kernels.sa_finite import SweepConfigFW
+
+    trees = _setup(rng, random_seed, n_replicas=3)
+    template = trees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfigFW(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    skip = jnp.zeros(n_lanes, dtype=jnp.uint32)
+    max_width = 3.0
+    batch = sfb.init_batch_fw(trees, [0, 1, 2], max_width,
+                              np.asarray(log2d),
+                              skip_lanes=np.asarray(skip))
+    p = 4
+    pos = jnp.full((p, 3), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 8.0, 25, dtype=jnp.float32)
+    upd = np.arange(25) % 10 == 0
+
+    ref, mref = smw.run_multiwalk_fw(batch, betas, jnp.asarray(upd),
+                                     max_width, log2d_w32, skip, cfg, p,
+                                     pos)
+    got, mgot = pw.run_walker_fw(batch, betas, upd, max_width,
+                                 log2d_w32, skip, cfg, p, pos,
+                                 interpret=True)
+    assert int(mref['moves']) == int(mgot['moves'])
+    assert int(mref['applied']) == int(mgot['applied'])
+    np.testing.assert_array_equal(np.asarray(mref['pos']),
+                                  np.asarray(mgot['pos']))
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -48,6 +48,8 @@ _LANES = 128
 _C0, _C1, _PAR, _LCC, _INDS = 0, 1, 2, 3, 4
 _SCALED_FLOOR = np.float32(2.0**-60)
 _NEG_INF = np.float32(-np.inf)
+_WIDTH_EPS = np.float32(1e-4)  # must equal sa_finite._WIDTH_EPS
+_WPRE, _INDS_FW = 4, 5
 
 
 def _pow2(x: int) -> int:
@@ -65,11 +67,16 @@ def _n_pad(n: int, n_leaves: int) -> int:
     return n_leaves + _pow2(n - n_leaves)
 
 
-def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int):
+def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
+                 fw: bool = False, max_width: float = 0.0,
+                 defer_last_min: bool = False):
     n_leaves = cfg.n_leaves
     n_int_pad = _pow2(n - n_leaves)
     pp = _LANES  # walk sublanes padded to the vector width
     wp = _pow2(w)
+    io = _INDS_FW if fw else _INDS  # first inds lane
+    n_slices = _n_pad(n, n_leaves)  # slices row index (FW layout)
+    mw = np.float32(max_width)
 
     def kernel(log2d_ref, betas_ref, leaf_ref, bit_ref, u_ref,
                state_in, min_in, pos_in, minlt_in,
@@ -86,7 +93,7 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int):
         iota_pcol = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0)
         valid_col = iota_pcol < p
         zero_row = jnp.zeros((1, _LANES), jnp.int32)
-        inds_mask = (iota_lane >= _INDS) & (iota_lane < _INDS + w)
+        inds_mask = (iota_lane >= io) & (iota_lane < io + w)
 
         def u32(x):
             return jax.lax.bitcast_convert_type(x, jnp.uint32)
@@ -114,7 +121,7 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int):
             for s in range(32):
                 bits = i32((rows_u32 >> jnp.uint32(s)) &
                            jnp.uint32(1)).astype(jnp.float32)
-                t = (bits * log2d_ref[pl.ds(s, 1), :])[:, _INDS:_INDS + w]
+                t = (bits * log2d_ref[pl.ds(s, 1), :])[:, io:io + w]
                 if wp != w:
                     t = jnp.concatenate(
                         [t, jnp.zeros((t.shape[0], wp - w), jnp.float32)],
@@ -209,8 +216,16 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int):
 
             l_a = f32(ra[:, _LCC:_LCC + 1])
             l_b = f32(rb[:, _LCC:_LCC + 1])
-            ln_b = width_pinned(inds_d | u32(rc))
-            ln_a = width_pinned(new_inds_b | inds_e)
+            if fw:
+                sl_row = u32(state_ref[pl.ds(n_slices, 1), :])
+                new_width_b = width_pinned(new_inds_b)
+                new_sliced_width_b = width_pinned(new_inds_b & ~sl_row)
+                fits = new_sliced_width_b <= mw + _WIDTH_EPS
+                ln_b = width_pinned((inds_d | u32(rc)) | sl_row)
+                ln_a = width_pinned((new_inds_b | inds_e) | sl_row)
+            else:
+                ln_b = width_pinned(inds_d | u32(rc))
+                ln_a = width_pinned(new_inds_b | inds_e)
 
             m = jnp.maximum(lt, jnp.maximum(ln_a, ln_b))
             s = (jnp.exp2(lt - m) - jnp.exp2(l_a - m) -
@@ -226,6 +241,9 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int):
             else:
                 acc = jnp.ones_like(l_new, dtype=bool)
             accept = acc & (b_col != NULL) & (a_col != NULL) & valid_col
+            if fw:
+                accept = accept & fits
+
 
             # New B and A rows, fully vectorized.
             v_b = rb
@@ -235,6 +253,10 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int):
                            jnp.where(c1b_col == e_col, c_col, c1b_col))
             v_b = set_lane(v_b, _PAR, a_col)
             v_b = set_lane(v_b, _LCC, i32(l_b + (ln_b - l_b)))
+            if fw:
+                w_b = f32(rb[:, _WPRE:_WPRE + 1])
+                v_b = set_lane(v_b, _WPRE,
+                               i32(w_b + (new_width_b - w_b)))
             v_b = jnp.where(inds_mask, i32(new_inds_b), v_b)
             c0a_col = ra[:, _C0:_C0 + 1]
             c1a_col = ra[:, _C1:_C1 + 1]
@@ -304,8 +326,13 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int):
 
             # ---- Min tracking ----------------------------------------
             lt_new = log2_total()
+            do_snap = lt_new < minlt_ref[0, 0]
+            if defer_last_min:
+                # the caller reslices after the last iteration and does
+                # that iteration's snapshot itself (FW cadence parity)
+                do_snap = do_snap & (it < k_iters - 1)
 
-            @pl.when(lt_new < minlt_ref[0, 0])
+            @pl.when(do_snap)
             def _():
                 minlt_ref[0, 0] = lt_new
                 min_ref[:] = state_ref[:]
@@ -317,12 +344,20 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int):
     return kernel
 
 
-def _pack_rows(c0, c1, par, lcc, inds, n_pad):
-    """[N,B]/[N,W,B] replica-minor arrays -> [B, N_pad, 128] i32 rows."""
+def _pack_rows(c0, c1, par, lcc, inds, n_pad, width=None, slices=None):
+    """[N,B]/[N,W,B] replica-minor arrays -> [B, rows, 128] i32 rows.
+
+    With ``width``/``slices`` (finite-width layout) the inds lanes shift
+    to ``_INDS_FW``, lane ``_WPRE`` holds the pre-slicing width, and one
+    extra row block at index ``n_pad`` carries the per-replica slice
+    lanes."""
     n, b = c0.shape
     w = inds.shape[1]
+    fw = width is not None
+    io = _INDS_FW if fw else _INDS
+    n_rows = n_pad + 8 if fw else n_pad
     bc = jax.lax.bitcast_convert_type
-    rows = jnp.zeros((b, n_pad, _LANES), jnp.int32)
+    rows = jnp.zeros((b, n_rows, _LANES), jnp.int32)
     rows = rows.at[:, n:, _C0:_PAR + 1].set(NULL)
     rows = rows.at[:, n:, _LCC].set(
         bc(jnp.float32(_NEG_INF), jnp.int32))
@@ -330,21 +365,34 @@ def _pack_rows(c0, c1, par, lcc, inds, n_pad):
     rows = rows.at[:, :n, _C1].set(c1.T)
     rows = rows.at[:, :n, _PAR].set(par.T)
     rows = rows.at[:, :n, _LCC].set(bc(lcc, jnp.int32).T)
-    rows = rows.at[:, :n, _INDS:_INDS + w].set(
+    rows = rows.at[:, :n, io:io + w].set(
         bc(inds, jnp.int32).transpose(2, 0, 1))
+    if fw:
+        rows = rows.at[:, :n, _WPRE].set(bc(width, jnp.int32).T)
+        rows = rows.at[:, n_pad, io:io + w].set(
+            bc(slices, jnp.int32).T)
+        # the slices row must look like a pad row to tree ops
+        rows = rows.at[:, n_pad, _LCC].set(
+            bc(jnp.float32(_NEG_INF), jnp.int32))
     return rows
 
 
-def _unpack_rows(rows, n, w):
-    """[B, N_pad, 128] i32 -> (c0, c1, par, lcc, inds) replica-minor."""
+def _unpack_rows(rows, n, w, fw=False):
+    """[B, rows, 128] i32 -> replica-minor arrays (see _pack_rows)."""
+    io = _INDS_FW if fw else _INDS
     bc = jax.lax.bitcast_convert_type
     c0 = rows[:, :n, _C0].T
     c1 = rows[:, :n, _C1].T
     par = rows[:, :n, _PAR].T
     lcc = bc(rows[:, :n, _LCC], jnp.float32).T
-    inds = bc(rows[:, :n, _INDS:_INDS + w],
+    inds = bc(rows[:, :n, io:io + w],
               jnp.uint32).transpose(1, 2, 0)
-    return c0, c1, par, lcc, inds
+    if not fw:
+        return c0, c1, par, lcc, inds
+    n_pad = rows.shape[1] - 8
+    width = bc(rows[:, :n, _WPRE], jnp.float32).T
+    slices = bc(rows[:, n_pad, io:io + w], jnp.uint32).T
+    return c0, c1, par, lcc, inds, width, slices
 
 
 def run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
@@ -488,3 +536,232 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
     moves = jnp.sum(stats[:, 0])
     applied = jnp.sum(stats[:, 1])
     return out, {'moves': moves, 'applied': applied, 'pos': pos_out}
+
+
+def run_walker_fw(batch, betas, update_slices_mask, max_width,
+                  log2d_w32, skip_wb, cfg, n_walks: int, pos,
+                  sparse_wb=None, log2_n_projs=None,
+                  interpret: bool | None = None):
+    """Finite-width walker: same contract as
+    :func:`sa_multiwalk.run_multiwalk_fw` (dense cost model only).
+
+    ``update_slices_mask`` must be a HOST-known bool array: iterations
+    run in kernel segments split at each reslice point; the greedy
+    reslice-if-better itself runs in XLA between segments using the
+    exact per-iteration jitter keys, so the trajectory is bit-identical
+    to the masked FW multi-walk engine.
+    """
+    from tnco_tpu.kernels.sa_finite_batched import (SABatchFW,
+                                                    _greedy_slices_b,
+                                                    _lcc_fw_b)
+
+    if sparse_wb is not None:
+        raise NotImplementedError('walker engine: dense cost model only')
+    if interpret is None:
+        interpret = jax.devices()[0].platform != 'tpu'
+    mask = np.asarray(update_slices_mask, dtype=bool)
+    n, b = batch.c0.shape
+    w = batch.inds.shape[1]
+    p = n_walks
+    n_pad = _n_pad(n, cfg.n_leaves)
+    k = int(betas.shape[0])
+    if mask.shape[0] != k:
+        raise ValueError('mask length must match betas')
+    betas = jnp.asarray(betas, jnp.float32)
+
+    # Draw all iterations' streams upfront (5 keys: the 5th is the
+    # reslice jitter, consumed whether or not the reslice runs).
+    def draw_step(keys, _):
+        keys, leaf, rand_bit, u, (k_res,) = _draws(
+            keys, cfg.n_leaves, p, log2d_w32.dtype, 5)
+        return keys, (leaf, rand_bit, u, k_res)
+
+    keys, (leaf, rand_bit, u, k_res) = jax.lax.scan(
+        draw_step, batch.keys, None, length=k)
+
+    rows = _pack_rows(batch.c0, batch.c1, batch.par, batch.lcc,
+                      batch.inds, n_pad, width=batch.width,
+                      slices=batch.slices)
+    min_rows = _pack_rows(batch.min_c0, batch.min_c1, batch.min_par,
+                          jnp.zeros_like(batch.lcc), batch.min_inds,
+                          n_pad, width=jnp.zeros_like(batch.width),
+                          slices=batch.min_slices)
+    min_lt = batch.min_log2_total
+    moves = jnp.int32(0)
+    applied = jnp.int32(0)
+    mw = float(max_width)
+
+    # Segments: [start, end) where mask[end-1] triggers a reslice.
+    bounds = [0]
+    for i in range(k):
+        if mask[i]:
+            bounds.append(i + 1)
+    if bounds[-1] != k:
+        bounds.append(k)
+
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        reslice_at_end = bool(mask[s1 - 1])
+        rows, min_rows, pos, min_lt, st = _walker_fw_segment(
+            rows, min_rows, pos, min_lt, betas[s0:s1],
+            leaf[s0:s1], rand_bit[s0:s1], u[s0:s1], log2d_w32, cfg,
+            p, mw, reslice_at_end, interpret)
+        moves = moves + st[0]
+        applied = applied + st[1]
+        if reslice_at_end:
+            rows, min_rows, min_lt = _walker_fw_reslice(
+                rows, min_rows, min_lt, k_res[s1 - 1], mw, log2d_w32,
+                skip_wb, cfg, n, w)
+
+    (c0, c1, par, lcc, inds, width_pre,
+     slices) = _unpack_rows(rows.reshape(b, n_pad + 8, _LANES), n, w,
+                            fw=True)
+    (mc0, mc1, mpar, _, minds, _,
+     mslices) = _unpack_rows(min_rows.reshape(b, n_pad + 8, _LANES), n,
+                             w, fw=True)
+    lt = _log2_total_b(lcc, cfg.n_leaves)
+    improved = lt < min_lt
+    min_lt = jnp.where(improved, lt, min_lt)
+    impn, impw = improved[None, :], improved[None, None, :]
+    mc0 = jnp.where(impn, c0, mc0)
+    mc1 = jnp.where(impn, c1, mc1)
+    mpar = jnp.where(impn, par, mpar)
+    minds = jnp.where(impw, inds, minds)
+    mslices = jnp.where(impn, slices, mslices)
+    hyper = compute_hyper_b(c0, c1, inds)
+    out = SABatchFW(c0, c1, par, inds, hyper, lcc, width_pre, slices,
+                    lt, min_lt, mc0, mc1, mpar, minds, mslices, keys)
+    return out, {'moves': moves, 'applied': applied, 'pos': pos}
+
+
+@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'max_width',
+                                       'defer_last_min', 'interpret'))
+def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
+                       rand_bit, u, log2d_w32, cfg, n_walks, max_width,
+                       defer_last_min, interpret):
+    b = rows.shape[0]
+    n_rows = rows.shape[1]
+    p = n_walks
+    k = betas.shape[0]
+    w = log2d_w32.shape[0]
+    def to_blocks(x, fill, dtype):
+        xp = jnp.full((k, _LANES, b), fill, dtype)
+        xp = xp.at[:, :p, :].set(x.astype(dtype))
+        return xp.transpose(2, 0, 1).reshape(b * k, _LANES)
+
+    leaf_b = to_blocks(leaf, 0, jnp.int32)
+    bit_b = to_blocks(rand_bit, 0, jnp.int32)
+    u_b = to_blocks(u, 1.0, jnp.float32)
+    pos_b = jnp.full((b, _LANES), NULL, jnp.int32)
+    pos_b = pos_b.at[:, :p].set(pos.T).reshape(b * _LANES, 1)
+    minlt = min_lt.reshape(b, 1)
+
+    log2d_t = jnp.zeros((32, _LANES), jnp.float32)
+    log2d_t = log2d_t.at[:, _INDS_FW:_INDS_FW + w].set(
+        jnp.asarray(log2d_w32, jnp.float32).T)
+    betas_col = betas.reshape(k, 1)
+
+    # n for the kernel is the true node count: recover from cfg
+    n_true = 2 * cfg.n_leaves - 1
+    kernel = _make_kernel(cfg, n_true, w, p, k, fw=True,
+                          max_width=max_width,
+                          defer_last_min=defer_last_min)
+
+    def shared(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def per_rep(rows_per, width_):
+        return pl.BlockSpec((rows_per, width_), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b * n_rows, _LANES), jnp.int32),
+        jax.ShapeDtypeStruct((b * n_rows, _LANES), jnp.int32),
+        jax.ShapeDtypeStruct((b * _LANES, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, _LANES), jnp.int32),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b,),
+        in_specs=[
+            shared((32, _LANES)),
+            shared((k, 1)),
+            per_rep(k, _LANES),
+            per_rep(k, _LANES),
+            per_rep(k, _LANES),
+            per_rep(n_rows, _LANES),
+            per_rep(n_rows, _LANES),
+            per_rep(_LANES, 1),
+            per_rep(1, 1),
+        ],
+        out_specs=[
+            per_rep(n_rows, _LANES),
+            per_rep(n_rows, _LANES),
+            per_rep(_LANES, 1),
+            per_rep(1, 1),
+            per_rep(1, _LANES),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),
+            pltpu.VMEM((_LANES, _LANES), jnp.int32),
+            pltpu.VMEM((_LANES, 8), jnp.int32),
+            pltpu.VMEM((_LANES, 8), jnp.float32),
+            pltpu.VMEM((1, _LANES), jnp.int32),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(log2d_t, betas_col, leaf_b, bit_b, u_b,
+      rows.reshape(b * n_rows, _LANES),
+      min_rows.reshape(b * n_rows, _LANES), pos_b, minlt)
+    rows_o, min_o, pos_o, minlt_o, stats = outs
+    pos_o = pos_o.reshape(b, _LANES)[:, :p].T
+    return (rows_o.reshape(b, n_rows, _LANES),
+            min_o.reshape(b, n_rows, _LANES), pos_o,
+            minlt_o.reshape(b),
+            (jnp.sum(stats[:, 0]), jnp.sum(stats[:, 1])))
+
+
+@fts.partial(jax.jit, static_argnames=('cfg', 'n', 'w', 'max_width'))
+def _walker_fw_reslice(rows, min_rows, min_lt, k_res, max_width,
+                       log2d_w32, skip_wb, cfg, n, w):
+    """XLA-side greedy reslice-if-better + the deferred min snapshot
+    (bit-identical to _iter_multiwalk_fw's in-scan cadence)."""
+    from tnco_tpu.kernels.sa_finite_batched import (_greedy_slices_b,
+                                                    _lcc_fw_b)
+
+    b = rows.shape[0]
+    n_pad = rows.shape[1] - 8
+    (c0, c1, par, lcc, inds, width_pre,
+     slices) = _unpack_rows(rows, n, w, fw=True)
+
+    new_slices = _greedy_slices_b(c0, inds, width_pre, k_res,
+                                  jnp.float32(max_width), log2d_w32,
+                                  skip_wb, None, None)
+    new_lcc = _lcc_fw_b(c0, c1, inds, new_slices, log2d_w32, None, None)
+    better = (_log2_total_b(new_lcc, cfg.n_leaves) <
+              _log2_total_b(lcc, cfg.n_leaves))
+    has_slices = jnp.any(slices != 0)
+    take = better & has_slices
+    slices = jnp.where(take[None, :], new_slices, slices)
+    lcc = jnp.where(take[None, :], new_lcc, lcc)
+
+    bc = jax.lax.bitcast_convert_type
+    rows = rows.at[:, :n, _LCC].set(bc(lcc, jnp.int32).T)
+    rows = rows.at[:, n_pad, _INDS_FW:_INDS_FW + w].set(
+        bc(slices, jnp.int32).T)
+
+    lt_new = _log2_total_b(lcc, cfg.n_leaves)
+    improved = lt_new < min_lt
+    min_lt = jnp.where(improved, lt_new, min_lt)
+    min_rows = jnp.where(improved[:, None, None], rows, min_rows)
+    return rows, min_rows, min_lt

@@ -523,9 +523,10 @@ class ReplicaRunnerFW:
             else:
                 engine = 'vmapped'
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
-                          'mxu'):
+                          'mxu', 'walker'):
             raise ValueError(f"Unknown engine: {engine!r}")
-        if engine in ('multiwalk', 'mxu') and max_number_new_slices:
+        if engine in ('multiwalk', 'mxu', 'walker') and \
+                max_number_new_slices:
             raise ValueError(f"engine={engine!r} does not support "
                              "max_number_new_slices.")
         self.engine = engine
@@ -555,9 +556,10 @@ class ReplicaRunnerFW:
             dtype=np.asarray(self.log2d).dtype)
         if engine == 'vmapped':
             batch = _to_vmapped_fw(batch)
-        self._mw_pos = jnp.full((self.n_walks, len(ctrees)), -1,
-                                jnp.int32) if engine in ('multiwalk',
-                                                         'mxu') else None
+        self._mw_pos = (jnp.full((self.n_walks, len(ctrees)), -1,
+                                 jnp.int32)
+                        if engine in ('multiwalk', 'mxu', 'walker')
+                        else None)
         self.mesh = mesh
         if mesh is not None:
             shard = replica_sharding(mesh)
@@ -715,6 +717,15 @@ class ReplicaRunnerFW:
                     self.max_width, self.log2d_w32, self.skip_lanes,
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
                     self.log2_n_projs, walk_chunk=self.walk_chunk)
+                self._mw_pos = metrics['pos']
+                last_min = self.states.min_log2_total
+            elif self.engine == 'walker':
+                from tnco_tpu.kernels import pallas_walker as pwk
+                self.states, metrics = pwk.run_walker_fw(
+                    self.states, jnp.asarray(chunk), np.asarray(mchunk),
+                    self.max_width, self.log2d_w32, self.skip_lanes,
+                    self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
+                    self.log2_n_projs)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             else:
