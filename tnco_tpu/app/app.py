@@ -475,7 +475,8 @@ class BaseOptimizer:
     seed: int | None = None
     verbose: int = 0
     # tnco-tpu extension: replica-batch engine selection
-    # ('auto' | 'batched' | 'vmapped' | 'native' | 'multiwalk' | 'mxu').
+    # ('auto' | 'batched' | 'vmapped' | 'native' | 'multiwalk' | 'mxu'
+    #  | 'walker').
     engine: str = 'auto'
     # Concurrent walks per replica (multiwalk/mxu engines).
     n_walks: int = 8
