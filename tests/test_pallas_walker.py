@@ -116,3 +116,41 @@ def test_walker_fw_bit_identical(rng, random_seed):
                                   np.asarray(mgot['pos']))
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_walker_rows_roundtrip_fuzz(rng, random_seed):
+    """_pack_rows/_unpack_rows exactness incl. the FW width lane and
+    slices row at stressed value ranges."""
+    nprng = np.random.default_rng(random_seed)
+    n = int(nprng.integers(3, 1500))
+    if n % 2 == 0:
+        n += 1  # contraction trees have odd node counts
+    b = int(nprng.integers(1, 4))
+    w = int(nprng.integers(1, 8))
+    n_leaves = (n + 1) // 2
+    n_pad = pw._n_pad(n, n_leaves)
+    c0 = jnp.asarray(
+        nprng.integers(-1, n, (n, b), dtype=np.int64), jnp.int32)
+    c1 = jnp.asarray(
+        nprng.integers(-1, n, (n, b), dtype=np.int64), jnp.int32)
+    par = jnp.asarray(
+        nprng.integers(-1, n, (n, b), dtype=np.int64), jnp.int32)
+    lcc = jnp.asarray(np.exp2(nprng.uniform(-126, 127, (n, b))),
+                      jnp.float32)
+    inds = jnp.asarray(
+        nprng.integers(0, 2**32, (n, w, b), dtype=np.uint64), jnp.uint32)
+    width = jnp.asarray(np.exp2(nprng.uniform(-20, 100, (n, b))),
+                        jnp.float32)
+    slices = jnp.asarray(
+        nprng.integers(0, 2**32, (w, b), dtype=np.uint64), jnp.uint32)
+
+    rows = pw._pack_rows(c0, c1, par, lcc, inds, n_pad)
+    outs = pw._unpack_rows(rows, n, w)
+    for a, bb in zip((c0, c1, par, lcc, inds), outs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+    rows_fw = pw._pack_rows(c0, c1, par, lcc, inds, n_pad, width=width,
+                            slices=slices)
+    outs_fw = pw._unpack_rows(rows_fw, n, w, fw=True)
+    for a, bb in zip((c0, c1, par, lcc, inds, width, slices), outs_fw):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))

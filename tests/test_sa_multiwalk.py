@@ -398,3 +398,41 @@ def test_multiwalk_sparse_cost_model(rng, random_seed):
                                      tins[node.children[1]], tins[p],
                                      tree.dims)
     assert best == pytest.approx(math.log2(total), abs=1e-3)
+
+
+def test_mxu_piece_planes_fuzz(rng, random_seed):
+    """pack_state/unpack_state round-trip exactness at stressed ranges:
+    node ids up to the 65534 cap, lcc spanning denormals to huge f32,
+    dense random lanes (the bf16 piece-plane invariant, beyond the
+    small-shape engine-equality tests)."""
+    import numpy as np
+
+    from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
+
+    nprng = np.random.default_rng(random_seed)
+    n = int(nprng.integers(2, 2000))
+    b = int(nprng.integers(1, 5))
+    w = int(nprng.integers(1, 8))
+    c0 = jnp.asarray(
+        nprng.integers(-1, 65534, (n, b), dtype=np.int64), jnp.int32)
+    c1 = jnp.asarray(
+        nprng.integers(-1, 65534, (n, b), dtype=np.int64), jnp.int32)
+    par = jnp.asarray(
+        nprng.integers(-1, 65534, (n, b), dtype=np.int64), jnp.int32)
+    mag = nprng.uniform(-126, 127, (n, b))
+    lcc = jnp.asarray(np.sign(nprng.standard_normal((n, b))) *
+                      np.exp2(mag), jnp.float32)
+    inds = jnp.asarray(
+        nprng.integers(0, 2**32, (n, w, b), dtype=np.uint64), jnp.uint32)
+    width = jnp.asarray(np.exp2(nprng.uniform(-20, 100, (n, b))),
+                        jnp.float32)
+
+    R = mxu.pack_state(c0, c1, par, lcc, inds)
+    oc0, oc1, opar, olcc, oinds = mxu.unpack_state(R)
+    for a, bb in ((c0, oc0), (c1, oc1), (par, opar), (lcc, olcc),
+                  (inds, oinds)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+    Rw = mxu.pack_state(c0, c1, par, lcc, inds, width=width)
+    *outs, owidth = mxu.unpack_state(Rw, with_width=True)
+    np.testing.assert_array_equal(np.asarray(width), np.asarray(owidth))
