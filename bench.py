@@ -111,6 +111,9 @@ def _previous_round_value() -> float | None:
         try:
             with open(path) as fh:
                 data = json.load(fh)
+            # The driver wraps the bench line under 'parsed'.
+            if 'parsed' in data and isinstance(data['parsed'], dict):
+                data = data['parsed']
             n = int(m.group(1))
             if n > best_n and isinstance(data.get('value'), (int, float)):
                 best_n, value = n, float(data['value'])
