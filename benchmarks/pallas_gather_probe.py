@@ -25,9 +25,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _loop_kernel(ids_ref, state_ref, out_ref, scratch):
+def _loop_kernel(ids_ref, state_in, out_ref, scratch, state_ref):
     p = ids_ref.shape[1]
     rounds = ids_ref.shape[0]
+    state_ref[:] = state_in[:]
 
     def round_body(r, _):
         def body(i, _):
@@ -54,7 +55,7 @@ def _take_kernel(ids_ref, state_ref, out_ref):
     rounds = ids_ref.shape[0]
 
     def round_body(r, acc):
-        rows = jnp.take(state_ref[:], ids_ref[r, :], axis=0)
+        rows = jnp.take(state_ref[:], ids_ref[pl.ds(r, 1), :][0], axis=0)
         return acc + rows
 
     acc = jnp.zeros(out_ref.shape, jnp.int32)
@@ -74,7 +75,8 @@ def probe(state, ids, impl: str, interpret: bool):
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((p, 128), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((p, 128), jnp.int32),
+                            pltpu.VMEM((n, 128), jnp.int32)],
             interpret=interpret,
         )(ids, state)
     return pl.pallas_call(

@@ -151,14 +151,21 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
         def step(it, _):
             lt = log2_total()
 
-            # ---- Per-walk gathers (dynamic sublane row reads) --------
-            def gbody(i, _):
+            # ---- Per-walk gathers ------------------------------------
+            # Python-unrolled: Mosaic accepts dynamic-sublane ROW slices
+            # keyed by traced scalars (pl.ds(id, 1)) but crashes on
+            # scalar reads at loop-carried positions, so every scalar
+            # read below sits at a STATIC position and only the row
+            # index is traced.
+            leaf_row = leaf_ref[pl.ds(it, 1), :]
+            bit_row = bit_ref[pl.ds(it, 1), :]
+            u_row = u_ref[pl.ds(it, 1), :]
+            for i in range(p):
                 pos_i = pos_ref[i, 0]
-                par_pos = jnp.where(
-                    pos_i < 0, NULL,
-                    state_ref[jnp.maximum(pos_i, 0), _PAR])
-                leaf_i = leaf_ref[it, i]
-                new_pos = state_ref[leaf_i, _PAR]
+                row_pos = state_ref[pl.ds(jnp.maximum(pos_i, 0), 1), :]
+                par_pos = jnp.where(pos_i < 0, NULL, row_pos[0, _PAR])
+                leaf_i = leaf_row[0, i]
+                new_pos = state_ref[pl.ds(leaf_i, 1), :][0, _PAR]
                 boundary = (pos_i == NULL) | (par_pos == NULL)
                 b_i = jnp.where(boundary, new_pos, pos_i)
                 rows_b[pl.ds(i, 1), :] = row_of(b_i)
@@ -169,21 +176,11 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
                 c0a = rows_a[i, _C0]
                 c_i = jnp.where(c0a == b_i, rows_a[i, _C1], c0a)
                 rows_c[pl.ds(i, 1), :] = row_of(c_i)
-                ids_ref[pl.ds(i, 1), 0:1] = jnp.full((1, 1), b_i,
-                                                     jnp.int32)
-                ids_ref[pl.ds(i, 1), 1:2] = jnp.full((1, 1), a_i,
-                                                     jnp.int32)
-                ids_ref[pl.ds(i, 1), 2:3] = jnp.full((1, 1), c_i,
-                                                     jnp.int32)
-                # draw scalars -> per-walk sublane columns (avoids a
-                # lane->sublane relayout of the [1, P] draw rows)
-                ids_ref[pl.ds(i, 1), 5:6] = jnp.full(
-                    (1, 1), bit_ref[it, i], jnp.int32)
-                fv_ref[pl.ds(i, 1), 0:1] = jnp.full(
-                    (1, 1), u_ref[it, i], jnp.float32)
-                return 0
-
-            jax.lax.fori_loop(0, p, gbody, 0)
+                ids_ref[i, 0] = b_i
+                ids_ref[i, 1] = a_i
+                ids_ref[i, 2] = c_i
+                ids_ref[i, 5] = bit_row[0, i]
+                fv_ref[i, 0] = u_row[0, i]
 
             # ---- Vector phase ----------------------------------------
             rb, ra = rows_b[:], rows_a[:]
@@ -233,7 +230,7 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
                  jnp.exp2(ln_b - m))
             l_new = m + jnp.log2(jnp.maximum(s, _SCALED_FLOOR))
 
-            beta = betas_ref[it, 0]
+            beta = betas_ref[pl.ds(it, 1), :][0, 0]
             if cfg.prob_kind == 'mh':
                 acc = jnp.log2(u_col) <= -beta * (l_new - lt)
             elif cfg.prob_kind == 'greedy':
@@ -285,23 +282,21 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
 
             iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, pp), 1)
 
-            def claim(pi, keep_row):
-                conf_p = jax.lax.dynamic_slice(conf, (pi, 0), (1, pp))
+            keep_row = jnp.zeros((1, pp), jnp.int32)
+            for pi in range(p):
+                conf_p = conf[pi:pi + 1, :]
                 blocked = jnp.sum(
                     jnp.where((keep_row > 0) & (conf_p > 0) &
                               (iota_row < pi), 1, 0)) > 0
                 acc_p = ids_ref[pi, 6] > 0
                 k_p = jnp.where(acc_p & ~blocked, 1, 0)
-                return keep_row | jnp.where(iota_row == pi, k_p, 0)
-
-            keep_row = jax.lax.fori_loop(
-                0, p, claim, jnp.zeros((1, pp), jnp.int32))
+                keep_row = keep_row | jnp.where(iota_row == pi, k_p, 0)
             krow_ref[:] = keep_row
 
-            # ---- Apply kept proposals --------------------------------
-            def abody(i, _):
+            # ---- Apply kept proposals (unrolled; static scalar pos) --
+            for i in range(p):
                 @pl.when(krow_ref[0, i] > 0)
-                def _():
+                def _(i=i):
                     b_i = ids_ref[i, 0]
                     a_i = ids_ref[i, 1]
                     c_i = ids_ref[i, 2]
@@ -312,10 +307,6 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
                         jnp.full((1, 1), b_i, jnp.int32)
                     state_ref[pl.ds(e_i, 1), _PAR:_PAR + 1] = \
                         jnp.full((1, 1), a_i, jnp.int32)
-
-                return 0
-
-            jax.lax.fori_loop(0, p, abody, 0)
 
             pos_ref[:] = jnp.where(valid_col, a_col,
                                    jnp.full((pp, 1), NULL, jnp.int32))
