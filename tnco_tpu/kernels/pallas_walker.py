@@ -61,10 +61,11 @@ def walker_supported(n: int, n_leaves: int, w: int) -> bool:
 
 
 def _n_pad(n: int, n_leaves: int) -> int:
-    """Row padding such that the internal slice is exactly
-    pow2(N_int) long (the pinned log2-total pairing must match
-    ``costs.pairwise_sum``'s zero-padded tree)."""
-    return n_leaves + _pow2(n - n_leaves)
+    """Row padding: the internal slice must be exactly pow2(N_int) long
+    (the pinned log2-total pairing must match ``costs.pairwise_sum``'s
+    zero-padded tree) and the block row count must be 8-aligned for the
+    Mosaic tiling rules."""
+    return -(-(n_leaves + _pow2(n - n_leaves)) // 8) * 8
 
 
 def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
@@ -87,7 +88,7 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
         min_ref[:] = min_in[:]
         pos_ref[:] = pos_in[:]
         minlt_ref[:] = minlt_in[:]
-        stats_ref[:] = jnp.zeros((1, _LANES), jnp.int32)
+        stats_ref[:] = jnp.zeros((8, _LANES), jnp.int32)
 
         iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
         iota_pcol = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0)
@@ -420,11 +421,13 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
 
     keys, (leaf, rand_bit, u) = jax.lax.scan(draw_step, batch.keys,
                                              None, length=k)
-    # [K, P, B] -> per-replica [B, K, P_pad]
+    # [K, P, B] -> per-replica [B, K8, P_pad] (K 8-aligned for tiling)
+    k8 = -(-k // 8) * 8
+
     def to_blocks(x, fill, dtype):
-        xp = jnp.full((k, _LANES, b), fill, dtype)
-        xp = xp.at[:, :p, :].set(x.astype(dtype))
-        return xp.transpose(2, 0, 1).reshape(b * k, _LANES)
+        xp = jnp.full((k8, _LANES, b), fill, dtype)
+        xp = xp.at[:k, :p, :].set(x.astype(dtype))
+        return xp.transpose(2, 0, 1).reshape(b * k8, _LANES)
 
     leaf_b = to_blocks(leaf, 0, jnp.int32)
     bit_b = to_blocks(rand_bit, 0, jnp.int32)
@@ -437,7 +440,9 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
                           n_pad).reshape(b * n_pad, _LANES)
     pos_b = jnp.full((b, _LANES), NULL, jnp.int32)
     pos_b = pos_b.at[:, :p].set(pos.T).reshape(b * _LANES, 1)
-    minlt = batch.min_log2_total.reshape(b, 1)
+    minlt = jnp.zeros((b, 8, _LANES), jnp.float32)
+    minlt = minlt.at[:, 0, 0].set(batch.min_log2_total)
+    minlt = minlt.reshape(b * 8, _LANES)
 
     # log2 dims laid out [32, 128]: log2d_t[s, _INDS + w] = log2 dim of
     # bit w*32 + s; zero elsewhere (id lanes contribute nothing).
@@ -460,8 +465,8 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
         jax.ShapeDtypeStruct((b * n_pad, _LANES), jnp.int32),   # state
         jax.ShapeDtypeStruct((b * n_pad, _LANES), jnp.int32),   # min
         jax.ShapeDtypeStruct((b * _LANES, 1), jnp.int32),       # pos
-        jax.ShapeDtypeStruct((b, 1), jnp.float32),              # minlt
-        jax.ShapeDtypeStruct((b, _LANES), jnp.int32),           # stats
+        jax.ShapeDtypeStruct((b * 8, _LANES), jnp.float32),     # minlt
+        jax.ShapeDtypeStruct((b * 8, _LANES), jnp.int32),       # stats
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -469,20 +474,20 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
         in_specs=[
             shared((32, _LANES)),          # log2d
             shared((k, 1)),                # betas
-            per_rep(k, _LANES),            # leaf
-            per_rep(k, _LANES),            # bit
-            per_rep(k, _LANES),            # u
+            per_rep(k8, _LANES),           # leaf
+            per_rep(k8, _LANES),           # bit
+            per_rep(k8, _LANES),           # u
             per_rep(n_pad, _LANES),        # state in
             per_rep(n_pad, _LANES),        # min in
             per_rep(_LANES, 1),            # pos in
-            per_rep(1, 1),                 # minlt in
+            per_rep(8, _LANES),            # minlt in
         ],
         out_specs=[
             per_rep(n_pad, _LANES),
             per_rep(n_pad, _LANES),
             per_rep(_LANES, 1),
-            per_rep(1, 1),
-            per_rep(1, _LANES),
+            per_rep(8, _LANES),
+            per_rep(8, _LANES),
         ],
         scratch_shapes=[
             pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_b
@@ -511,7 +516,8 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
     c0, c1, par, lcc, inds = _unpack_rows(rows_out, n, w)
     mc0, mc1, mpar, _, minds = _unpack_rows(min_out, n, w)
     pos_out = pos_out.reshape(b, _LANES)[:, :p].T
-    min_lt = minlt_out.reshape(b)
+    min_lt = minlt_out.reshape(b, 8, _LANES)[:, 0, 0]
+    stats = stats.reshape(b, 8, _LANES)[:, 0, :]
 
     lt = _log2_total_b(lcc, cfg.n_leaves)
     improved = lt < min_lt
@@ -634,17 +640,21 @@ def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
     p = n_walks
     k = betas.shape[0]
     w = log2d_w32.shape[0]
+    k8 = -(-k // 8) * 8
+
     def to_blocks(x, fill, dtype):
-        xp = jnp.full((k, _LANES, b), fill, dtype)
-        xp = xp.at[:, :p, :].set(x.astype(dtype))
-        return xp.transpose(2, 0, 1).reshape(b * k, _LANES)
+        xp = jnp.full((k8, _LANES, b), fill, dtype)
+        xp = xp.at[:k, :p, :].set(x.astype(dtype))
+        return xp.transpose(2, 0, 1).reshape(b * k8, _LANES)
 
     leaf_b = to_blocks(leaf, 0, jnp.int32)
     bit_b = to_blocks(rand_bit, 0, jnp.int32)
     u_b = to_blocks(u, 1.0, jnp.float32)
     pos_b = jnp.full((b, _LANES), NULL, jnp.int32)
     pos_b = pos_b.at[:, :p].set(pos.T).reshape(b * _LANES, 1)
-    minlt = min_lt.reshape(b, 1)
+    minlt = jnp.zeros((b, 8, _LANES), jnp.float32)
+    minlt = minlt.at[:, 0, 0].set(min_lt)
+    minlt = minlt.reshape(b * 8, _LANES)
 
     log2d_t = jnp.zeros((32, _LANES), jnp.float32)
     log2d_t = log2d_t.at[:, _INDS_FW:_INDS_FW + w].set(
@@ -669,8 +679,8 @@ def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
         jax.ShapeDtypeStruct((b * n_rows, _LANES), jnp.int32),
         jax.ShapeDtypeStruct((b * n_rows, _LANES), jnp.int32),
         jax.ShapeDtypeStruct((b * _LANES, 1), jnp.int32),
-        jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        jax.ShapeDtypeStruct((b, _LANES), jnp.int32),
+        jax.ShapeDtypeStruct((b * 8, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((b * 8, _LANES), jnp.int32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -678,20 +688,20 @@ def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
         in_specs=[
             shared((32, _LANES)),
             shared((k, 1)),
-            per_rep(k, _LANES),
-            per_rep(k, _LANES),
-            per_rep(k, _LANES),
+            per_rep(k8, _LANES),
+            per_rep(k8, _LANES),
+            per_rep(k8, _LANES),
             per_rep(n_rows, _LANES),
             per_rep(n_rows, _LANES),
             per_rep(_LANES, 1),
-            per_rep(1, 1),
+            per_rep(8, _LANES),
         ],
         out_specs=[
             per_rep(n_rows, _LANES),
             per_rep(n_rows, _LANES),
             per_rep(_LANES, 1),
-            per_rep(1, 1),
-            per_rep(1, _LANES),
+            per_rep(8, _LANES),
+            per_rep(8, _LANES),
         ],
         scratch_shapes=[
             pltpu.VMEM((_LANES, _LANES), jnp.int32),
@@ -716,9 +726,10 @@ def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
       min_rows.reshape(b * n_rows, _LANES), pos_b, minlt)
     rows_o, min_o, pos_o, minlt_o, stats = outs
     pos_o = pos_o.reshape(b, _LANES)[:, :p].T
+    stats = stats.reshape(b, 8, _LANES)[:, 0, :]
     return (rows_o.reshape(b, n_rows, _LANES),
             min_o.reshape(b, n_rows, _LANES), pos_o,
-            minlt_o.reshape(b),
+            minlt_o.reshape(b, 8, _LANES)[:, 0, 0],
             (jnp.sum(stats[:, 0]), jnp.sum(stats[:, 1])))
 
 
