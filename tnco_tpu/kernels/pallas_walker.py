@@ -177,11 +177,16 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
                 c0a = rows_a[i, _C0]
                 c_i = jnp.where(c0a == b_i, rows_a[i, _C1], c0a)
                 rows_c[pl.ds(i, 1), :] = row_of(c_i)
-                ids_ref[i, 0] = b_i
-                ids_ref[i, 1] = a_i
-                ids_ref[i, 2] = c_i
-                ids_ref[i, 5] = bit_row[0, i]
-                fv_ref[i, 0] = u_row[0, i]
+                ids_ref[i:i + 1, 0:1] = jnp.full((1, 1), b_i,
+                                                 jnp.int32)
+                ids_ref[i:i + 1, 1:2] = jnp.full((1, 1), a_i,
+                                                 jnp.int32)
+                ids_ref[i:i + 1, 2:3] = jnp.full((1, 1), c_i,
+                                                 jnp.int32)
+                ids_ref[i:i + 1, 5:6] = jnp.full((1, 1), bit_row[0, i],
+                                                 jnp.int32)
+                fv_ref[i:i + 1, 0:1] = jnp.full((1, 1), u_row[0, i],
+                                                jnp.float32)
 
             # ---- Vector phase ----------------------------------------
             rb, ra = rows_b[:], rows_a[:]
@@ -313,8 +318,10 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
                                    jnp.full((pp, 1), NULL, jnp.int32))
 
             n_applied = jnp.sum(keep_row)
-            stats_ref[0, 0] = stats_ref[0, 0] + p
-            stats_ref[0, 1] = stats_ref[0, 1] + n_applied
+            stats_ref[0:1, 0:1] = stats_ref[0:1, 0:1] + p
+            stats_ref[0:1, 1:2] = (stats_ref[0:1, 1:2] +
+                                   jnp.full((1, 1), n_applied,
+                                            jnp.int32))
 
             # ---- Min tracking ----------------------------------------
             lt_new = log2_total()
@@ -326,7 +333,8 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
 
             @pl.when(do_snap)
             def _():
-                minlt_ref[0, 0] = lt_new
+                minlt_ref[0:1, 0:1] = jnp.full((1, 1), lt_new,
+                                               jnp.float32)
                 min_ref[:] = state_ref[:]
 
             return 0
