@@ -79,13 +79,30 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
     n_slices = _n_pad(n, n_leaves)  # slices row index (FW layout)
     mw = np.float32(max_width)
 
+    n_rows = _n_pad(n, n_leaves) + (8 if fw else 0)
+
     def kernel(log2d_ref, betas_ref, leaf_ref, bit_ref, u_ref,
-               state_in, min_in, pos_in, minlt_in,
-               state_ref, min_ref, pos_ref, minlt_ref, stats_ref,
-               rows_b, rows_a, rows_0, rows_1, rows_c,
-               rows_nb, rows_na, ids_ref, fv_ref, krow_ref):
-        state_ref[:] = state_in[:]
-        min_ref[:] = min_in[:]
+               state_hbm, min_hbm, pos_in, minlt_in,
+               state_out_hbm, min_out_hbm, pos_ref, minlt_ref, stats_ref,
+               state_ref, rows_b, rows_a, rows_0, rows_1, rows_c,
+               rows_nb, rows_na, ids_ref, fv_ref, krow_ref, dma_sem):
+        # State and min stay in HBM (a VMEM-blocked pipeline of the
+        # [N_pad, 128] state quadruple exceeds the 16MB scoped budget at
+        # Sycamore scale); one replica's state is DMA'd into a single
+        # VMEM scratch for the whole K-iteration chunk.
+        block = pl.program_id(0)
+        row0 = block * n_rows
+
+        dma = pltpu.make_async_copy(
+            state_hbm.at[pl.ds(row0, n_rows), :], state_ref, dma_sem)
+        dma.start()
+        dma.wait()
+        # min_out starts as min_in (overwritten on improvement below)
+        dma = pltpu.make_async_copy(
+            min_hbm.at[pl.ds(row0, n_rows), :],
+            min_out_hbm.at[pl.ds(row0, n_rows), :], dma_sem)
+        dma.start()
+        dma.wait()
         pos_ref[:] = pos_in[:]
         minlt_ref[:] = minlt_in[:]
         stats_ref[:] = jnp.zeros((8, _LANES), jnp.int32)
@@ -335,11 +352,20 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
             def _():
                 minlt_ref[0:1, 0:1] = jnp.full((1, 1), lt_new,
                                                jnp.float32)
-                min_ref[:] = state_ref[:]
+                dma_min = pltpu.make_async_copy(
+                    state_ref, min_out_hbm.at[pl.ds(row0, n_rows), :],
+                    dma_sem)
+                dma_min.start()
+                dma_min.wait()
 
             return 0
 
         jax.lax.fori_loop(0, k_iters, step, 0)
+
+        dma_out = pltpu.make_async_copy(
+            state_ref, state_out_hbm.at[pl.ds(row0, n_rows), :], dma_sem)
+        dma_out.start()
+        dma_out.wait()
 
     return kernel
 
@@ -485,19 +511,20 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
             per_rep(k8, _LANES),           # leaf
             per_rep(k8, _LANES),           # bit
             per_rep(k8, _LANES),           # u
-            per_rep(n_pad, _LANES),        # state in
-            per_rep(n_pad, _LANES),        # min in
+            pl.BlockSpec(memory_space=pltpu.ANY),   # state in (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # min in (HBM)
             per_rep(_LANES, 1),            # pos in
             per_rep(8, _LANES),            # minlt in
         ],
         out_specs=[
-            per_rep(n_pad, _LANES),
-            per_rep(n_pad, _LANES),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # state out (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # min out (HBM)
             per_rep(_LANES, 1),
             per_rep(8, _LANES),
             per_rep(8, _LANES),
         ],
         scratch_shapes=[
+            pltpu.VMEM((n_pad, _LANES), jnp.int32),    # state (VMEM)
             pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_b
             pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_a
             pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_0
@@ -508,6 +535,7 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
             pltpu.VMEM((_LANES, 8), jnp.int32),        # ids
             pltpu.VMEM((_LANES, 8), jnp.float32),      # fv (u draws)
             pltpu.VMEM((1, _LANES), jnp.int32),        # keep row
+            pltpu.SemaphoreType.DMA(()),               # dma sem
         ],
     )
     outs = pl.pallas_call(
@@ -699,19 +727,20 @@ def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
             per_rep(k8, _LANES),
             per_rep(k8, _LANES),
             per_rep(k8, _LANES),
-            per_rep(n_rows, _LANES),
-            per_rep(n_rows, _LANES),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             per_rep(_LANES, 1),
             per_rep(8, _LANES),
         ],
         out_specs=[
-            per_rep(n_rows, _LANES),
-            per_rep(n_rows, _LANES),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             per_rep(_LANES, 1),
             per_rep(8, _LANES),
             per_rep(8, _LANES),
         ],
         scratch_shapes=[
+            pltpu.VMEM((n_rows, _LANES), jnp.int32),
             pltpu.VMEM((_LANES, _LANES), jnp.int32),
             pltpu.VMEM((_LANES, _LANES), jnp.int32),
             pltpu.VMEM((_LANES, _LANES), jnp.int32),
@@ -722,6 +751,7 @@ def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
             pltpu.VMEM((_LANES, 8), jnp.int32),
             pltpu.VMEM((_LANES, 8), jnp.float32),
             pltpu.VMEM((1, _LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     outs = pl.pallas_call(
