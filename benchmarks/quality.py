@@ -96,7 +96,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
     cpu_best = None
     cpu_moves = 0
     cpu_time = 0.0
-    if native.available():
+    if native.available() and n_cpu_replicas > 0:
         nodes = np.stack(
             [tree(r).nodes_array.copy() for r in range(n_cpu_replicas)])
         inds = np.stack(
@@ -203,7 +203,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     cpu_best = None
     cpu_moves = 0
     cpu_time = 0.0
-    if native.available():
+    if native.available() and n_cpu_replicas > 0:
         from random import Random
 
         slices0 = [
@@ -266,7 +266,8 @@ def main() -> None:
     parser.add_argument('--seconds', type=float, default=30.0)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--tpu-replicas', type=int, default=None)
-    parser.add_argument('--cpu-replicas', type=int, default=256)
+    parser.add_argument('--cpu-replicas', type=int, default=256,
+                        help='0 skips the CPU arm entirely.')
     parser.add_argument('--exchange-every', type=int, default=0,
                         help='Population exchange every N chunks '
                              '(0 = independent runs).')

@@ -511,14 +511,14 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
             per_rep(k8, _LANES),           # leaf
             per_rep(k8, _LANES),           # bit
             per_rep(k8, _LANES),           # u
-            pl.BlockSpec(memory_space=pltpu.ANY),   # state in (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # min in (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # state in (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # min in (HBM)
             per_rep(_LANES, 1),            # pos in
             per_rep(8, _LANES),            # minlt in
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # state out (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # min out (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # state out (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # min out (HBM)
             per_rep(_LANES, 1),
             per_rep(8, _LANES),
             per_rep(8, _LANES),
@@ -727,14 +727,14 @@ def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
             per_rep(k8, _LANES),
             per_rep(k8, _LANES),
             per_rep(k8, _LANES),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             per_rep(_LANES, 1),
             per_rep(8, _LANES),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             per_rep(_LANES, 1),
             per_rep(8, _LANES),
             per_rep(8, _LANES),

@@ -49,6 +49,12 @@ def make_mesh(devices=None, axis_name: str = 'r', *, shape=None,
         np.asarray(devices).reshape(shape), tuple(axis_names))
 
 
+# Engines whose device state is the lane-major SABatch/SABatchFW layout
+# (replica axis LAST); 'vmapped' keeps replica-major pytrees instead.
+# Lane-major engines share the exchange_best machinery too.
+_LANE_MAJOR = ('batched', 'multiwalk', 'mxu', 'walker')
+
+
 def replica_sharding(mesh, axis_name=None):
     """NamedSharding that splits the replica axis over ALL mesh axes."""
     axis = tuple(mesh.axis_names) if axis_name is None else axis_name
@@ -321,11 +327,10 @@ class ReplicaRunner:
             Metrics dict with per-replica ``log2_min_total`` (final) and the
             number of sweeps executed.
         """
-        if exchange_every and self.engine not in ('batched', 'multiwalk',
-                                                  'mxu'):
+        if exchange_every and self.engine not in _LANE_MAJOR:
             from warnings import warn
-            warn(f"exchange_every is only supported by the 'batched', "
-                 f"'multiwalk' and 'mxu' engines "
+            warn(f"exchange_every is only supported by the "
+                 f"{_LANE_MAJOR} engines "
                  f"(engine={self.engine!r}); ignored.")
         if self.engine == 'native':
             return self._run_native(betas, chunk_size, timeout, callback)
@@ -386,7 +391,7 @@ class ReplicaRunner:
             pos += chunk_size
             n_chunks += 1
             if (exchange_every and
-                    self.engine in ('batched', 'multiwalk', 'mxu') and
+                    self.engine in _LANE_MAJOR and
                     pos < n and n_chunks % exchange_every == 0):
                 if self.mesh is not None:
                     self.states = exchange_best_sharded(
@@ -668,11 +673,10 @@ class ReplicaRunnerFW:
             callback=None,
             exchange_every: int = 0,
             exchange_fraction: float = 0.25) -> dict:
-        if exchange_every and self.engine not in ('batched', 'multiwalk',
-                                                  'mxu'):
+        if exchange_every and self.engine not in _LANE_MAJOR:
             from warnings import warn
-            warn(f"exchange_every is only supported by the 'batched', "
-                 f"'multiwalk' and 'mxu' engines "
+            warn(f"exchange_every is only supported by the "
+                 f"{_LANE_MAJOR} engines "
                  f"(engine={self.engine!r}); ignored.")
         if self.engine == 'native':
             return self._run_native_fw(betas, update_slices, chunk_size,
@@ -739,7 +743,7 @@ class ReplicaRunnerFW:
             pos += chunk_size
             n_chunks += 1
             if (exchange_every and
-                    self.engine in ('batched', 'multiwalk', 'mxu') and
+                    self.engine in _LANE_MAJOR and
                     pos < n and n_chunks % exchange_every == 0):
                 self.states = exchange_best_fw(self.states,
                                                exchange_fraction)
@@ -761,7 +765,7 @@ class ReplicaRunnerFW:
                 self._nat_best_nodes[replica],
                 self._nat_best_inds[replica])
         s = self.states
-        if self.engine in ('batched', 'multiwalk', 'mxu'):
+        if self.engine in _LANE_MAJOR:
             nodes = np.stack([
                 np.asarray(s.min_c0[:, replica]),
                 np.asarray(s.min_c1[:, replica]),
@@ -779,7 +783,7 @@ class ReplicaRunnerFW:
             return self.template.replace_arrays(
                 self._nat_nodes[replica], self._nat_inds[replica])
         s = self.states
-        if self.engine in ('batched', 'multiwalk', 'mxu'):
+        if self.engine in _LANE_MAJOR:
             nodes = np.stack([
                 np.asarray(s.c0[:, replica]),
                 np.asarray(s.c1[:, replica]),
@@ -794,14 +798,14 @@ class ReplicaRunnerFW:
         """Current slice lanes of ``replica``."""
         if self.engine == 'native':
             return self._nat_slices[replica].copy()
-        if self.engine in ('batched', 'multiwalk', 'mxu'):
+        if self.engine in _LANE_MAJOR:
             return np.asarray(self.states.slices[..., replica])
         return np.asarray(self.states.slices[replica])
 
     def min_slices_lanes(self, replica: int) -> np.ndarray:
         if self.engine == 'native':
             return self._nat_best_slices[replica].copy()
-        if self.engine in ('batched', 'multiwalk', 'mxu'):
+        if self.engine in _LANE_MAJOR:
             return np.asarray(self.states.min_slices[..., replica])
         return np.asarray(self.states.min_slices[replica])
 
