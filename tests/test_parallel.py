@@ -369,3 +369,43 @@ def test_exchange_best_fw(rng, random_seed):
                                   dims)
         is_valid_contraction_tree(runner.min_ctree(i), ts_inds,
                                   output_inds, dims)
+
+
+def test_walker_exchange_and_accessors(rng, random_seed):
+    """Walker engine: exchange between chunks + lane-major accessors.
+
+    Regression: min_ctree/ctree/slices_lanes used to treat 'walker' as
+    replica-major and crashed on its SABatch state; exchange_every was
+    refused outright.
+    """
+    import math
+
+    from tnco_tpu.testing.utils import is_valid_contraction_tree
+
+    ts_inds, output_inds, dims = generate_random_tensors(rng,
+                                                         n_tensors=10,
+                                                         n_output_inds=1)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(8):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    runner = ReplicaRunner(ctrees, list(range(8)),
+                           cmodel=SimpleCostModel(), engine='walker',
+                           n_walks=4)
+    out = runner.run(np.linspace(0, 10, 32), chunk_size=8,
+                     exchange_every=2)
+    assert out['moves'] == 32 * 4 * 8
+    best_i, best = runner.best()
+    is_valid_contraction_tree(runner.min_ctree(best_i), ts_inds,
+                              output_inds, dims)
+    assert best == pytest.approx(
+        math.log2(runner.min_ctree(best_i).total_cost_exact()), abs=1e-3)
+    for i in range(0, 8, 3):
+        is_valid_contraction_tree(runner.ctree(i), ts_inds, output_inds,
+                                  dims)
