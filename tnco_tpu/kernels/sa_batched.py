@@ -100,7 +100,12 @@ def init_batch(ctrees, seeds, log2_dims_padded, *, sparse_lanes=None,
         seeds_arr = np.asarray([int(s) & 0xFFFFFFFF for s in seeds],
                                dtype=np.uint32)
         keys = np.stack([np.zeros_like(seeds_arr), seeds_arr], axis=1)
-        expand_b = lambda x: jnp.asarray(np.asarray(x)[..., col])
+        # Upload the small unique batch and broadcast ON DEVICE: the
+        # host-side fancy-index produced full [.., B] arrays that then
+        # crawled through the tunnel (~650MB / several minutes at
+        # Sycamore B=256).
+        col_dev = jnp.asarray(col)
+        expand_b = jax.jit(lambda x: jnp.asarray(x)[..., col_dev])
         return SABatch(expand_b(ub.c0), expand_b(ub.c1), expand_b(ub.par),
                        expand_b(ub.inds), expand_b(ub.hyper),
                        expand_b(ub.lcc), expand_b(ub.log2_total),
