@@ -77,6 +77,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                chunk_size=chunk_sweeps)
     runner.moves_done = 0
     t0 = time.perf_counter()
+    n_calls = 0
     while True:
         frac0 = (time.perf_counter() - t0) / seconds
         if frac0 >= 1.0:
@@ -86,8 +87,16 @@ def run_quality(name: str, seconds: float, seed: int = 0,
         betas = np.linspace(min(frac0, 1.0) * beta_max,
                             min(frac0 + 0.05, 1.0) * beta_max,
                             chunk_sweeps).astype(np.float32)
-        runner.run(betas, chunk_size=chunk_sweeps,
-                   exchange_every=exchange_every)
+        runner.run(betas, chunk_size=chunk_sweeps)
+        n_calls += 1
+        # Each run call is a single device chunk, so in-run exchange
+        # cadences never fire; exchange between calls instead.
+        if (exchange_every and runner.states is not None and
+                n_calls % exchange_every == 0):
+            from tnco_tpu.parallel.replicas import (_LANE_MAJOR,
+                                                    exchange_best)
+            if runner.engine in _LANE_MAJOR:
+                runner.states = exchange_best(runner.states)
     tpu_time = time.perf_counter() - t0
     tpu_best = float(np.min(runner.log2_min_totals()))
     tpu_moves = runner.moves_done
