@@ -34,13 +34,10 @@ def run_quality(name: str, seconds: float, seed: int = 0,
 
     (ts_inds, output_inds, dims), max_width = build_config(name, seed)
     if max_width is not None:
-        if exchange_every:
-            import warnings
-            warnings.warn('--exchange-every is not supported for '
-                          'finite-width configs; ignored.')
         return _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                                seconds, seed, n_tpu_replicas,
-                               n_cpu_replicas, engine, n_walks, walk_chunk)
+                               n_cpu_replicas, engine, n_walks, walk_chunk,
+                               exchange_every=exchange_every)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
 
     n_paths = 32
@@ -156,7 +153,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
 def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                     seconds, seed, n_tpu_replicas, n_cpu_replicas,
                     engine: str = 'auto', n_walks: int = 8,
-                    walk_chunk: int = 0) -> dict:
+                    walk_chunk: int = 0,
+                    exchange_every: int = 0) -> dict:
     """Finite-width protocol: width-capped SA + slices, same budget rule."""
     import jax.numpy as jnp
 
@@ -197,6 +195,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                chunk_size=chunk_sweeps, update_slices=10)
     runner.moves_done = 0
     t0 = time.perf_counter()
+    n_calls = 0
     while True:
         frac0 = (time.perf_counter() - t0) / seconds
         if frac0 >= 1.0:
@@ -205,6 +204,15 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                             min(frac0 + 0.05, 1.0) * beta_max,
                             chunk_sweeps).astype(np.float32)
         runner.run(betas, chunk_size=chunk_sweeps, update_slices=10)
+        n_calls += 1
+        # See the IM arm: in-run exchange cadences never fire with
+        # single-chunk calls, so exchange between calls.
+        if (exchange_every and runner.states is not None and
+                n_calls % exchange_every == 0):
+            from tnco_tpu.parallel.replicas import (_LANE_MAJOR,
+                                                    exchange_best_fw)
+            if runner.engine in _LANE_MAJOR:
+                runner.states = exchange_best_fw(runner.states)
     tpu_time = time.perf_counter() - t0
     tpu_best = float(np.min(runner.log2_min_totals()))
     tpu_moves = runner.moves_done
