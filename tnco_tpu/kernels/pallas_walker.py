@@ -63,33 +63,56 @@ def walker_supported(n: int, n_leaves: int, w: int) -> bool:
 def _n_pad(n: int, n_leaves: int) -> int:
     """Row padding: the internal slice must be exactly pow2(N_int) long
     (the pinned log2-total pairing must match ``costs.pairwise_sum``'s
-    zero-padded tree) and the block row count must be 8-aligned for the
-    Mosaic tiling rules."""
-    return -(-(n_leaves + _pow2(n - n_leaves)) // 8) * 8
+    zero-padded tree) and the row count must be 128-aligned so the
+    transposed column cache sweeps whole [128, 128] blocks."""
+    return -(-(n_leaves + _pow2(n - n_leaves)) // _LANES) * _LANES
 
 
 def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
                  fw: bool = False, max_width: float = 0.0,
                  defer_last_min: bool = False):
+    """Vectorized (v2) walker kernel.
+
+    v1 resolved and applied each walk with Python-unrolled serial
+    scalar/row accesses (~1.5us per walk per iteration on v5e — the
+    measured 3.5e5 proposals/s plateau).  v2 keeps the replica state in
+    a TRANSPOSED column cache ``t_ref`` ([128 feature sublanes, n_rows
+    lanes]) and replaces both serial loops with block sweeps over
+    Mosaic's lane-wise ``dynamic_gather``:
+
+    - gathers: a node's column is fetched for all P walks at once per
+      128-lane block (``jnp.take_along_axis(block, ids, axis=1)``),
+      accumulated across blocks with in-range selects — 7 gather
+      rounds per iteration, O(n_rows/128) tile ops each;
+    - scatter: kept walks' updated columns (B, A full columns; C, E
+      par-lane fixes) are matched per block with a transpose-broadcast
+      equality matrix + pinned sublane-halving index-sum (kept sets are
+      pairwise disjoint, so each lane has at most one hit), then
+      written back with one gather per source bank.
+
+    The float op sequences (width trees, exp2/log2 accept math) are
+    transcribed 1:1 from v1, so trajectories remain bit-identical to
+    :func:`sa_multiwalk.run_multiwalk`.
+    """
     n_leaves = cfg.n_leaves
     n_int_pad = _pow2(n - n_leaves)
-    pp = _LANES  # walk sublanes padded to the vector width
+    pp = _LANES  # walk lanes padded to the vector width
     wp = _pow2(w)
-    io = _INDS_FW if fw else _INDS  # first inds lane
-    n_slices = _n_pad(n, n_leaves)  # slices row index (FW layout)
+    io = _INDS_FW if fw else _INDS  # first inds feature sublane
+    n_slices = _n_pad(n, n_leaves)  # slices column index (FW layout)
     mw = np.float32(max_width)
 
-    n_rows = _n_pad(n, n_leaves) + (8 if fw else 0)
+    n_rows = _n_pad(n, n_leaves) + (_LANES if fw else 0)
+    nb = n_rows // _LANES  # gather/scatter sweep blocks
 
     def kernel(log2d_ref, betas_ref, leaf_ref, bit_ref, u_ref,
                state_hbm, min_hbm, pos_in, minlt_in,
                state_out_hbm, min_out_hbm, pos_ref, minlt_ref, stats_ref,
-               state_ref, rows_b, rows_a, rows_0, rows_1, rows_c,
-               rows_nb, rows_na, ids_ref, fv_ref, krow_ref, dma_sem):
+               state_ref, t_ref, dma_sem):
         # State and min stay in HBM (a VMEM-blocked pipeline of the
-        # [N_pad, 128] state quadruple exceeds the 16MB scoped budget at
-        # Sycamore scale); one replica's state is DMA'd into a single
-        # VMEM scratch for the whole K-iteration chunk.
+        # state quadruple exceeds the 16MB scoped budget at Sycamore
+        # scale); one replica's rows are DMA'd into VMEM for the whole
+        # K-iteration chunk and transposed into the column cache.
         block = pl.program_id(0)
         row0 = block * n_rows
 
@@ -106,12 +129,16 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
         pos_ref[:] = pos_in[:]
         minlt_ref[:] = minlt_in[:]
         stats_ref[:] = jnp.zeros((8, _LANES), jnp.int32)
+        for kb in range(nb):
+            t_ref[:, kb * _LANES:(kb + 1) * _LANES] = jnp.transpose(
+                state_ref[kb * _LANES:(kb + 1) * _LANES, :])
 
         iota_lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-        iota_pcol = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0)
-        valid_col = iota_pcol < p
-        zero_row = jnp.zeros((1, _LANES), jnp.int32)
-        inds_mask = (iota_lane >= io) & (iota_lane < io + w)
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES),
+                                            0)
+        iota_sub_col = jax.lax.broadcasted_iota(jnp.int32, (_LANES, 1), 0)
+        valid_row = iota_lane < p
+        inds_sub = (iota_sub_col >= io) & (iota_sub_col < io + w)
 
         def u32(x):
             return jax.lax.bitcast_convert_type(x, jnp.uint32)
@@ -122,129 +149,142 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
         def f32(x):
             return jax.lax.bitcast_convert_type(x, jnp.float32)
 
-        def row_of(idx):
-            """State row; zeros for NULL (matches a NULL one-hot)."""
-            r = state_ref[pl.ds(jnp.maximum(idx, 0), 1), :]
-            return jnp.where(idx < 0, zero_row, r)
+        def tb(row):
+            """[1,128] row -> [128,128] with row[0,i] on sublane i (the
+            transpose-broadcast: lane-gather at the sublane index)."""
+            return jnp.take_along_axis(
+                jnp.broadcast_to(row, (_LANES, _LANES)), iota_sub, axis=1)
+
+        def gather_cols(ids_row):
+            """State columns of ``ids_row`` ([1,128] node ids) for all
+            walks at once: [128 features, 128 walks].  Zero columns for
+            NULL ids (matches v1's ``row_of``)."""
+            idxb = jnp.broadcast_to(ids_row, (_LANES, _LANES))
+            out = jnp.zeros((_LANES, _LANES), jnp.int32)
+            for kb in range(nb):
+                blk = t_ref[:, kb * _LANES:(kb + 1) * _LANES]
+                loc = jnp.clip(idxb - kb * _LANES, 0, _LANES - 1)
+                g = jnp.take_along_axis(blk, loc, axis=1)
+                hit = (idxb >= kb * _LANES) & (idxb < (kb + 1) * _LANES)
+                out = jnp.where(hit, g, out)
+            return out
+
+        def halve_sub(t):
+            """Pinned sublane-halving sum to [1, lanes]."""
+            while t.shape[0] > 1:
+                h = t.shape[0] // 2
+                t = t[:h] + t[h:]
+            return t
 
         def any_bits(x_u32):
-            """[P,128] uint32, inds lanes only -> [P,1] bool."""
-            nz = jnp.where(inds_mask & (i32(x_u32) != 0), 1, 0)
-            return jnp.sum(nz, axis=1, keepdims=True) > 0
+            """[128,128] uint32 columns -> [1,128] bool (inds features
+            only).  Integer counts: order-free, same booleans as v1."""
+            nz = jnp.where(i32(x_u32) != 0, 1, 0)[io:io + w, :]
+            if wp != w:
+                nz = jnp.concatenate(
+                    [nz, jnp.zeros((wp - w, nz.shape[1]), jnp.int32)],
+                    axis=0)
+            return halve_sub(nz) > 0
 
-        def width_pinned(rows_u32):
-            """[P,128] rows -> [P,1] f32 width; exact pinned pairing
-            (w-major lane halving per bit, then bit halving)."""
+        def width_pinned(cols_u32):
+            """[128,128] columns -> [1,128] f32 width; exact pinned
+            pairing (w-major halving per bit, then bit halving) — the
+            identical float op tree to v1/bitops.pairwise_sum_last."""
+            xw = cols_u32[io:io + w, :]
             per_s = []
             for s in range(32):
-                bits = i32((rows_u32 >> jnp.uint32(s)) &
+                bits = i32((xw >> jnp.uint32(s)) &
                            jnp.uint32(1)).astype(jnp.float32)
-                t = (bits * log2d_ref[pl.ds(s, 1), :])[:, io:io + w]
+                t = bits * log2d_ref[0:w, s:s + 1]
                 if wp != w:
                     t = jnp.concatenate(
-                        [t, jnp.zeros((t.shape[0], wp - w), jnp.float32)],
-                        axis=1)
-                while t.shape[1] > 1:
-                    h = t.shape[1] // 2
-                    t = t[:, :h] + t[:, h:]
-                per_s.append(t)
+                        [t, jnp.zeros((wp - w, t.shape[1]), jnp.float32)],
+                        axis=0)
+                per_s.append(halve_sub(t))
             while len(per_s) > 1:
                 h = len(per_s) // 2
                 per_s = [per_s[i] + per_s[i + h] for i in range(h)]
             return per_s[0]
 
         def log2_total():
-            lcc_col = f32(
-                state_ref[pl.ds(n_leaves, n_int_pad), _LCC:_LCC + 1])
-            m = jnp.max(lcc_col, axis=0, keepdims=True)
-            t = jnp.exp2(lcc_col - m)
-            while t.shape[0] > 1:
-                h = t.shape[0] // 2
-                t = t[:h] + t[h:]
+            lcc_full = f32(t_ref[_LCC:_LCC + 1, :])
+            win = lcc_full[:, n_leaves:n_leaves + n_int_pad]
+            m = jnp.max(win, axis=1, keepdims=True)
+            t = jnp.exp2(win - m)
+            while t.shape[1] > 1:
+                h = t.shape[1] // 2
+                t = t[:, :h] + t[:, h:]
             return (m + jnp.log2(t))[0, 0]
 
-        def set_lane(base, lane, col_i32):
-            return jnp.where(iota_lane == lane, col_i32, base)
+        def set_feat(base, feat, row_vals):
+            return jnp.where(iota_sub_col == feat,
+                             jnp.broadcast_to(row_vals, (_LANES, _LANES)),
+                             base)
 
-        def step(it, _):
-            lt = log2_total()
+        def transpose_back():
+            for kb in range(nb):
+                state_ref[kb * _LANES:(kb + 1) * _LANES, :] = \
+                    jnp.transpose(t_ref[:, kb * _LANES:(kb + 1) * _LANES])
 
-            # ---- Per-walk gathers ------------------------------------
-            # Python-unrolled: Mosaic accepts dynamic-sublane ROW slices
-            # keyed by traced scalars (pl.ds(id, 1)) but crashes on
-            # scalar reads at loop-carried positions, so every scalar
-            # read below sits at a STATIC position and only the row
-            # index is traced.
+        def step(it, lt):
+            # ---- Resolve ids + gather columns (4 dependent rounds) ---
             leaf_row = leaf_ref[pl.ds(it, 1), :]
             bit_row = bit_ref[pl.ds(it, 1), :]
             u_row = u_ref[pl.ds(it, 1), :]
-            for i in range(p):
-                pos_i = pos_ref[i, 0]
-                row_pos = state_ref[pl.ds(jnp.maximum(pos_i, 0), 1), :]
-                par_pos = jnp.where(pos_i < 0, NULL, row_pos[0, _PAR])
-                leaf_i = leaf_row[0, i]
-                new_pos = state_ref[pl.ds(leaf_i, 1), :][0, _PAR]
-                boundary = (pos_i == NULL) | (par_pos == NULL)
-                b_i = jnp.where(boundary, new_pos, pos_i)
-                rows_b[pl.ds(i, 1), :] = row_of(b_i)
-                a_i = rows_b[i, _PAR]
-                rows_a[pl.ds(i, 1), :] = row_of(a_i)
-                rows_0[pl.ds(i, 1), :] = row_of(rows_b[i, _C0])
-                rows_1[pl.ds(i, 1), :] = row_of(rows_b[i, _C1])
-                c0a = rows_a[i, _C0]
-                c_i = jnp.where(c0a == b_i, rows_a[i, _C1], c0a)
-                rows_c[pl.ds(i, 1), :] = row_of(c_i)
-                ids_ref[i:i + 1, 0:1] = jnp.full((1, 1), b_i,
-                                                 jnp.int32)
-                ids_ref[i:i + 1, 1:2] = jnp.full((1, 1), a_i,
-                                                 jnp.int32)
-                ids_ref[i:i + 1, 2:3] = jnp.full((1, 1), c_i,
-                                                 jnp.int32)
-                ids_ref[i:i + 1, 5:6] = jnp.full((1, 1), bit_row[0, i],
-                                                 jnp.int32)
-                fv_ref[i:i + 1, 0:1] = jnp.full((1, 1), u_row[0, i],
-                                                jnp.float32)
+            pos_row = pos_ref[0:1, :]
 
-            # ---- Vector phase ----------------------------------------
-            rb, ra = rows_b[:], rows_a[:]
-            r0, r1, rc = rows_0[:], rows_1[:], rows_c[:]
-            ids = ids_ref[:]
-            b_col = ids[:, 0:1]
-            a_col = ids[:, 1:2]
-            c_col = ids[:, 2:3]
-            c0b_col = rb[:, _C0:_C0 + 1]
-            c1b_col = rb[:, _C1:_C1 + 1]
+            cols_pos = gather_cols(pos_row)
+            cols_leaf = gather_cols(leaf_row)
+            par_pos = jnp.where(pos_row < 0, NULL,
+                                cols_pos[_PAR:_PAR + 1, :])
+            new_pos = cols_leaf[_PAR:_PAR + 1, :]
+            boundary = (pos_row == NULL) | (par_pos == NULL)
+            b_row = jnp.where(boundary, new_pos, pos_row)
 
-            i0 = any_bits(u32(r0) & u32(rc))
-            i1 = any_bits(u32(r1) & u32(rc))
+            cols_b = gather_cols(b_row)
+            a_row = cols_b[_PAR:_PAR + 1, :]
+            c0b_row = cols_b[_C0:_C0 + 1, :]
+            c1b_row = cols_b[_C1:_C1 + 1, :]
+
+            cols_a = gather_cols(a_row)
+            cols_0 = gather_cols(c0b_row)
+            cols_1 = gather_cols(c1b_row)
+            c0a_row = cols_a[_C0:_C0 + 1, :]
+            c_row = jnp.where(c0a_row == b_row, cols_a[_C1:_C1 + 1, :],
+                              c0a_row)
+            cols_c = gather_cols(c_row)
+
+            # ---- Vector phase (identical float ops, transposed) ------
+            i0 = any_bits(u32(cols_0) & u32(cols_c))
+            i1 = any_bits(u32(cols_1) & u32(cols_c))
             both = i0 & i1
-            rand_b = ids[:, 5:6] > 0
-            u_col = fv_ref[:, 0:1]
+            rand_b = bit_row > 0
             pick_rand = both if not cfg.disable_shared_inds else \
                 jnp.ones_like(both)
             take0 = (pick_rand & rand_b) | (~pick_rand & i0)
-            d_col = jnp.where(take0, c0b_col, c1b_col)
-            e_col = jnp.where(take0, c1b_col, c0b_col)
-            t0m = take0  # [P,1] broadcasts over lanes
-            inds_d = jnp.where(t0m, u32(r0), u32(r1))
-            inds_e = jnp.where(t0m, u32(r1), u32(r0))
-            hyp_a = u32(ra) & u32(rb) & u32(rc)
-            hyp_b = u32(rb) & u32(r0) & u32(r1)
-            new_inds_b = ((inds_d ^ u32(rc)) | hyp_a | hyp_b) & \
-                jnp.where(inds_mask, jnp.uint32(0xFFFFFFFF),
+            d_row = jnp.where(take0, c0b_row, c1b_row)
+            e_row = jnp.where(take0, c1b_row, c0b_row)
+            cols_e = jnp.where(take0, cols_1, cols_0)
+            inds_d = jnp.where(take0, u32(cols_0), u32(cols_1))
+            inds_e = jnp.where(take0, u32(cols_1), u32(cols_0))
+            hyp_a = u32(cols_a) & u32(cols_b) & u32(cols_c)
+            hyp_b = u32(cols_b) & u32(cols_0) & u32(cols_1)
+            new_inds_b = ((inds_d ^ u32(cols_c)) | hyp_a | hyp_b) & \
+                jnp.where(inds_sub, jnp.uint32(0xFFFFFFFF),
                           jnp.uint32(0))
 
-            l_a = f32(ra[:, _LCC:_LCC + 1])
-            l_b = f32(rb[:, _LCC:_LCC + 1])
+            l_a = f32(cols_a[_LCC:_LCC + 1, :])
+            l_b = f32(cols_b[_LCC:_LCC + 1, :])
             if fw:
-                sl_row = u32(state_ref[pl.ds(n_slices, 1), :])
+                sl_col = u32(
+                    t_ref[:, n_slices:n_slices + _LANES][:, 0:1])
                 new_width_b = width_pinned(new_inds_b)
-                new_sliced_width_b = width_pinned(new_inds_b & ~sl_row)
+                new_sliced_width_b = width_pinned(new_inds_b & ~sl_col)
                 fits = new_sliced_width_b <= mw + _WIDTH_EPS
-                ln_b = width_pinned((inds_d | u32(rc)) | sl_row)
-                ln_a = width_pinned((new_inds_b | inds_e) | sl_row)
+                ln_b = width_pinned((inds_d | u32(cols_c)) | sl_col)
+                ln_a = width_pinned((new_inds_b | inds_e) | sl_col)
             else:
-                ln_b = width_pinned(inds_d | u32(rc))
+                ln_b = width_pinned(inds_d | u32(cols_c))
                 ln_a = width_pinned(new_inds_b | inds_e)
 
             m = jnp.maximum(lt, jnp.maximum(ln_a, ln_b))
@@ -255,84 +295,105 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
 
             beta = betas_ref[pl.ds(it, 1), :][0, 0]
             if cfg.prob_kind == 'mh':
-                acc = jnp.log2(u_col) <= -beta * (l_new - lt)
+                acc = jnp.log2(u_row) <= -beta * (l_new - lt)
             elif cfg.prob_kind == 'greedy':
                 acc = l_new <= lt
             else:
                 acc = jnp.ones_like(l_new, dtype=bool)
-            accept = acc & (b_col != NULL) & (a_col != NULL) & valid_col
+            accept = acc & (b_row != NULL) & (a_row != NULL) & valid_row
             if fw:
                 accept = accept & fits
 
-
-            # New B and A rows, fully vectorized.
-            v_b = rb
-            v_b = set_lane(v_b, _C0,
-                           jnp.where(c0b_col == e_col, c_col, c0b_col))
-            v_b = set_lane(v_b, _C1,
-                           jnp.where(c1b_col == e_col, c_col, c1b_col))
-            v_b = set_lane(v_b, _PAR, a_col)
-            v_b = set_lane(v_b, _LCC, i32(l_b + (ln_b - l_b)))
+            # New B and A columns, fully vectorized.
+            v_b = cols_b
+            v_b = set_feat(v_b, _C0,
+                           jnp.where(c0b_row == e_row, c_row, c0b_row))
+            v_b = set_feat(v_b, _C1,
+                           jnp.where(c1b_row == e_row, c_row, c1b_row))
+            v_b = set_feat(v_b, _PAR, a_row)
+            v_b = set_feat(v_b, _LCC, i32(l_b + (ln_b - l_b)))
             if fw:
-                w_b = f32(rb[:, _WPRE:_WPRE + 1])
-                v_b = set_lane(v_b, _WPRE,
+                w_b = f32(cols_b[_WPRE:_WPRE + 1, :])
+                v_b = set_feat(v_b, _WPRE,
                                i32(w_b + (new_width_b - w_b)))
-            v_b = jnp.where(inds_mask, i32(new_inds_b), v_b)
-            c0a_col = ra[:, _C0:_C0 + 1]
-            c1a_col = ra[:, _C1:_C1 + 1]
-            v_a = ra
-            v_a = set_lane(v_a, _C0,
-                           jnp.where(c0a_col == c_col, e_col, c0a_col))
-            v_a = set_lane(v_a, _C1,
-                           jnp.where(c1a_col == c_col, e_col, c1a_col))
-            v_a = set_lane(v_a, _LCC, i32(l_a + (ln_a - l_a)))
-            rows_nb[:] = v_b
-            rows_na[:] = v_a
-            ids_ref[:, 3:4] = d_col
-            ids_ref[:, 4:5] = e_col
-            ids_ref[:, 6:7] = jnp.where(accept, 1, 0)
+            v_b = jnp.where(inds_sub, i32(new_inds_b), v_b)
+            c0a_col = cols_a[_C0:_C0 + 1, :]
+            c1a_col = cols_a[_C1:_C1 + 1, :]
+            v_a = cols_a
+            v_a = set_feat(v_a, _C0,
+                           jnp.where(c0a_col == c_row, e_row, c0a_col))
+            v_a = set_feat(v_a, _C1,
+                           jnp.where(c1a_col == c_row, e_row, c1a_col))
+            v_a = set_feat(v_a, _LCC, i32(l_a + (ln_a - l_a)))
+            v_c = set_feat(cols_c, _PAR, b_row)
+            v_e = set_feat(cols_e, _PAR, a_row)
 
             # ---- Priority conflict filter ----------------------------
             # conf[p, q] = walks p and q share any of their 5 nodes
-            # (symmetric: built from all 5x5 ordered id pairs).  The
-            # sequential priority scan mirrors _claim_disjoint exactly:
-            # lower walk index wins; only KEPT walks block.
-            id_cols = (b_col, a_col, c_col, d_col, e_col)
+            # (all 5x5 ordered id pairs).  The sequential priority scan
+            # mirrors _claim_disjoint exactly: lower walk index wins;
+            # only KEPT walks block.
+            id_rows = (b_row, a_row, c_row, d_row, e_row)
             conf = jnp.zeros((pp, pp), jnp.int32)
-            for x in id_cols:
-                for y in id_cols:
-                    conf = conf | jnp.where(x == y.reshape(1, pp), 1, 0)
+            for x in id_rows:
+                xt = tb(x)
+                for y in id_rows:
+                    conf = conf | jnp.where(xt == y, 1, 0)
 
-            iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, pp), 1)
-
+            acc_row = jnp.where(accept, 1, 0)
             keep_row = jnp.zeros((1, pp), jnp.int32)
             for pi in range(p):
                 conf_p = conf[pi:pi + 1, :]
                 blocked = jnp.sum(
                     jnp.where((keep_row > 0) & (conf_p > 0) &
-                              (iota_row < pi), 1, 0)) > 0
-                acc_p = ids_ref[pi, 6] > 0
+                              (iota_lane < pi), 1, 0)) > 0
+                acc_p = acc_row[0, pi] > 0
                 k_p = jnp.where(acc_p & ~blocked, 1, 0)
-                keep_row = keep_row | jnp.where(iota_row == pi, k_p, 0)
-            krow_ref[:] = keep_row
+                keep_row = keep_row | jnp.where(iota_lane == pi, k_p, 0)
 
-            # ---- Apply kept proposals (unrolled; static scalar pos) --
-            for i in range(p):
-                @pl.when(krow_ref[0, i] > 0)
-                def _(i=i):
-                    b_i = ids_ref[i, 0]
-                    a_i = ids_ref[i, 1]
-                    c_i = ids_ref[i, 2]
-                    e_i = ids_ref[i, 4]
-                    state_ref[pl.ds(b_i, 1), :] = rows_nb[pl.ds(i, 1), :]
-                    state_ref[pl.ds(a_i, 1), :] = rows_na[pl.ds(i, 1), :]
-                    state_ref[pl.ds(c_i, 1), _PAR:_PAR + 1] = \
-                        jnp.full((1, 1), b_i, jnp.int32)
-                    state_ref[pl.ds(e_i, 1), _PAR:_PAR + 1] = \
-                        jnp.full((1, 1), a_i, jnp.int32)
+            # ---- Apply kept proposals (vectorized block scatter) -----
+            # Kept walks' {B,A,C,E} are pairwise disjoint, so each state
+            # column has at most one hit; the per-block (1+index) sum
+            # recovers the unique source walk exactly.
+            kmask = keep_row > 0
+            null_row = jnp.full((1, pp), -1, jnp.int32)
 
-            pos_ref[:] = jnp.where(valid_col, a_col,
-                                   jnp.full((pp, 1), NULL, jnp.int32))
+            def eff(x):
+                return jnp.where(kmask, x, null_row)
+
+            x_cat = jnp.concatenate(
+                [tb(eff(b_row)), tb(eff(a_row)), tb(eff(c_row)),
+                 tb(eff(e_row))], axis=1)
+            iota4 = jnp.concatenate([iota_lane] * 4, axis=1)
+            encp = jnp.concatenate([iota_sub + 1] * 4, axis=1)
+            for kb in range(nb):
+                eq = jnp.where(x_cat == iota4 + kb * _LANES, encp, 0)
+                s_all = halve_sub(eq)
+                s_b = s_all[:, 0 * _LANES:1 * _LANES]
+                s_a = s_all[:, 1 * _LANES:2 * _LANES]
+                s_c = s_all[:, 2 * _LANES:3 * _LANES]
+                s_e = s_all[:, 3 * _LANES:4 * _LANES]
+                blk = t_ref[:, kb * _LANES:(kb + 1) * _LANES]
+
+                def pick(v, s_row):
+                    idxr = jnp.broadcast_to(
+                        jnp.clip(s_row - 1, 0, _LANES - 1),
+                        (_LANES, _LANES))
+                    return jnp.take_along_axis(v, idxr, axis=1)
+
+                new = jnp.where(s_b > 0, pick(v_b, s_b),
+                                jnp.where(s_a > 0, pick(v_a, s_a),
+                                          jnp.where(s_c > 0,
+                                                    pick(v_c, s_c),
+                                                    jnp.where(
+                                                        s_e > 0,
+                                                        pick(v_e, s_e),
+                                                        blk))))
+                t_ref[:, kb * _LANES:(kb + 1) * _LANES] = new
+
+            pos_ref[0:1, :] = jnp.where(valid_row, a_row,
+                                        jnp.full((1, pp), NULL,
+                                                 jnp.int32))
 
             n_applied = jnp.sum(keep_row)
             stats_ref[0:1, 0:1] = stats_ref[0:1, 0:1] + p
@@ -352,16 +413,18 @@ def _make_kernel(cfg: SweepConfig, n: int, w: int, p: int, k_iters: int,
             def _():
                 minlt_ref[0:1, 0:1] = jnp.full((1, 1), lt_new,
                                                jnp.float32)
+                transpose_back()
                 dma_min = pltpu.make_async_copy(
                     state_ref, min_out_hbm.at[pl.ds(row0, n_rows), :],
                     dma_sem)
                 dma_min.start()
                 dma_min.wait()
 
-            return 0
+            return lt_new
 
-        jax.lax.fori_loop(0, k_iters, step, 0)
+        jax.lax.fori_loop(0, k_iters, step, log2_total())
 
+        transpose_back()
         dma_out = pltpu.make_async_copy(
             state_ref, state_out_hbm.at[pl.ds(row0, n_rows), :], dma_sem)
         dma_out.start()
@@ -381,7 +444,7 @@ def _pack_rows(c0, c1, par, lcc, inds, n_pad, width=None, slices=None):
     w = inds.shape[1]
     fw = width is not None
     io = _INDS_FW if fw else _INDS
-    n_rows = n_pad + 8 if fw else n_pad
+    n_rows = n_pad + _LANES if fw else n_pad
     bc = jax.lax.bitcast_convert_type
     rows = jnp.zeros((b, n_rows, _LANES), jnp.int32)
     rows = rows.at[:, n:, _C0:_PAR + 1].set(NULL)
@@ -415,7 +478,7 @@ def _unpack_rows(rows, n, w, fw=False):
               jnp.uint32).transpose(1, 2, 0)
     if not fw:
         return c0, c1, par, lcc, inds
-    n_pad = rows.shape[1] - 8
+    n_pad = rows.shape[1] - _LANES
     width = bc(rows[:, :n, _WPRE], jnp.float32).T
     slices = bc(rows[:, n_pad, io:io + w], jnp.uint32).T
     return c0, c1, par, lcc, inds, width, slices
@@ -472,17 +535,17 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
     min_rows = _pack_rows(batch.min_c0, batch.min_c1, batch.min_par,
                           jnp.zeros_like(batch.lcc), batch.min_inds,
                           n_pad).reshape(b * n_pad, _LANES)
-    pos_b = jnp.full((b, _LANES), NULL, jnp.int32)
-    pos_b = pos_b.at[:, :p].set(pos.T).reshape(b * _LANES, 1)
+    pos_b = jnp.full((b, 8, _LANES), NULL, jnp.int32)
+    pos_b = pos_b.at[:, 0, :p].set(pos.T).reshape(b * 8, _LANES)
     minlt = jnp.zeros((b, 8, _LANES), jnp.float32)
     minlt = minlt.at[:, 0, 0].set(batch.min_log2_total)
     minlt = minlt.reshape(b * 8, _LANES)
 
-    # log2 dims laid out [32, 128]: log2d_t[s, _INDS + w] = log2 dim of
-    # bit w*32 + s; zero elsewhere (id lanes contribute nothing).
-    log2d_t = jnp.zeros((32, _LANES), jnp.float32)
-    log2d_t = log2d_t.at[:, _INDS:_INDS + w].set(
-        jnp.asarray(log2d_w32, jnp.float32).T)
+    # log2 dims laid out [128, 128]: log2d_t[word, s] = log2 dim of bit
+    # word*32 + s; zero elsewhere.
+    log2d_t = jnp.zeros((_LANES, _LANES), jnp.float32)
+    log2d_t = log2d_t.at[:w, :32].set(
+        jnp.asarray(log2d_w32, jnp.float32))
     betas_col = jnp.asarray(betas, jnp.float32).reshape(k, 1)
 
     kernel = _make_kernel(cfg, n, w, p, k)
@@ -498,7 +561,7 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
     out_shapes = (
         jax.ShapeDtypeStruct((b * n_pad, _LANES), jnp.int32),   # state
         jax.ShapeDtypeStruct((b * n_pad, _LANES), jnp.int32),   # min
-        jax.ShapeDtypeStruct((b * _LANES, 1), jnp.int32),       # pos
+        jax.ShapeDtypeStruct((b * 8, _LANES), jnp.int32),       # pos
         jax.ShapeDtypeStruct((b * 8, _LANES), jnp.float32),     # minlt
         jax.ShapeDtypeStruct((b * 8, _LANES), jnp.int32),       # stats
     )
@@ -506,35 +569,26 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
         num_scalar_prefetch=0,
         grid=(b,),
         in_specs=[
-            shared((32, _LANES)),          # log2d
+            shared((_LANES, _LANES)),      # log2d
             shared((k, 1)),                # betas
             per_rep(k8, _LANES),           # leaf
             per_rep(k8, _LANES),           # bit
             per_rep(k8, _LANES),           # u
             pl.BlockSpec(memory_space=pl.ANY),   # state in (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # min in (HBM)
-            per_rep(_LANES, 1),            # pos in
+            per_rep(8, _LANES),            # pos in
             per_rep(8, _LANES),            # minlt in
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # state out (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # min out (HBM)
-            per_rep(_LANES, 1),
+            per_rep(8, _LANES),
             per_rep(8, _LANES),
             per_rep(8, _LANES),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_pad, _LANES), jnp.int32),    # state (VMEM)
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_b
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_a
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_0
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_1
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_c
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_nb
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),   # rows_na
-            pltpu.VMEM((_LANES, 8), jnp.int32),        # ids
-            pltpu.VMEM((_LANES, 8), jnp.float32),      # fv (u draws)
-            pltpu.VMEM((1, _LANES), jnp.int32),        # keep row
+            pltpu.VMEM((n_pad, _LANES), jnp.int32),    # state rows
+            pltpu.VMEM((_LANES, n_pad), jnp.int32),    # column cache
             pltpu.SemaphoreType.DMA(()),               # dma sem
         ],
     )
@@ -551,7 +605,7 @@ def _run_walker(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
     min_out = min_out.reshape(b, n_pad, _LANES)
     c0, c1, par, lcc, inds = _unpack_rows(rows_out, n, w)
     mc0, mc1, mpar, _, minds = _unpack_rows(min_out, n, w)
-    pos_out = pos_out.reshape(b, _LANES)[:, :p].T
+    pos_out = pos_out.reshape(b, 8, _LANES)[:, 0, :p].T
     min_lt = minlt_out.reshape(b, 8, _LANES)[:, 0, 0]
     stats = stats.reshape(b, 8, _LANES)[:, 0, :]
 
@@ -646,10 +700,10 @@ def run_walker_fw(batch, betas, update_slices_mask, max_width,
                 skip_wb, cfg, n, w)
 
     (c0, c1, par, lcc, inds, width_pre,
-     slices) = _unpack_rows(rows.reshape(b, n_pad + 8, _LANES), n, w,
+     slices) = _unpack_rows(rows.reshape(b, n_pad + _LANES, _LANES), n, w,
                             fw=True)
     (mc0, mc1, mpar, _, minds, _,
-     mslices) = _unpack_rows(min_rows.reshape(b, n_pad + 8, _LANES), n,
+     mslices) = _unpack_rows(min_rows.reshape(b, n_pad + _LANES, _LANES), n,
                              w, fw=True)
     lt = _log2_total_b(lcc, cfg.n_leaves)
     improved = lt < min_lt
@@ -686,15 +740,15 @@ def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
     leaf_b = to_blocks(leaf, 0, jnp.int32)
     bit_b = to_blocks(rand_bit, 0, jnp.int32)
     u_b = to_blocks(u, 1.0, jnp.float32)
-    pos_b = jnp.full((b, _LANES), NULL, jnp.int32)
-    pos_b = pos_b.at[:, :p].set(pos.T).reshape(b * _LANES, 1)
+    pos_b = jnp.full((b, 8, _LANES), NULL, jnp.int32)
+    pos_b = pos_b.at[:, 0, :p].set(pos.T).reshape(b * 8, _LANES)
     minlt = jnp.zeros((b, 8, _LANES), jnp.float32)
     minlt = minlt.at[:, 0, 0].set(min_lt)
     minlt = minlt.reshape(b * 8, _LANES)
 
-    log2d_t = jnp.zeros((32, _LANES), jnp.float32)
-    log2d_t = log2d_t.at[:, _INDS_FW:_INDS_FW + w].set(
-        jnp.asarray(log2d_w32, jnp.float32).T)
+    log2d_t = jnp.zeros((_LANES, _LANES), jnp.float32)
+    log2d_t = log2d_t.at[:w, :32].set(
+        jnp.asarray(log2d_w32, jnp.float32))
     betas_col = betas.reshape(k, 1)
 
     # n for the kernel is the true node count: recover from cfg
@@ -714,7 +768,7 @@ def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
     out_shapes = (
         jax.ShapeDtypeStruct((b * n_rows, _LANES), jnp.int32),
         jax.ShapeDtypeStruct((b * n_rows, _LANES), jnp.int32),
-        jax.ShapeDtypeStruct((b * _LANES, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b * 8, _LANES), jnp.int32),
         jax.ShapeDtypeStruct((b * 8, _LANES), jnp.float32),
         jax.ShapeDtypeStruct((b * 8, _LANES), jnp.int32),
     )
@@ -722,35 +776,26 @@ def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
         num_scalar_prefetch=0,
         grid=(b,),
         in_specs=[
-            shared((32, _LANES)),
+            shared((_LANES, _LANES)),
             shared((k, 1)),
             per_rep(k8, _LANES),
             per_rep(k8, _LANES),
             per_rep(k8, _LANES),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            per_rep(_LANES, 1),
+            per_rep(8, _LANES),
             per_rep(8, _LANES),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            per_rep(_LANES, 1),
+            per_rep(8, _LANES),
             per_rep(8, _LANES),
             per_rep(8, _LANES),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_rows, _LANES), jnp.int32),
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),
-            pltpu.VMEM((_LANES, _LANES), jnp.int32),
-            pltpu.VMEM((_LANES, 8), jnp.int32),
-            pltpu.VMEM((_LANES, 8), jnp.float32),
-            pltpu.VMEM((1, _LANES), jnp.int32),
+            pltpu.VMEM((_LANES, n_rows), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -763,7 +808,7 @@ def _walker_fw_segment(rows, min_rows, pos, min_lt, betas, leaf,
       rows.reshape(b * n_rows, _LANES),
       min_rows.reshape(b * n_rows, _LANES), pos_b, minlt)
     rows_o, min_o, pos_o, minlt_o, stats = outs
-    pos_o = pos_o.reshape(b, _LANES)[:, :p].T
+    pos_o = pos_o.reshape(b, 8, _LANES)[:, 0, :p].T
     stats = stats.reshape(b, 8, _LANES)[:, 0, :]
     return (rows_o.reshape(b, n_rows, _LANES),
             min_o.reshape(b, n_rows, _LANES), pos_o,
@@ -780,7 +825,7 @@ def _walker_fw_reslice(rows, min_rows, min_lt, k_res, max_width,
                                                     _lcc_fw_b)
 
     b = rows.shape[0]
-    n_pad = rows.shape[1] - 8
+    n_pad = rows.shape[1] - _LANES
     (c0, c1, par, lcc, inds, width_pre,
      slices) = _unpack_rows(rows, n, w, fw=True)
 
