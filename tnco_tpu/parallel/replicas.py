@@ -52,7 +52,7 @@ def make_mesh(devices=None, axis_name: str = 'r', *, shape=None,
 # Engines whose device state is the lane-major SABatch/SABatchFW layout
 # (replica axis LAST); 'vmapped' keeps replica-major pytrees instead.
 # Lane-major engines share the exchange_best machinery too.
-_LANE_MAJOR = ('batched', 'multiwalk', 'mxu', 'walker')
+_LANE_MAJOR = ('batched', 'multiwalk', 'mxu', 'walker', 'sweep')
 
 
 def replica_sharding(mesh, axis_name=None):
@@ -201,7 +201,7 @@ class ReplicaRunner:
             else:
                 engine = 'vmapped'
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
-                          'mxu', 'walker'):
+                          'mxu', 'walker', 'sweep'):
             raise ValueError(f"Unknown engine: {engine!r}")
         self.engine = engine
         self.n_walks = int(n_walks)
@@ -381,6 +381,12 @@ class ReplicaRunner:
                     self.log2_n_projs)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
+            elif self.engine == 'sweep':
+                from tnco_tpu.kernels import sa_fullsweep as sfs
+                self.states, metrics = sfs.run_fullsweep(
+                    self.states, jnp.asarray(chunk), self.log2d_w32,
+                    self.cfg, self.sparse_wb, self.log2_n_projs)
+                last_min = self.states.min_log2_total
             else:
                 self.states, metrics = sa.run_sweeps_batch(
                     self.states, jnp.asarray(chunk), self.log2d, self.cfg,
@@ -528,9 +534,9 @@ class ReplicaRunnerFW:
             else:
                 engine = 'vmapped'
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
-                          'mxu', 'walker'):
+                          'mxu', 'walker', 'sweep'):
             raise ValueError(f"Unknown engine: {engine!r}")
-        if engine in ('multiwalk', 'mxu', 'walker') and \
+        if engine in ('multiwalk', 'mxu', 'walker', 'sweep') and \
                 max_number_new_slices:
             raise ValueError(f"engine={engine!r} does not support "
                              "max_number_new_slices.")
@@ -731,6 +737,13 @@ class ReplicaRunnerFW:
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
                     self.log2_n_projs)
                 self._mw_pos = metrics['pos']
+                last_min = self.states.min_log2_total
+            elif self.engine == 'sweep':
+                from tnco_tpu.kernels import sa_fullsweep as sfs
+                self.states, metrics = sfs.run_fullsweep_fw(
+                    self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
+                    self.max_width, self.log2d_w32, self.skip_lanes,
+                    self.cfg, self.sparse_wb, self.log2_n_projs)
                 last_min = self.states.min_log2_total
             else:
                 self.states, metrics = saf.run_sweeps_fw_batch(
