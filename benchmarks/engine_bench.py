@@ -19,7 +19,7 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument('--engine', default='walker',
-                    help="'walker' | 'multiwalk' | 'mxu'")
+                    help="'walker' | 'multiwalk' | 'mxu' | 'sweep'")
     ap.add_argument('--config', default='sycamore')
     ap.add_argument('--replicas', type=int, default=256)
     ap.add_argument('--n-walks', type=int, default=128)
@@ -72,6 +72,12 @@ def main() -> None:
     betas = jnp.linspace(0.0, 30.0, args.iters, dtype=jnp.float32)
 
     def run(b, pos_):
+        if args.engine == 'sweep':
+            from tnco_tpu.kernels import sa_fullsweep as sfs
+            return sfs.run_fullsweep(
+                b, betas, log2d_w32, cfg,
+                uniform_log2=sfs.uniform_log2_dim(
+                    template.log2_dims_array))
         if args.engine == 'walker':
             from tnco_tpu.kernels import pallas_walker as pw
             return pw.run_walker(b, betas, log2d_w32, cfg, args.n_walks,

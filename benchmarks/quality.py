@@ -290,7 +290,7 @@ def main() -> None:
                              '(0 = independent runs).')
     parser.add_argument('--engine', default='auto',
                         help="'auto' | 'batched' | 'vmapped' | 'native' "
-                             "| 'multiwalk' | 'mxu' | 'walker'.")
+                             "| 'multiwalk' | 'mxu' | 'walker' | 'sweep'.")
     parser.add_argument('--n-walks', type=int, default=8,
                         help='Concurrent walks per replica (multiwalk '
                              'and mxu engines).')

@@ -251,3 +251,56 @@ def test_fullsweep_fw_runner(rng, random_seed):
             w = sum(log2d_np[32 * k + bb] for k in range(len(bits))
                     for bb in range(32) if (int(bits[k]) >> bb) & 1)
             assert w <= max_width + 1e-3
+
+
+def test_fullsweep_interpret_gather_matches_xla(rng, random_seed):
+    """Pallas-interpret gathers give the bit-identical trajectory to
+    the XLA fallback lowering (the two backends of pallas_gather)."""
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=3)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    batch = sb.init_batch(ctrees, list(range(3)), np.asarray(log2d))
+    betas = jnp.linspace(0.0, 8.0, 12, dtype=jnp.float32)
+
+    ref, mref = sfs.run_fullsweep(batch, betas, log2d_w32, cfg)
+    got, mgot = sfs.run_fullsweep(batch, betas, log2d_w32, cfg,
+                                  interpret=True)
+    assert int(mref['applied']) == int(mgot['applied'])
+    for x, y in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_fullsweep_popcount_width_matches_pinned(rng, random_seed):
+    """On an all-dim-2 network the popcount width fast path is bitwise
+    identical to the pinned bit-plane width (integer f32 sums)."""
+    ts_inds, output_inds, dims = generate_random_tensors(
+        rng, n_output_inds=2, min_dim=2, max_dim=2)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(4):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    batch = sb.init_batch(ctrees, list(range(4)), np.asarray(log2d))
+    betas = jnp.linspace(0.0, 8.0, 12, dtype=jnp.float32)
+
+    ul = sfs.uniform_log2_dim(template.log2_dims_array)
+    assert ul == 1.0
+    ref, mref = sfs.run_fullsweep(batch, betas, log2d_w32, cfg)
+    got, mgot = sfs.run_fullsweep(batch, betas, log2d_w32, cfg,
+                                  uniform_log2=ul)
+    assert int(mref['applied']) == int(mgot['applied'])
+    for x, y in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -61,7 +61,7 @@ def _build_parser() -> argparse.ArgumentParser:
     opt.add_argument('--engine', default='auto',
                      help="Replica-batch engine: 'auto' | 'batched' | "
                           "'vmapped' | 'native' | 'multiwalk' | 'mxu' "
-                          "| 'walker'.")
+                          "| 'walker' | 'sweep'.")
     opt.add_argument('--output-format', default='json')
     opt.add_argument('--output-filename', default=None)
     opt.add_argument('--output-compression', default='auto')

@@ -3,12 +3,10 @@
 The multi-walk engines amortize row traffic over ``P`` concurrent walks,
 but their row accesses still cost O(N) (masked reductions) or O(N/128)
 (walker block sweeps) *per walk*.  This engine removes the walk
-bookkeeping entirely: every internal node ``B`` (except the root)
-proposes its uncle swap **simultaneously** each round.  That makes
-``b`` the row index itself, so ``a = par[b]``, the children ids and
-``inds[b]`` are plain *aligned* reads, and only the neighbor rows
-(``a``, ``c``, children inds) need real gathers — a handful of gather
-calls per round, amortized over ``N_int - 1`` proposals per replica.
+bookkeeping entirely: every internal node ``B`` proposes its uncle swap
+**simultaneously** each round (the root's proposal is always rejected —
+it has no parent), so ``b`` is the row index itself and most reads are
+plain *aligned* slices.
 
 Semantics are the natural completion of the multi-walk family: the
 per-node proposal math (D-shares-index-with-C rule, on-the-fly hyper
@@ -18,11 +16,28 @@ filter differs.  With ~N/2 concurrent proposals a sequential priority
 scan is impossible, so disjointness is resolved by one round of
 random-priority independent-set selection (Luby-style): every accepted
 node draws a unique priority and is applied iff it beats every
-*accepted* proposal in its distance-<=2 conflict neighborhood
-(12 candidates: parent, sibling, both children, grandparent, uncle,
-both nephews, all four grandchildren).  Winners' ``{A,B,C,D,E}`` sets
-are pairwise disjoint (mutual strict comparison), so the simultaneous
-application equals some sequential application order.
+*accepted* proposal in its conflict neighborhood (12 candidates:
+parent, sibling, both children, grandparent, uncle, both nephews, all
+four grandchildren).  Winners' ``{A,B,C,D,E}`` sets are pairwise
+disjoint (mutual strict comparison), so the simultaneous application
+equals some sequential application order.
+
+TPU-first implementation (v2 — the "pull" formulation):
+
+- Internal layout is ``[planes, B, N]`` with nodes on LANES: every
+  aligned access is a slice, and every irregular read goes through
+  :func:`tnco_tpu.kernels.pallas_gather.gather_gbn` (lane-wise
+  ``dynamic_gather``; XLA's lane-varying gather lowers to a ~11 ns/row
+  scalar loop, which made irregular reads ~80% of v1's iteration).
+- There are NO scatters: the apply step is reformulated as *pulls* —
+  each row resolves its own role (kept proposer B, parent A of a kept
+  B, sibling C reparenting to B, moved child E reparenting to A) by
+  looking up its parent / children / sibling rows at aligned id
+  arrays; role exclusivity is exactly the Luby disjointness.
+- Widths use an integer-popcount fast path when every index dimension
+  is equal (``uniform_log2``): ``width = log2(dim) * popcount`` — for
+  dim 2 bitwise-identical to the order-pinned pairwise tree, ulp-close
+  otherwise, and ~12x cheaper than the 32x bit-plane expansion.
 
 Reference semantics: the per-proposal geometry and cost rule transcribe
 include/tnco/optimize/infinite_memory/optimizer.hpp:117-192 (and
@@ -36,389 +51,568 @@ import functools as fts
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from tnco_tpu.kernels.sa_batched import (SABatch, _log2_total_b, _width_b,
-                                         compute_hyper_b)
+from tnco_tpu.kernels.pallas_gather import gather_gbn
+from tnco_tpu.kernels.sa_batched import SABatch, compute_hyper_b
 from tnco_tpu.kernels.sa_infinite import SweepConfig
 from tnco_tpu.ops import costs as costs_ops
 
-__all__ = ['run_fullsweep', 'run_fullsweep_fw']
+__all__ = ['run_fullsweep', 'run_fullsweep_fw', 'uniform_log2_dim']
 
 NULL = -1
 # Priority layout: bit 31 clear (sign), bits 30..15 random, bits 14..0
 # the node id — strictly unique per (node, replica), so the neighbor
 # comparison below never ties and the kept sets are provably disjoint.
 _PRIO_ID_BITS = 15
+_PRIO_RAND_MASK = (0xFFFFFFFF << _PRIO_ID_BITS) & 0x7FFFFFFF
 
 
-def _take_i(arr, idx):
-    """Row gather of ``[N, B]`` at ``[M, B]`` ids (NULL-safe -> row 0)."""
-    return jnp.take_along_axis(arr, jnp.maximum(idx, 0), axis=0)
+def uniform_log2_dim(log2_dims) -> float | None:
+    """The common log2 dim if every (unpadded) index dim is equal.
 
-
-def _take_u(arr, idx):
-    """Row gather of ``[N, W, B]`` at ``[M, B]`` ids (NULL-safe)."""
-    return jnp.take_along_axis(arr, jnp.maximum(idx, 0)[:, None, :],
-                               axis=0)
-
-
-def _draws_full(keys, n_int, dtype):
-    """Per-lane draws for one round: D/E tie bits, accept uniforms and
-    conflict priorities (one threefry stream per replica, as everywhere
-    else in the lane-major family)."""
-    split = jax.vmap(lambda k: tuple(jax.random.split(k, 4)))
-    keys, k_pick, k_u, k_prio = split(keys)
-    rand_bit = jax.vmap(lambda k: jax.random.bernoulli(k, shape=(n_int,)),
-                        out_axes=1)(k_pick)
-    u = jax.vmap(lambda k: jax.random.uniform(k, (n_int,), dtype=dtype),
-                 out_axes=1)(k_u)
-    bits = jax.vmap(lambda k: jax.random.bits(k, (n_int,)),
-                    out_axes=1)(k_prio)
-    return keys, rand_bit, u, bits
-
-
-def _propose_full(c0, c1, par, inds, lcc, rand_bit, cfg):
-    """Aligned-row proposal evaluation at every internal node.
-
-    Returns per-proposal ids/lanes shaped ``[NI, B]`` / ``[NI, W, B]``
-    where row ``i`` is internal node ``n_leaves + i``.
+    Host-side helper: pass ``ContractionTree.log2_dims_array`` (the
+    UNPADDED per-index log2 dims).  Returns None when dims differ (the
+    engine then uses the exact bit-plane width path).
     """
-    n, b_dim = c0.shape
+    a = np.asarray(log2_dims, dtype=np.float64)
+    if a.size == 0:
+        return 0.0
+    if np.all(a == a.flat[0]):
+        return float(a.flat[0])
+    return None
+
+
+def _u32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _split_f(x):
+    """float array -> ``[k, ...]`` u32 planes (k=1 f32, k=2 f64)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    if u.ndim == x.ndim:
+        return u[None]
+    return jnp.moveaxis(u, -1, 0)
+
+
+def _join_f(planes, dtype):
+    """Inverse of :func:`_split_f` (planes ``[k, ...]``)."""
+    if planes.shape[0] == 1:
+        return jax.lax.bitcast_convert_type(planes[0], dtype)
+    return jax.lax.bitcast_convert_type(
+        jnp.moveaxis(planes, 0, -1), dtype)
+
+
+def _nk(dtype):
+    return 2 if jnp.dtype(dtype).itemsize == 8 else 1
+
+
+def _pack(c0, c1, par, inds, lcc, width=None):
+    """``[N, B]`` / ``[N, W, B]`` arrays -> stacked ``u32 [F, B, N]``.
+
+    Plane layout: ``[0:W)`` inds; c0, c1, par; lcc (1 or 2 planes);
+    optionally the FW pre-slicing width (1 or 2 planes).
+    """
+    planes = [jnp.transpose(inds, (1, 2, 0))]
+    for h in (c0, c1, par):
+        planes.append(_u32(h.T)[None])
+    planes.append(_split_f(lcc.T))
+    if width is not None:
+        planes.append(_split_f(width.T))
+    return jnp.concatenate(planes, axis=0)
+
+
+def _unpack(S, w, dtype, fw=False):
+    nk = _nk(dtype)
+    inds = jnp.transpose(S[:w], (2, 0, 1))                  # [N, W, B]
+    c0 = _i32(S[w]).T
+    c1 = _i32(S[w + 1]).T
+    par = _i32(S[w + 2]).T
+    lcc = _join_f(S[w + 3:w + 3 + nk], dtype).T
+    if not fw:
+        return c0, c1, par, inds, lcc
+    width = _join_f(S[w + 3 + nk:w + 3 + 2 * nk], dtype).T
+    return c0, c1, par, inds, lcc, width
+
+
+def _draws(keys, ni, dtype):
+    """Per-replica draws, shaped ``[B, NI]``: accept uniforms plus one
+    bits stream carrying the D/E tie bit (bit 31) and the conflict
+    priority (bits 30..15)."""
+    split = jax.vmap(lambda k: tuple(jax.random.split(k, 3)))
+    keys, k_u, k_bits = split(keys)
+    u = jax.vmap(lambda k: jax.random.uniform(k, (ni,), dtype=dtype))(k_u)
+    bits = jax.vmap(lambda k: jax.random.bits(k, (ni,)))(k_bits)
+    return keys, u, bits
+
+
+def _width_bn(lanes_wbn, log2d_w32, uniform_log2, dtype, *,
+              sparse_w=None, log2_n_projs=None):
+    """Width of ``uint32 [W, ...]`` lane sets -> ``[...]``.
+
+    Fast path (``uniform_log2`` static): integer popcount times the
+    common log2 dim — exact for power-of-two dims, ulp-accurate
+    otherwise.  Fallback: the same (w*32+s)-ordered pairwise-halving
+    tree as ``sa_batched._width_b`` (bit-plane expansion).
+    """
+    if sparse_w is not None:
+        sp = sparse_w.reshape((-1,) + (1,) * (lanes_wbn.ndim - 1))
+        dense = _width_bn(lanes_wbn & ~sp, log2d_w32, uniform_log2,
+                          dtype)
+        sparse = _width_bn(lanes_wbn & sp, log2d_w32, uniform_log2,
+                           dtype)
+        return dense + jnp.minimum(sparse, log2_n_projs)
+    if uniform_log2 is not None:
+        pc = jnp.sum(jax.lax.population_count(lanes_wbn).astype(
+            jnp.int32), axis=0)
+        return pc.astype(dtype) * jnp.asarray(uniform_log2, dtype)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    sh = shifts.reshape((1, 32) + (1,) * (lanes_wbn.ndim - 1))
+    bits = ((lanes_wbn[:, None] >> sh) & jnp.uint32(1)).astype(dtype)
+    w = lanes_wbn.shape[0]
+    ld = log2d_w32.reshape((w, 32) + (1,) * (lanes_wbn.ndim - 1))
+    terms = (bits * ld).reshape((w * 32,) + lanes_wbn.shape[1:])
+    n = w * 32
+    p = 1 << (n - 1).bit_length() if n > 1 else 1
+    if p != n:
+        terms = jnp.concatenate(
+            [terms, jnp.zeros((p - n,) + terms.shape[1:], terms.dtype)],
+            axis=0)
+    while terms.shape[0] > 1:
+        h = terms.shape[0] // 2
+        terms = terms[:h] + terms[h:]
+    return terms[0]
+
+
+def _log2_total_bn(lcc_bn):
+    """log2 of the summed linear-domain costs, per replica ``[B]``.
+
+    Max-shifted pairwise-halving tree over the last axis (same halving
+    pairing as ``costs.log2_total_from_lcc``; layouts differ so
+    cross-engine bit-identity is not claimed — the fullsweep engine is
+    audited against exact host recomputes instead).
+    """
+    m = jnp.max(lcc_bn, axis=-1, keepdims=True)
+    t = jnp.exp2(lcc_bn - m)
+    n = t.shape[-1]
+    p = 1 << (n - 1).bit_length() if n > 1 else 1
+    if p != n:
+        t = jnp.concatenate(
+            [t, jnp.zeros(t.shape[:-1] + (p - n,), t.dtype)], axis=-1)
+    while t.shape[-1] > 1:
+        h = t.shape[-1] // 2
+        t = t[..., :h] + t[..., h:]
+    return (m + jnp.log2(t))[..., 0]
+
+
+def _propose(S, u_bits, cfg: SweepConfig, log2d_w32, uniform_log2,
+             dtype, sparse_w, log2_n_projs, interpret, slices_wb=None,
+             width_plane=False):
+    """Aligned + pulled proposal evaluation at every internal node.
+
+    Returns the per-proposal ``ev`` dict shaped ``[B, NI]`` (ids,
+    costs) / ``[W, B, NI]`` (lane sets), plus the ``[B, 12*NI]`` Luby
+    neighbor-id table.
+    """
+    w = cfg.n_lanes
     nl = cfg.n_leaves
+    nk = _nk(dtype)
+    n = S.shape[2]
+    b_dim = S.shape[1]
     ni = n - nl
-    b_iota = jnp.arange(nl, n, dtype=jnp.int32)[:, None]
-    b_ids = jnp.broadcast_to(b_iota, (ni, b_dim))
+    rand_bit = (u_bits >> jnp.uint32(31)).astype(bool)
 
-    a = par[nl:]
-    c0b, c1b = c0[nl:], c1[nl:]
-    inds_b, l_b = inds[nl:], lcc[nl:]
+    b_ids = jnp.broadcast_to(jnp.arange(nl, n, dtype=jnp.int32)[None],
+                             (b_dim, ni))
+    inds_b = S[:w, :, nl:]
+    c0b = _i32(S[w, :, nl:])
+    c1b = _i32(S[w + 1, :, nl:])
+    a = _i32(S[w + 2, :, nl:])
+    l_b = _join_f(S[w + 3:w + 3 + nk, :, nl:], dtype)
 
-    c0a = _take_i(c0, a)
-    c1a = _take_i(c1, a)
-    l_a = _take_i(lcc, a)
+    # Pull 1: full rows at the parent.
+    ra = gather_gbn(S[:w + 3 + nk], a, interpret=interpret)
+    inds_a = ra[:w]
+    c0a = _i32(ra[w])
+    c1a = _i32(ra[w + 1])
+    gp = jnp.where(a == NULL, NULL, _i32(ra[w + 2]))
+    l_a = _join_f(ra[w + 3:w + 3 + nk], dtype)
     c = jnp.where(c0a == b_ids, c1a, c0a)
 
-    inds_a = _take_u(inds, a)
-    inds_c = _take_u(inds, c)
-    inds0 = _take_u(inds, c0b)
-    inds1 = _take_u(inds, c1b)
+    # Pull 2: rows at sibling, both children, grandparent (one call).
+    ids2 = jnp.concatenate([c, c0b, c1b, gp], axis=1)
+    r2 = gather_gbn(S[:w + 2], ids2, interpret=interpret)
+    rc, r0, r1, rgp = (r2[:, :, k * ni:(k + 1) * ni] for k in range(4))
+    inds_c = rc[:w]
+    nep0, nep1 = _i32(rc[w]), _i32(rc[w + 1])
+    inds0, inds1 = r0[:w], r1[:w]
+    gc00, gc01 = _i32(r0[w]), _i32(r0[w + 1])
+    gc10, gc11 = _i32(r1[w]), _i32(r1[w + 1])
+    uncle = jnp.where(_i32(rgp[w]) == a, _i32(rgp[w + 1]), _i32(rgp[w]))
+    uncle = jnp.where(gp == NULL, NULL, uncle)
 
-    i0 = jnp.any(inds0 & inds_c, axis=1)
-    i1 = jnp.any(inds1 & inds_c, axis=1)
+    i0 = jnp.any((inds0 & inds_c) != 0, axis=0)
+    i1 = jnp.any((inds1 & inds_c) != 0, axis=0)
     take0 = jnp.where(cfg.disable_shared_inds | (i0 & i1), rand_bit, i0)
     d = jnp.where(take0, c0b, c1b)
     e = jnp.where(take0, c1b, c0b)
-    t0m = take0[:, None, :]
-    inds_d = jnp.where(t0m, inds0, inds1)
-    inds_e = jnp.where(t0m, inds1, inds0)
+    t0 = take0[None]
+    inds_d = jnp.where(t0, inds0, inds1)
+    inds_e = jnp.where(t0, inds1, inds0)
 
     hyp_a = inds_a & inds_b & inds_c
     hyp_b = inds_b & inds0 & inds1
     new_inds_b = (inds_d ^ inds_c) | hyp_a | hyp_b
 
-    return dict(a=a, b=b_ids, c=c, d=d, e=e, c0a=c0a, c1a=c1a, c0b=c0b,
-                c1b=c1b, inds_a=inds_a, inds_b=inds_b, inds_c=inds_c,
-                inds_d=inds_d, inds_e=inds_e, new_inds_b=new_inds_b,
-                l_a=l_a, l_b=l_b)
+    def width(lanes):
+        if slices_wb is not None:
+            lanes = lanes | slices_wb[:, :, None]
+        return _width_bn(lanes, log2d_w32, uniform_log2, dtype,
+                         sparse_w=sparse_w, log2_n_projs=log2_n_projs)
+
+    ev = dict(a=a, b=b_ids, c=c, d=d, e=e, c0b=c0b, c1b=c1b,
+              inds_b=inds_b, new_inds_b=new_inds_b, l_a=l_a, l_b=l_b,
+              ln_b=width(inds_d | inds_c),
+              ln_a=width(new_inds_b | inds_e))
+    if width_plane:
+        ev['new_width_b'] = _width_bn(new_inds_b, log2d_w32,
+                                      uniform_log2, dtype,
+                                      sparse_w=sparse_w,
+                                      log2_n_projs=log2_n_projs)
+    nbrs = jnp.concatenate([a, c, d, e, gp, uncle, nep0, nep1,
+                            gc00, gc01, gc10, gc11], axis=1)
+    return ev, nbrs
 
 
-def _luby_keep(accept, prio_bits, ev, c0, c1, par, n_leaves):
-    """One round of random-priority independent-set selection.
+def _accept(ev, lt, u, beta, cfg):
+    l_new = costs_ops.new_total_log2(lt[:, None], ev['l_a'], ev['l_b'],
+                                     ev['ln_a'], ev['ln_b'])
+    if cfg.prob_kind == 'mh':
+        accept = jnp.log2(u) <= -beta * (l_new - lt[:, None])
+    elif cfg.prob_kind == 'greedy':
+        accept = l_new <= lt[:, None]
+    else:
+        accept = jnp.ones_like(l_new, dtype=bool)
+    return accept & (ev['a'] != NULL)
 
-    ``kept[b] = accept[b] and prio[b] > prio of every accepted proposal
-    in b's conflict neighborhood``.  Priorities are strictly unique
-    (node id in the low bits), so two conflicting accepted proposals
-    can never both win, and the kept ``{A,B,C,D,E}`` sets are pairwise
-    disjoint.
-    """
-    n, b_dim = c0.shape
-    ni = accept.shape[0]
-    ids = jnp.arange(n_leaves, n, dtype=jnp.uint32)[:, None]
-    rand_mask = (0xFFFFFFFF << _PRIO_ID_BITS) & 0x7FFFFFFF
-    prio = jnp.bitwise_or(prio_bits & jnp.uint32(rand_mask),
+
+def _luby_keep(accept, prio_bits, nbrs, n, nl, interpret):
+    """Random-priority independent-set selection over ``[B, NI]``."""
+    b_dim, ni = accept.shape
+    ids = jnp.arange(nl, n, dtype=jnp.uint32)[None]
+    prio = jnp.bitwise_or(prio_bits & jnp.uint32(_PRIO_RAND_MASK),
                           ids).astype(jnp.int32)
     r_acc = jnp.where(accept, prio, jnp.int32(NULL))
-    # Padded to all N rows: leaves (and non-accepted nodes) hold -1, so
-    # NULL-clipped gathers below can only ever read a harmless -1.
     r_full = jnp.concatenate(
-        [jnp.full((n_leaves, b_dim), NULL, jnp.int32), r_acc], axis=0)
-
-    a, c, d, e = ev['a'], ev['c'], ev['d'], ev['e']
-    gp = _take_i(par, a)
-    c0gp = _take_i(c0, gp)
-    c1gp = _take_i(c1, gp)
-    uncle = jnp.where(c0gp == a, c1gp, c0gp)
-    uncle = jnp.where(gp == NULL, NULL, uncle)
-    nbrs = jnp.concatenate([
-        a, c, d, e, gp, uncle,
-        _take_i(c0, c), _take_i(c1, c),          # nephews
-        _take_i(c0, d), _take_i(c1, d),          # grandchildren via D
-        _take_i(c0, e), _take_i(c1, e),          # grandchildren via E
-    ], axis=0)
-    rn = jnp.where(nbrs == NULL, jnp.int32(NULL), _take_i(r_full, nbrs))
-    r_max = jnp.max(rn.reshape(12, ni, b_dim), axis=0)
+        [jnp.full((b_dim, nl), NULL, jnp.int32), r_acc], axis=1)
+    rn = gather_gbn(r_full[None], nbrs, interpret=interpret)[0]
+    rn = jnp.where(nbrs == NULL, jnp.int32(NULL), rn)
+    r_max = jnp.max(rn.reshape(b_dim, 12, ni), axis=1)
     return accept & (r_acc > r_max)
 
 
-def _apply_full(c0, c1, par, inds, lcc, kept, ev, width_pre=None):
-    """Applies all kept proposals (pairwise-disjoint rows).
+def _apply(S, ev, kept, cfg: SweepConfig, dtype, interpret,
+           width_plane=False):
+    """Pull-based application of the kept (pairwise-disjoint) moves.
 
-    ``B`` rows are aligned masked updates; ``A``/``C``/``E`` rows are
-    drop-mode scatters at unique indices.
+    Every row resolves its own role — B (kept proposer, aligned), A
+    (parent of a kept B), C (sibling of a kept B: reparent to B), E
+    (moved child: reparent to A) — via three gathers at aligned id
+    arrays; there are no scatters.  Role exclusivity follows from the
+    pairwise disjointness of the kept ``{A,B,C,D,E}`` sets.
     """
-    n, b_dim = c0.shape
-    ni = kept.shape[0]
-    nl = n - ni
-    cols = jnp.broadcast_to(jnp.arange(b_dim)[None, :], (ni, b_dim))
-
-    def scat(dst, rows, upd):
-        idx = jnp.where(kept, rows, n)  # out of range -> dropped
-        return dst.at[idx, cols].set(upd, mode='drop',
-                                     unique_indices=False)
-
-    a, c, e = ev['a'], ev['c'], ev['e']
-    # B rows (aligned): swap E -> C in the children, new inds/lcc.
-    kf = kept[:, None, :]
-    new_c0b = jnp.where(ev['c0b'] == e, c, ev['c0b'])
-    new_c1b = jnp.where(ev['c1b'] == e, c, ev['c1b'])
-    c0 = c0.at[nl:].set(jnp.where(kept, new_c0b, ev['c0b']))
-    c1 = c1.at[nl:].set(jnp.where(kept, new_c1b, ev['c1b']))
-    lcc = lcc.at[nl:].set(jnp.where(kept, ev['ln_b'], ev['l_b']))
-    inds = inds.at[nl:].set(
-        jnp.where(kept[:, None, :], ev['new_inds_b'], ev['inds_b']))
-
-    # A rows: swap C -> E in the children, new lcc.
-    c0 = scat(c0, a, jnp.where(ev['c0a'] == c, e, ev['c0a']))
-    c1 = scat(c1, a, jnp.where(ev['c1a'] == c, e, ev['c1a']))
-    lcc = scat(lcc, a, ev['ln_a'])
-    # C and E rows: reparent.
-    par = scat(par, c, ev['b'])
-    par = scat(par, e, a)
-
-    if width_pre is not None:
-        w_b = width_pre[nl:]
-        width_pre = width_pre.at[nl:].set(
-            jnp.where(kept, ev['new_width_b'], w_b))
-        return c0, c1, par, inds, lcc, width_pre
-    return c0, c1, par, inds, lcc
-
-
-def _iter_fullsweep(carry, beta, log2d_w32, cfg: SweepConfig, sparse_wb,
-                    log2_n_projs):
-    (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1, min_par, min_inds,
-     keys, moves, applied) = carry
+    w = cfg.n_lanes
     nl = cfg.n_leaves
-    ni = c0.shape[0] - nl
+    nk = _nk(dtype)
+    b_dim, n = S.shape[1], S.shape[2]
+    x_ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],
+                             (b_dim, n))
+    c0_all = _i32(S[w])
+    c1_all = _i32(S[w + 1])
+    par_all = _i32(S[w + 2])
+    lcc_all = _join_f(S[w + 3:w + 3 + nk], dtype)
 
-    keys, rand_bit, u, prio_bits = _draws_full(keys, ni, log2d_w32.dtype)
-    lt = _log2_total_b(lcc, nl)
+    null_pad = jnp.full((b_dim, nl), NULL, jnp.int32)
 
-    ev = _propose_full(c0, c1, par, inds, lcc, rand_bit, cfg)
+    def pad_i(vals):
+        return jnp.concatenate(
+            [null_pad, jnp.where(kept, vals, NULL)], axis=1)
 
-    def width(lanes_mwb):  # [NI, W, B] -> [NI, B]
-        return jax.vmap(
-            lambda lw: _width_b(lw, log2d_w32, sparse_wb=sparse_wb,
-                                log2_n_projs=log2_n_projs))(lanes_mwb)
+    e_pad = pad_i(ev['e'])
+    c_pad = pad_i(ev['c'])
+    ln_a_pad = jnp.concatenate(
+        [jnp.zeros((b_dim, nl), dtype), ev['ln_a']], axis=1)
 
-    ev['ln_b'] = width(ev['inds_d'] | ev['inds_c'])
-    ev['ln_a'] = width(ev['new_inds_b'] | ev['inds_e'])
-    l_new = costs_ops.new_total_log2(lt[None, :], ev['l_a'], ev['l_b'],
-                                     ev['ln_a'], ev['ln_b'])
-    if cfg.prob_kind == 'mh':
-        accept = jnp.log2(u) <= -beta * (l_new - lt[None, :])
-    elif cfg.prob_kind == 'greedy':
-        accept = l_new <= lt[None, :]
-    else:
-        accept = jnp.ones_like(l_new, dtype=bool)
-    accept = accept & (ev['a'] != NULL)
+    # A-role pull: does one of my children host a kept proposal?
+    # (gather_gbn yields 0 for NULL ids, so mask by the id too.)
+    pull = jnp.concatenate([_u32(e_pad)[None], _u32(c_pad)[None],
+                            _split_f(ln_a_pad)], axis=0)
+    idsA = jnp.concatenate([c0_all, c1_all], axis=1)
+    gA = gather_gbn(pull, idsA, interpret=interpret)
+    e0, e1 = _i32(gA[0, :, :n]), _i32(gA[0, :, n:])
+    cv0, cv1 = _i32(gA[1, :, :n]), _i32(gA[1, :, n:])
+    ln0 = _join_f(gA[2:2 + nk, :, :n], dtype)
+    ln1 = _join_f(gA[2:2 + nk, :, n:], dtype)
+    kept0 = (c0_all != NULL) & (e0 != NULL)
+    kept1 = (c1_all != NULL) & (e1 != NULL)
+    is_a = kept0 | kept1
+    e_x = jnp.where(kept0, e0, e1)
+    c_x = jnp.where(kept0, cv0, cv1)
+    ln_x = jnp.where(kept0, ln0, ln1)
 
-    kept = _luby_keep(accept, prio_bits, ev, c0, c1, par, nl)
-    c0, c1, par, inds, lcc = _apply_full(c0, c1, par, inds, lcc, kept, ev)
+    # C/E-role pulls: sibling (via the parent row) and parent.
+    pp = gather_gbn(S[w:w + 3], par_all, interpret=interpret)
+    c0p, c1p = _i32(pp[0]), _i32(pp[1])
+    gp_x = _i32(pp[2])
+    sib = jnp.where(c0p == x_ids, c1p, c0p)
+    sib = jnp.where(par_all == NULL, NULL, sib)
+    ep_sib = _i32(gather_gbn(_u32(e_pad)[None], sib,
+                             interpret=interpret)[0])
+    ep_par = _i32(gather_gbn(_u32(e_pad)[None], par_all,
+                             interpret=interpret)[0])
+    is_c = (sib != NULL) & (ep_sib != NULL)
+    is_e = (par_all != NULL) & (ep_par == x_ids)
 
-    moves = moves + jnp.int32(ni * accept.shape[1])
+    # B-role rows (aligned slice of internal nodes).
+    new_c0b = jnp.where(ev['c0b'] == ev['e'], ev['c'], ev['c0b'])
+    new_c1b = jnp.where(ev['c1b'] == ev['e'], ev['c'], ev['c1b'])
+
+    c0_new = jnp.where(is_a & (c0_all == c_x), e_x, c0_all)
+    c0_new = c0_new.at[:, nl:].set(
+        jnp.where(kept, new_c0b, c0_new[:, nl:]))
+    c1_new = jnp.where(is_a & (c1_all == c_x), e_x, c1_all)
+    c1_new = c1_new.at[:, nl:].set(
+        jnp.where(kept, new_c1b, c1_new[:, nl:]))
+    par_new = jnp.where(is_c, sib, jnp.where(is_e, gp_x, par_all))
+    lcc_new = jnp.where(is_a, ln_x, lcc_all)
+    lcc_new = lcc_new.at[:, nl:].set(
+        jnp.where(kept, ev['ln_b'], lcc_new[:, nl:]))
+
+    S = S.at[:w, :, nl:].set(
+        jnp.where(kept[None], ev['new_inds_b'], ev['inds_b']))
+    S = S.at[w].set(_u32(c0_new))
+    S = S.at[w + 1].set(_u32(c1_new))
+    S = S.at[w + 2].set(_u32(par_new))
+    S = S.at[w + 3:w + 3 + nk].set(_split_f(lcc_new))
+    if width_plane:
+        wp_sl = slice(w + 3 + nk, w + 3 + 2 * nk)
+        wp = _join_f(S[wp_sl][:, :, nl:], dtype)
+        S = S.at[wp_sl, :, nl:].set(
+            _split_f(jnp.where(kept, ev['new_width_b'], wp)))
+    return S
+
+
+def _iter_fullsweep(carry, beta, log2d_w32, cfg: SweepConfig,
+                    uniform_log2, sparse_w, log2_n_projs, interpret):
+    (S, S_min, min_lt, lt, keys, moves, applied) = carry
+    w = cfg.n_lanes
+    nl = cfg.n_leaves
+    dtype = log2d_w32.dtype
+    nk = _nk(dtype)
+    n = S.shape[2]
+    ni = n - nl
+
+    keys, u, bits = _draws(keys, ni, dtype)
+    ev, nbrs = _propose(S, bits, cfg, log2d_w32, uniform_log2, dtype,
+                        sparse_w, log2_n_projs, interpret)
+    accept = _accept(ev, lt, u, beta, cfg)
+    kept = _luby_keep(accept, bits, nbrs, n, nl, interpret)
+    S = _apply(S, ev, kept, cfg, dtype, interpret)
+
+    moves = moves + jnp.int32(ni * S.shape[1])
     applied = applied + jnp.sum(kept.astype(jnp.int32))
 
-    lt_new = _log2_total_b(lcc, nl)
-    improved = lt_new < min_lt
-    min_lt = jnp.where(improved, lt_new, min_lt)
-
-    def snap(args):
-        min_c0, min_c1, min_par, min_inds = args
-        impn = improved[None, :]
-        impw = improved[None, None, :]
-        return (jnp.where(impn, c0, min_c0), jnp.where(impn, c1, min_c1),
-                jnp.where(impn, par, min_par),
-                jnp.where(impw, inds, min_inds))
-
-    min_c0, min_c1, min_par, min_inds = jax.lax.cond(
-        jnp.any(improved), snap, lambda x: x,
-        (min_c0, min_c1, min_par, min_inds))
-
-    return (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1, min_par,
-            min_inds, keys, moves, applied)
-
-
-@fts.partial(jax.jit, static_argnames=('cfg',))
-def run_fullsweep(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
-                  sparse_wb=None, log2_n_projs=None):
-    """One synchronous full-tree round per beta.
-
-    Proposals per round = ``(N_int - 1) * B`` (every internal node except
-    the root).  Returns the updated batch and
-    ``{'moves', 'applied'}`` metrics, like the other lane-major engines.
-    """
-
-    def step(carry, beta):
-        carry = _iter_fullsweep(carry, beta, log2d_w32, cfg, sparse_wb,
-                                log2_n_projs)
-        return carry, None
-
-    carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,
-             batch.min_log2_total, batch.min_c0, batch.min_c1,
-             batch.min_par, batch.min_inds, batch.keys, jnp.int32(0),
-             jnp.int32(0))
-    carry, _ = jax.lax.scan(step, carry, betas)
-    (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1, min_par, min_inds,
-     keys, moves, applied) = carry
-    lt = _log2_total_b(lcc, cfg.n_leaves)
+    lt = _log2_total_bn(_join_f(S[w + 3:w + 3 + nk, :, nl:], dtype))
     improved = lt < min_lt
     min_lt = jnp.where(improved, lt, min_lt)
-    impn, impw = improved[None, :], improved[None, None, :]
-    min_c0 = jnp.where(impn, c0, min_c0)
-    min_c1 = jnp.where(impn, c1, min_c1)
-    min_par = jnp.where(impn, par, min_par)
-    min_inds = jnp.where(impw, inds, min_inds)
+    S_min = jax.lax.cond(
+        jnp.any(improved),
+        lambda args: jnp.where(improved[None, :, None], *args),
+        lambda args: args[1], (S, S_min))
+    return (S, S_min, min_lt, lt, keys, moves, applied)
+
+
+@fts.partial(jax.jit,
+             static_argnames=('cfg', 'uniform_log2', 'interpret'))
+def run_fullsweep(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
+                  sparse_wb=None, log2_n_projs=None, *,
+                  uniform_log2=None, interpret=None):
+    """One synchronous full-tree round per beta.
+
+    Proposals per round = ``N_int * B`` (every internal node; the
+    root's proposal is always rejected).  Returns the updated batch and
+    ``{'moves', 'applied'}`` metrics, like the other lane-major
+    engines.
+
+    ``uniform_log2``: static common log2 dim (see
+    :func:`uniform_log2_dim`) enabling the popcount width fast path.
+    ``interpret``: forwarded to the Pallas gather (None = auto: the
+    Mosaic kernel on TPU, the XLA lowering elsewhere).
+    """
+    w = cfg.n_lanes
+    nl = cfg.n_leaves
+    dtype = log2d_w32.dtype
+    nk = _nk(dtype)
+    sparse_w = None if sparse_wb is None else \
+        jnp.asarray(sparse_wb).reshape(-1)
+
+    S = _pack(batch.c0, batch.c1, batch.par, batch.inds, batch.lcc)
+    S_min = _pack(batch.min_c0, batch.min_c1, batch.min_par,
+                  batch.min_inds, batch.lcc)
+    lt0 = _log2_total_bn(_join_f(S[w + 3:w + 3 + nk, :, nl:], dtype))
+
+    def step(carry, beta):
+        return _iter_fullsweep(carry, beta, log2d_w32, cfg,
+                               uniform_log2, sparse_w, log2_n_projs,
+                               interpret), None
+
+    carry = (S, S_min, batch.min_log2_total, lt0, batch.keys,
+             jnp.int32(0), jnp.int32(0))
+    carry, _ = jax.lax.scan(step, carry, betas)
+    (S, S_min, min_lt, lt, keys, moves, applied) = carry
+
+    improved = lt < min_lt
+    min_lt = jnp.where(improved, lt, min_lt)
+    S_min = jnp.where(improved[None, :, None], S, S_min)
+    c0, c1, par, inds, lcc = _unpack(S, w, dtype)
+    mc0, mc1, mpar, minds, _ml = _unpack(S_min, w, dtype)
     hyper = compute_hyper_b(c0, c1, inds)
-    out = SABatch(c0, c1, par, inds, hyper, lcc, lt, min_lt, min_c0,
-                  min_c1, min_par, min_inds, keys)
+    out = SABatch(c0, c1, par, inds, hyper, lcc, lt, min_lt, mc0, mc1,
+                  mpar, minds, keys)
     return out, {'moves': moves, 'applied': applied}
 
 
-def _iter_fullsweep_fw(carry, beta, update_slices, max_width, log2d_w32,
-                       skip_wb, cfg, sparse_wb, log2_n_projs):
-    """Finite-width synchronous round: width-capped proposals against the
-    shared slice lanes + the periodic greedy reslice-if-better (same
-    cadence semantics as the other FW engines)."""
+# --------------------------- finite width ---------------------------
+
+
+def _iter_fullsweep_fw(carry, beta, update_slices, max_width,
+                       log2d_w32, skip_w, cfg, uniform_log2, sparse_w,
+                       log2_n_projs, interpret):
+    """Width-capped synchronous round against the shared slice lanes +
+    the periodic greedy reslice-if-better (same cadence semantics as
+    the other FW engines)."""
     from tnco_tpu.kernels.sa_finite import _WIDTH_EPS
     from tnco_tpu.kernels.sa_finite_batched import (_greedy_slices_b,
                                                     _lcc_fw_b)
 
-    (c0, c1, par, inds, lcc, width_pre, slices, min_lt, min_c0, min_c1,
-     min_par, min_inds, min_slices, keys, moves, applied) = carry
+    (S, slices, S_min, min_slices, min_lt, lt, keys, moves,
+     applied) = carry
+    w = cfg.n_lanes
     nl = cfg.n_leaves
-    ni = c0.shape[0] - nl
+    dtype = log2d_w32.dtype
+    nk = _nk(dtype)
+    n = S.shape[2]
+    ni = n - nl
 
-    split = jax.vmap(lambda k: tuple(jax.random.split(k, 5)))
-    keys, k_pick, k_u, k_prio, k_reslice = split(keys)
-    rand_bit = jax.vmap(lambda k: jax.random.bernoulli(k, shape=(ni,)),
-                        out_axes=1)(k_pick)
-    u = jax.vmap(lambda k: jax.random.uniform(k, (ni,),
-                                              dtype=log2d_w32.dtype),
-                 out_axes=1)(k_u)
-    prio_bits = jax.vmap(lambda k: jax.random.bits(k, (ni,)),
-                         out_axes=1)(k_prio)
+    split = jax.vmap(lambda k: tuple(jax.random.split(k, 4)))
+    keys, k_u, k_bits, k_reslice = split(keys)
+    u = jax.vmap(lambda k: jax.random.uniform(k, (ni,), dtype=dtype))(k_u)
+    bits = jax.vmap(lambda k: jax.random.bits(k, (ni,)))(k_bits)
 
-    lt = _log2_total_b(lcc, nl)
-    ev = _propose_full(c0, c1, par, inds, lcc, rand_bit, cfg)
+    ev, nbrs = _propose(S, bits, cfg, log2d_w32, uniform_log2, dtype,
+                        sparse_w, log2_n_projs, interpret,
+                        slices_wb=slices, width_plane=True)
+    new_sliced_width = _width_bn(
+        ev['new_inds_b'] & ~slices[:, :, None], log2d_w32, uniform_log2,
+        dtype, sparse_w=sparse_w, log2_n_projs=log2_n_projs)
+    fits = new_sliced_width <= max_width + _WIDTH_EPS
+    accept = _accept(ev, lt, u, beta, cfg) & fits
+    kept = _luby_keep(accept, bits, nbrs, n, nl, interpret)
+    S = _apply(S, ev, kept, cfg, dtype, interpret, width_plane=True)
 
-    def width(lanes_mwb):
-        return jax.vmap(
-            lambda lw: _width_b(lw, log2d_w32, sparse_wb=sparse_wb,
-                                log2_n_projs=log2_n_projs))(lanes_mwb)
-
-    sl = slices[None, :, :]
-    ev['new_width_b'] = width(ev['new_inds_b'])
-    new_sliced_width_b = width(ev['new_inds_b'] & ~sl)
-    fits = new_sliced_width_b <= max_width + _WIDTH_EPS
-    ev['ln_b'] = width((ev['inds_d'] | ev['inds_c']) | sl)
-    ev['ln_a'] = width((ev['new_inds_b'] | ev['inds_e']) | sl)
-    l_new = costs_ops.new_total_log2(lt[None, :], ev['l_a'], ev['l_b'],
-                                     ev['ln_a'], ev['ln_b'])
-    if cfg.prob_kind == 'mh':
-        accept = jnp.log2(u) <= -beta * (l_new - lt[None, :])
-    elif cfg.prob_kind == 'greedy':
-        accept = l_new <= lt[None, :]
-    else:
-        accept = jnp.ones_like(l_new, dtype=bool)
-    accept = accept & (ev['a'] != NULL) & fits
-
-    kept = _luby_keep(accept, prio_bits, ev, c0, c1, par, nl)
-    c0, c1, par, inds, lcc, width_pre = _apply_full(
-        c0, c1, par, inds, lcc, kept, ev, width_pre=width_pre)
-
-    moves = moves + jnp.int32(ni * accept.shape[1])
+    moves = moves + jnp.int32(ni * S.shape[1])
     applied = applied + jnp.sum(kept.astype(jnp.int32))
 
+    sp_w1 = None if sparse_w is None else sparse_w[:, None]
+
     def do_reslice(args):
-        slices_, lcc_ = args
-        new_slices = _greedy_slices_b(c0, inds, width_pre, k_reslice,
-                                      max_width, log2d_w32, skip_wb,
-                                      sparse_wb, log2_n_projs)
+        slices_, S_ = args
+        # The greedy slicer + slice-aware lcc rebuild run in the
+        # [N, ., B] layout of the batched FW machinery.
+        c0, c1, par, inds, lcc, width = _unpack(S_, w, dtype, fw=True)
+        new_slices = _greedy_slices_b(
+            c0, inds, width, k_reslice, max_width, log2d_w32,
+            skip_w[:, None], sp_w1, log2_n_projs)
         new_lcc = _lcc_fw_b(c0, c1, inds, new_slices, log2d_w32,
-                            sparse_wb, log2_n_projs)
-        better = (_log2_total_b(new_lcc, nl) < _log2_total_b(lcc_, nl))
-        return (jnp.where(better[None, :], new_slices, slices_),
-                jnp.where(better[None, :], new_lcc, lcc_))
+                            sp_w1, log2_n_projs)
+        old_lt = _log2_total_bn(
+            _join_f(S_[w + 3:w + 3 + nk, :, nl:], dtype))
+        new_lt = _log2_total_bn(new_lcc[nl:].T)
+        better = new_lt < old_lt
+        slices_out = jnp.where(better[None, :], new_slices, slices_)
+        lcc_cur = _join_f(S_[w + 3:w + 3 + nk], dtype)
+        lcc_out = jnp.where(better[:, None], new_lcc.T, lcc_cur)
+        S_out = S_.at[w + 3:w + 3 + nk].set(_split_f(lcc_out))
+        return slices_out, S_out
 
     has_slices = jnp.any(slices != 0)
-    slices, lcc = jax.lax.cond(update_slices & has_slices, do_reslice,
-                               lambda x: x, (slices, lcc))
+    slices, S = jax.lax.cond(update_slices & has_slices, do_reslice,
+                             lambda x: x, (slices, S))
 
-    lt_new = _log2_total_b(lcc, nl)
-    improved = lt_new < min_lt
-    min_lt = jnp.where(improved, lt_new, min_lt)
+    lt = _log2_total_bn(_join_f(S[w + 3:w + 3 + nk, :, nl:], dtype))
+    improved = lt < min_lt
+    min_lt = jnp.where(improved, lt, min_lt)
 
     def snap(args):
-        min_c0, min_c1, min_par, min_inds, min_slices = args
-        impn = improved[None, :]
-        impw = improved[None, None, :]
-        return (jnp.where(impn, c0, min_c0), jnp.where(impn, c1, min_c1),
-                jnp.where(impn, par, min_par),
-                jnp.where(impw, inds, min_inds),
-                jnp.where(impn, slices, min_slices))
+        S_min, min_slices = args
+        return (jnp.where(improved[None, :, None], S, S_min),
+                jnp.where(improved[None, :], slices, min_slices))
 
-    min_c0, min_c1, min_par, min_inds, min_slices = jax.lax.cond(
-        jnp.any(improved), snap, lambda x: x,
-        (min_c0, min_c1, min_par, min_inds, min_slices))
-
-    return (c0, c1, par, inds, lcc, width_pre, slices, min_lt, min_c0,
-            min_c1, min_par, min_inds, min_slices, keys, moves, applied)
+    S_min, min_slices = jax.lax.cond(
+        jnp.any(improved), snap, lambda x: x, (S_min, min_slices))
+    return (S, slices, S_min, min_slices, min_lt, lt, keys, moves,
+            applied)
 
 
-@fts.partial(jax.jit, static_argnames=('cfg',))
+@fts.partial(jax.jit,
+             static_argnames=('cfg', 'uniform_log2', 'interpret'))
 def run_fullsweep_fw(batch, betas, update_slices_mask, max_width,
                      log2d_w32, skip_wb, cfg, sparse_wb=None,
-                     log2_n_projs=None):
+                     log2_n_projs=None, *, uniform_log2=None,
+                     interpret=None):
     """Finite-width synchronous full-tree rounds (one per beta)."""
     from tnco_tpu.kernels.sa_finite_batched import SABatchFW
 
-    max_width = jnp.asarray(max_width, log2d_w32.dtype)
+    w = cfg.n_lanes
+    nl = cfg.n_leaves
+    dtype = log2d_w32.dtype
+    nk = _nk(dtype)
+    max_width = jnp.asarray(max_width, dtype)
+    sparse_w = None if sparse_wb is None else \
+        jnp.asarray(sparse_wb).reshape(-1)
+    skip_w = jnp.asarray(skip_wb).reshape(-1)
+
+    S = _pack(batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,
+              width=batch.width)
+    S_min = _pack(batch.min_c0, batch.min_c1, batch.min_par,
+                  batch.min_inds, batch.lcc, width=batch.width)
+    lt0 = _log2_total_bn(_join_f(S[w + 3:w + 3 + nk, :, nl:], dtype))
 
     def step(carry, x):
         beta, upd = x
-        carry = _iter_fullsweep_fw(carry, beta, upd, max_width,
-                                   log2d_w32, skip_wb, cfg, sparse_wb,
-                                   log2_n_projs)
-        return carry, None
+        return _iter_fullsweep_fw(carry, beta, upd, max_width,
+                                  log2d_w32, skip_w, cfg, uniform_log2,
+                                  sparse_w, log2_n_projs,
+                                  interpret), None
 
-    carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,
-             batch.width, batch.slices, batch.min_log2_total,
-             batch.min_c0, batch.min_c1, batch.min_par, batch.min_inds,
-             batch.min_slices, batch.keys, jnp.int32(0), jnp.int32(0))
+    carry = (S, batch.slices, S_min, batch.min_slices,
+             batch.min_log2_total, lt0, batch.keys, jnp.int32(0),
+             jnp.int32(0))
     carry, _ = jax.lax.scan(step, carry, (betas, update_slices_mask))
-    (c0, c1, par, inds, lcc, width_pre, slices, min_lt, min_c0, min_c1,
-     min_par, min_inds, min_slices, keys, moves, applied) = carry
-    lt = _log2_total_b(lcc, cfg.n_leaves)
+    (S, slices, S_min, min_slices, min_lt, lt, keys, moves,
+     applied) = carry
+
     improved = lt < min_lt
     min_lt = jnp.where(improved, lt, min_lt)
-    impn, impw = improved[None, :], improved[None, None, :]
-    min_c0 = jnp.where(impn, c0, min_c0)
-    min_c1 = jnp.where(impn, c1, min_c1)
-    min_par = jnp.where(impn, par, min_par)
-    min_inds = jnp.where(impw, inds, min_inds)
-    min_slices = jnp.where(impn, slices, min_slices)
+    S_min = jnp.where(improved[None, :, None], S, S_min)
+    min_slices = jnp.where(improved[None, :], slices, min_slices)
+    c0, c1, par, inds, lcc, width = _unpack(S, w, dtype, fw=True)
+    mc0, mc1, mpar, minds, _ml, _mw = _unpack(S_min, w, dtype, fw=True)
     hyper = compute_hyper_b(c0, c1, inds)
-    out = SABatchFW(c0, c1, par, inds, hyper, lcc, width_pre, slices, lt,
-                    min_lt, min_c0, min_c1, min_par, min_inds, min_slices,
-                    keys)
+    out = SABatchFW(c0, c1, par, inds, hyper, lcc, width, slices, lt,
+                    min_lt, mc0, mc1, mpar, minds, min_slices, keys)
     return out, {'moves': moves, 'applied': applied}

@@ -385,7 +385,9 @@ class ReplicaRunner:
                 from tnco_tpu.kernels import sa_fullsweep as sfs
                 self.states, metrics = sfs.run_fullsweep(
                     self.states, jnp.asarray(chunk), self.log2d_w32,
-                    self.cfg, self.sparse_wb, self.log2_n_projs)
+                    self.cfg, self.sparse_wb, self.log2_n_projs,
+                    uniform_log2=sfs.uniform_log2_dim(
+                        self.template.log2_dims_array))
                 last_min = self.states.min_log2_total
             else:
                 self.states, metrics = sa.run_sweeps_batch(
@@ -540,6 +542,13 @@ class ReplicaRunnerFW:
                 max_number_new_slices:
             raise ValueError(f"engine={engine!r} does not support "
                              "max_number_new_slices.")
+        if (engine == 'mxu' and not walk_chunk and
+                len(ctrees) * n_walks > 8192):
+            from warnings import warn
+            warn("engine='mxu' (finite width) at B*P > 8192 without "
+                 "walk_chunk has crashed the TPU worker at Sycamore "
+                 "scale; pass walk_chunk (e.g. 8) or stay within "
+                 "B<=64/P<=64 (docs/ROADMAP.md).", stacklevel=2)
         self.engine = engine
         self.n_walks = int(n_walks)
         self.walk_chunk = int(walk_chunk)
@@ -743,7 +752,9 @@ class ReplicaRunnerFW:
                 self.states, metrics = sfs.run_fullsweep_fw(
                     self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
                     self.max_width, self.log2d_w32, self.skip_lanes,
-                    self.cfg, self.sparse_wb, self.log2_n_projs)
+                    self.cfg, self.sparse_wb, self.log2_n_projs,
+                    uniform_log2=sfs.uniform_log2_dim(
+                        self.template.log2_dims_array))
                 last_min = self.states.min_log2_total
             else:
                 self.states, metrics = saf.run_sweeps_fw_batch(
