@@ -11,6 +11,7 @@ Usage::
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -57,7 +58,10 @@ def run_quality(name: str, seconds: float, seed: int = 0,
 
     # Both engines anneal beta linearly with *elapsed wall-clock fraction*
     # so the schedule completes within the budget regardless of engine
-    # speed (the quality driver, not a fixed sweep count).
+    # speed (the quality driver, not a fixed sweep count).  The CPU arm
+    # always uses the totals-rule scale (60); the TPU arm's scale is set
+    # after the runner resolves prob_kind ('mh_local' deltas are
+    # per-pair bits — ~50x the totals-rule magnitudes).
     beta_max = 60.0
 
     # --- TPU: replica batch, chunked until the budget expires -------------
@@ -68,6 +72,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
     runner = ReplicaRunner(ctrees, list(range(n_tpu_replicas)),
                            cmodel=SimpleCostModel(), engine=engine,
                            n_walks=n_walks, walk_chunk=walk_chunk)
+    tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
+                    else beta_max)
     chunk_sweeps = 128
     # Warm-up compile outside the budget (not counted in tpu_moves)
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
@@ -81,8 +87,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
             break
         # Estimated fraction covered by this chunk: assume it takes as
         # long as the average so far (coarse but self-correcting).
-        betas = np.linspace(min(frac0, 1.0) * beta_max,
-                            min(frac0 + 0.05, 1.0) * beta_max,
+        betas = np.linspace(min(frac0, 1.0) * tpu_beta_max,
+                            min(frac0 + 0.05, 1.0) * tpu_beta_max,
                             chunk_sweeps).astype(np.float32)
         runner.run(betas, chunk_size=chunk_sweeps)
         n_calls += 1
@@ -190,6 +196,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     runner = ReplicaRunnerFW(ctrees, list(range(n_tpu_replicas)),
                              cmodel=cmodel, engine=engine,
                              n_walks=n_walks, walk_chunk=walk_chunk)
+    tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
+                    else beta_max)
     chunk_sweeps = 64
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps, update_slices=10)
@@ -200,8 +208,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         frac0 = (time.perf_counter() - t0) / seconds
         if frac0 >= 1.0:
             break
-        betas = np.linspace(min(frac0, 1.0) * beta_max,
-                            min(frac0 + 0.05, 1.0) * beta_max,
+        betas = np.linspace(min(frac0, 1.0) * tpu_beta_max,
+                            min(frac0 + 0.05, 1.0) * tpu_beta_max,
                             chunk_sweeps).astype(np.float32)
         runner.run(betas, chunk_size=chunk_sweeps, update_slices=10)
         n_calls += 1
@@ -278,6 +286,12 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
 
 
 def main() -> None:
+    # Mirror the CLI's platform override (sitecustomize pins
+    # JAX_PLATFORMS=axon; the env var alone may not stick).
+    platform = os.environ.get('TNCO_TPU_PLATFORM')
+    if platform:
+        import jax
+        jax.config.update('jax_platforms', platform)
     parser = argparse.ArgumentParser()
     parser.add_argument('--config', default='lattice')
     parser.add_argument('--seconds', type=float, default=30.0)

