@@ -23,7 +23,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                 exchange_every: int = 0,
                 engine: str = 'auto',
                 n_walks: int = 8,
-                walk_chunk: int = 0) -> dict:
+                walk_chunk: int = 0,
+                tpu_beta_max: float | None = None) -> dict:
     import jax.numpy as jnp
 
     from benchmarks.run import build_config
@@ -38,7 +39,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
         return _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                                seconds, seed, n_tpu_replicas,
                                n_cpu_replicas, engine, n_walks, walk_chunk,
-                               exchange_every=exchange_every)
+                               exchange_every=exchange_every,
+                               tpu_beta_max=tpu_beta_max)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
 
     n_paths = 32
@@ -72,8 +74,9 @@ def run_quality(name: str, seconds: float, seed: int = 0,
     runner = ReplicaRunner(ctrees, list(range(n_tpu_replicas)),
                            cmodel=SimpleCostModel(), engine=engine,
                            n_walks=n_walks, walk_chunk=walk_chunk)
-    tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
-                    else beta_max)
+    if tpu_beta_max is None:
+        tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
+                        else beta_max)
     chunk_sweeps = 128
     # Warm-up compile outside the budget (not counted in tpu_moves)
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
@@ -160,7 +163,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                     seconds, seed, n_tpu_replicas, n_cpu_replicas,
                     engine: str = 'auto', n_walks: int = 8,
                     walk_chunk: int = 0,
-                    exchange_every: int = 0) -> dict:
+                    exchange_every: int = 0,
+                    tpu_beta_max: float | None = None) -> dict:
     """Finite-width protocol: width-capped SA + slices, same budget rule."""
     import jax.numpy as jnp
 
@@ -196,8 +200,9 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     runner = ReplicaRunnerFW(ctrees, list(range(n_tpu_replicas)),
                              cmodel=cmodel, engine=engine,
                              n_walks=n_walks, walk_chunk=walk_chunk)
-    tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
-                    else beta_max)
+    if tpu_beta_max is None:
+        tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
+                        else beta_max)
     chunk_sweeps = 64
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps, update_slices=10)
@@ -311,12 +316,16 @@ def main() -> None:
     parser.add_argument('--walk-chunk', type=int, default=0,
                         help='Walk group size (multiwalk and mxu '
                              'engines; 0 = all at once).')
+    parser.add_argument('--tpu-beta-max', type=float, default=None,
+                        help='Override the TPU-arm beta_max (default: '
+                             '60, or 3000 under mh_local).')
     args = parser.parse_args()
     res = run_quality(args.config, args.seconds, args.seed,
                       args.tpu_replicas, args.cpu_replicas,
                       exchange_every=args.exchange_every,
                       engine=args.engine, n_walks=args.n_walks,
-                      walk_chunk=args.walk_chunk)
+                      walk_chunk=args.walk_chunk,
+                      tpu_beta_max=args.tpu_beta_max)
     print(json.dumps(res, indent=1))
 
 
