@@ -309,10 +309,11 @@ def main() -> None:
                              '(0 = independent runs).')
     parser.add_argument('--engine', default='auto',
                         help="'auto' | 'batched' | 'vmapped' | 'native' "
-                             "| 'multiwalk' | 'mxu' | 'walker' | 'sweep'.")
+                             "| 'multiwalk' | 'mxu' | 'walker' | 'sweep' "
+                             "| 'walks'.")
     parser.add_argument('--n-walks', type=int, default=8,
-                        help='Concurrent walks per replica (multiwalk '
-                             'and mxu engines).')
+                        help='Concurrent walks per replica (multiwalk, '
+                             'mxu, walker and walks engines).')
     parser.add_argument('--walk-chunk', type=int, default=0,
                         help='Walk group size (multiwalk and mxu '
                              'engines; 0 = all at once).')

@@ -1,0 +1,505 @@
+"""Chained multi-walk SA engine on the pull/gather machinery (v3).
+
+Why this engine exists: the equal-proposal probes on width-capped
+Sycamore showed the synchronous full-tree engine structurally stalls
+~15 bits above the sequential arms (native 72.6 vs sweep 87.2 at 2e5
+proposals/replica) — deep trees need *chained* bottom-up move
+sequences (a subtree riding up the tree across consecutive accepted
+uncle swaps along a leaf-to-root walk), which ~N/2 independent
+single-rotation proposals per round cannot compose.  The masked
+multi-walk engine (:mod:`tnco_tpu.kernels.sa_multiwalk`) has exactly
+the right chained semantics but pays O(N·W) masked-reduction traffic
+per walk; this engine keeps those semantics and replaces every row
+access with the fullsweep v2 primitives:
+
+- state packed as ``uint32 [F, B, N]`` planes with nodes on LANES
+  (``[inds(0:W), c0, c1, lcc, par(, width)]``);
+- every irregular row read is a lane-wise
+  :func:`tnco_tpu.kernels.pallas_gather.gather_gbn` at the ``[B, P]``
+  walk positions (3 calls: rows at B, rows at A, index sets at
+  {C, c0(B), c1(B)});
+- the apply step writes the 4 touched rows per kept walk with the dual
+  :func:`tnco_tpu.kernels.pallas_scatter.scatter_rows_gbn` (an id
+  inversion shared across planes + lane-wise dynamic_gather from the
+  update buffer) — no masked O(N·P) passes, no XLA scalar-loop
+  scatters.
+
+Per-iteration cost is dominated by streaming the state planes a fixed
+number of times, independent of the walk count ``P`` — so ``P`` scales
+proposal throughput until tree-neighborhood conflicts bite.
+
+Semantics: identical to :mod:`tnco_tpu.kernels.sa_multiwalk` (same
+proposal geometry, same acceptance, same PRNG stream, same additive
+float updates) up to the conflict filter.  ``claim='sequential'``
+reproduces the multi-walk engine's lower-index-wins scan and is
+BIT-IDENTICAL to it (enforced by tests); ``claim='pairwise'`` (the
+default) blocks a walk on conflict with any lower-index *accepted*
+walk — slightly more conservative, O(P^2·B) in one fused pass instead
+of a P-step serial loop.  Kept proposals are pairwise disjoint either
+way, so the simultaneous application equals a sequential order.
+
+Reference semantics per proposal: include/tnco/optimize/
+infinite_memory/optimizer.hpp:117-192 (and finite_width/greedy/
+optimizer.hpp:188-225 for the width-capped variant); the synchronous
+multi-walk scheduling and the conflict filters are original TPU-first
+scheduling.
+"""
+
+import functools as fts
+
+import jax
+import jax.numpy as jnp
+
+from tnco_tpu.kernels.pallas_gather import gather_gbn
+from tnco_tpu.kernels.pallas_scatter import scatter_rows_gbn
+# Shared plane codecs + the order-pinned width machinery (fullsweep v2).
+from tnco_tpu.kernels.sa_fullsweep import (_i32, _join_f, _nk, _split_f,
+                                           _u32, _width_bn)
+from tnco_tpu.kernels.sa_batched import SABatch, compute_hyper_b
+from tnco_tpu.kernels.sa_infinite import SweepConfig
+from tnco_tpu.kernels.sa_multiwalk import _draws
+from tnco_tpu.ops import costs as costs_ops
+
+__all__ = ['run_walks', 'run_walks_fw']
+
+NULL = -1
+_SCALED_FLOOR = 2.0**-60
+
+
+def _pack_w(c0, c1, par, inds, lcc, width=None):
+    """``[N, B]`` / ``[N, W, B]`` arrays -> ``u32 [F, B, N]`` planes.
+
+    Plane layout (walks engine): ``[0:W)`` inds; c0; c1; lcc (nk);
+    par; optionally the FW pre-slicing width (nk).  ``par`` sits after
+    ``lcc`` so the three scatter groups (``c0,c1,lcc`` at {B,A} ids /
+    ``par`` at {C,E} ids / ``inds`` at B ids) are contiguous slices.
+    """
+    planes = [jnp.transpose(inds, (1, 2, 0))]
+    planes.append(_u32(c0.T)[None])
+    planes.append(_u32(c1.T)[None])
+    planes.append(_split_f(lcc.T))
+    planes.append(_u32(par.T)[None])
+    if width is not None:
+        planes.append(_split_f(width.T))
+    return jnp.concatenate(planes, axis=0)
+
+
+def _unpack_w(S, w, dtype, fw=False):
+    nk = _nk(dtype)
+    inds = jnp.transpose(S[:w], (2, 0, 1))                  # [N, W, B]
+    c0 = _i32(S[w]).T
+    c1 = _i32(S[w + 1]).T
+    lcc = _join_f(S[w + 2:w + 2 + nk], dtype).T
+    par = _i32(S[w + 2 + nk]).T
+    if not fw:
+        return c0, c1, par, inds, lcc
+    width = _join_f(S[w + 3 + nk:w + 3 + 2 * nk], dtype).T
+    return c0, c1, par, inds, lcc, width
+
+
+def _lt_from_S(S, w, nk, nl, dtype):
+    lcc_bn = _join_f(S[w + 2:w + 2 + nk], dtype)            # [B, N]
+    return costs_ops.log2_total_from_lcc(lcc_bn.T, nl)
+
+
+def _propose_walks(S, pos, leaf, rand_bit, cfg: SweepConfig, log2d_w32,
+                   uniform_log2, dtype, sparse_w, log2_n_projs,
+                   interpret, slices_wb=None, with_width=False):
+    """Row pulls + proposal math at the ``[B, P]`` walk positions.
+
+    Returns the advanced positions and the per-walk ``ev`` dict
+    (ids/costs ``[B, P]``, lane sets ``[W, B, P]``).
+    """
+    w = cfg.n_lanes
+    nk = _nk(dtype)
+    p = pos.shape[1]
+    par_plane = w + 2 + nk
+
+    # Restart finished walks at the parent of a fresh leaf (multiwalk
+    # semantics: a walk at the root, or never started, restarts).
+    ids0 = jnp.concatenate([jnp.maximum(pos, 0), leaf], axis=1)
+    pp = _i32(gather_gbn(S[par_plane][None], ids0,
+                         interpret=interpret)[0])
+    par_pos, par_leaf = pp[:, :p], pp[:, p:]
+    at_boundary = (pos == NULL) | (par_pos == NULL)
+    pos = jnp.where(at_boundary, par_leaf, pos)
+
+    b = pos
+    n_pull = w + 3 + nk + (nk if with_width else 0)
+    rb = gather_gbn(S[:n_pull], b, interpret=interpret)
+    inds_b = rb[:w]
+    c0b = _i32(rb[w])
+    c1b = _i32(rb[w + 1])
+    l_b = _join_f(rb[w + 2:w + 2 + nk], dtype)
+    a = _i32(rb[w + 2 + nk])
+    a = jnp.where(b == NULL, NULL, a)
+    ev = dict(a=a, b=b, c0b=c0b, c1b=c1b, inds_b=inds_b, l_b=l_b)
+    if with_width:
+        ev['w_b'] = _join_f(rb[w + 3 + nk:w + 3 + 2 * nk], dtype)
+
+    ra = gather_gbn(S[:w + 2 + nk], a, interpret=interpret)
+    inds_a = ra[:w]
+    c0a = _i32(ra[w])
+    c1a = _i32(ra[w + 1])
+    ev['l_a'] = _join_f(ra[w + 2:w + 2 + nk], dtype)
+    c = jnp.where(c0a == b, c1a, c0a)
+    ev.update(c=c, c0a=c0a, c1a=c1a)
+
+    r3 = gather_gbn(S[:w], jnp.concatenate([c, c0b, c1b], axis=1),
+                    interpret=interpret)
+    inds_c = r3[:, :, :p]
+    inds0 = r3[:, :, p:2 * p]
+    inds1 = r3[:, :, 2 * p:]
+
+    i0 = jnp.any((inds0 & inds_c) != 0, axis=0)
+    i1 = jnp.any((inds1 & inds_c) != 0, axis=0)
+    take0 = jnp.where(cfg.disable_shared_inds | (i0 & i1), rand_bit, i0)
+    ev['d'] = jnp.where(take0, c0b, c1b)
+    ev['e'] = jnp.where(take0, c1b, c0b)
+    t0 = take0[None]
+    inds_d = jnp.where(t0, inds0, inds1)
+    inds_e = jnp.where(t0, inds1, inds0)
+
+    hyp_a = inds_a & inds_b & inds_c
+    hyp_b = inds_b & inds0 & inds1
+    ev['new_inds_b'] = (inds_d ^ inds_c) | hyp_a | hyp_b
+
+    def width(lanes):
+        if slices_wb is not None:
+            lanes = lanes | slices_wb[:, :, None]
+        return _width_bn(lanes, log2d_w32, uniform_log2, dtype,
+                         sparse_w=sparse_w, log2_n_projs=log2_n_projs)
+
+    ev['ln_b'] = width(inds_d | inds_c)
+    ev['ln_a'] = width(ev['new_inds_b'] | inds_e)
+    ev['inds_e'] = inds_e
+    return pos, ev
+
+
+def _accept_walks(ev, lt, u, beta, cfg: SweepConfig):
+    if cfg.prob_kind == 'mh':
+        l_new = costs_ops.new_total_log2(lt[:, None], ev['l_a'],
+                                         ev['l_b'], ev['ln_a'],
+                                         ev['ln_b'])
+        accept = jnp.log2(u) <= -beta * (l_new - lt[:, None])
+    elif cfg.prob_kind == 'mh_local':
+        # Pair-calibrated Metropolis (see sa_fullsweep._accept): anneals
+        # every cost scale of the tree simultaneously.
+        m = jnp.maximum(jnp.maximum(ev['l_a'], ev['l_b']),
+                        jnp.maximum(ev['ln_a'], ev['ln_b']))
+        old = jnp.exp2(ev['l_a'] - m) + jnp.exp2(ev['l_b'] - m)
+        new = jnp.exp2(ev['ln_a'] - m) + jnp.exp2(ev['ln_b'] - m)
+        delta = (jnp.log2(jnp.maximum(new, _SCALED_FLOOR)) -
+                 jnp.log2(jnp.maximum(old, _SCALED_FLOOR)))
+        accept = jnp.log2(u) <= -beta * delta
+    elif cfg.prob_kind == 'greedy':
+        l_new = costs_ops.new_total_log2(lt[:, None], ev['l_a'],
+                                         ev['l_b'], ev['ln_a'],
+                                         ev['ln_b'])
+        accept = l_new <= lt[:, None]
+    else:
+        accept = jnp.ones_like(ev['l_a'], dtype=bool)
+    return accept & (ev['b'] != NULL) & (ev['a'] != NULL)
+
+
+def _claim_pairwise(accept, ev):
+    """Lower walk index wins against every lower-index ACCEPTED walk
+    (one fused O(P^2·B) pass; slightly more conservative than the
+    sequential scan but still yields pairwise-disjoint kept sets)."""
+    nodes5 = jnp.stack([ev[k] for k in ('a', 'b', 'c', 'd', 'e')])
+    x = nodes5[:, None, :, :, None]
+    y = nodes5[None, :, :, None, :]
+    confl = jnp.any(x == y, axis=(0, 1))                    # [B, P, P]
+    p = accept.shape[-1]
+    lower = jnp.arange(p)[None, :] < jnp.arange(p)[:, None]  # q < p
+    blocked = jnp.any(confl & accept[:, None, :] & lower[None], axis=-1)
+    return accept & ~blocked
+
+
+def _claim_sequential(accept, ev):
+    """The multi-walk engine's claim scan (lower index wins against
+    lower-index KEPT walks) in the ``[B, P]`` layout — bit-identical
+    kept sets to ``sa_multiwalk._claim_disjoint``."""
+    nodes5 = jnp.stack([ev[k] for k in ('a', 'b', 'c', 'd', 'e')])
+    p = accept.shape[-1]
+    walk_idx = jnp.arange(p)
+
+    def claim(pi, keep):
+        rows = jax.lax.dynamic_slice_in_dim(nodes5, pi, 1, axis=2)
+        eq = rows[:, None] == nodes5[None]                  # [5,5,B,P]
+        confl = jnp.any(eq, axis=(0, 1))                    # [B, P]
+        blocked = jnp.any(keep & confl & (walk_idx < pi)[None], axis=1)
+        acc = jax.lax.dynamic_slice_in_dim(accept, pi, 1, axis=1)[:, 0]
+        return jax.lax.dynamic_update_slice_in_dim(
+            keep, (acc & ~blocked)[:, None], pi, axis=1)
+
+    return jax.lax.fori_loop(0, p, claim, jnp.zeros_like(accept))
+
+
+def _apply_walks(S, ev, kept, cfg: SweepConfig, dtype, interpret,
+                 with_width=False):
+    """Scatter the 4 touched rows of every kept walk.
+
+    Float rows are written in the multi-walk engine's ADDITIVE form
+    (``old + (new - old)``) so trajectories stay bit-identical to it.
+    """
+    w = cfg.n_lanes
+    nk = _nk(dtype)
+
+    def masked(ids):
+        return jnp.where(kept, ids, NULL)
+
+    b_k, a_k = masked(ev['b']), masked(ev['a'])
+    c_k, e_k = masked(ev['c']), masked(ev['e'])
+
+    new_c0b = jnp.where(ev['c0b'] == ev['e'], ev['c'], ev['c0b'])
+    new_c1b = jnp.where(ev['c1b'] == ev['e'], ev['c'], ev['c1b'])
+    new_c0a = jnp.where(ev['c0a'] == ev['c'], ev['e'], ev['c0a'])
+    new_c1a = jnp.where(ev['c1a'] == ev['c'], ev['e'], ev['c1a'])
+    new_l_b = ev['l_b'] + (ev['ln_b'] - ev['l_b'])
+    new_l_a = ev['l_a'] + (ev['ln_a'] - ev['l_a'])
+
+    # Group 1: c0, c1, lcc at {B, A}.
+    ids_ba = jnp.concatenate([b_k, a_k], axis=1)
+    upd1 = jnp.concatenate([
+        _u32(jnp.concatenate([new_c0b, new_c0a], axis=1))[None],
+        _u32(jnp.concatenate([new_c1b, new_c1a], axis=1))[None],
+        _split_f(jnp.concatenate([new_l_b, new_l_a], axis=1)),
+    ], axis=0)
+    S = S.at[w:w + 2 + nk].set(
+        scatter_rows_gbn(S[w:w + 2 + nk], ids_ba, upd1,
+                         interpret=interpret))
+
+    # Group 2: par at {C, E} (C reparents to B, E to A).
+    ids_ce = jnp.concatenate([c_k, e_k], axis=1)
+    upd2 = _u32(jnp.concatenate([ev['b'], ev['a']], axis=1))[None]
+    S = S.at[w + 2 + nk:w + 3 + nk].set(
+        scatter_rows_gbn(S[w + 2 + nk:w + 3 + nk], ids_ce, upd2,
+                         interpret=interpret))
+
+    # Group 3: inds at B.
+    S = S.at[:w].set(
+        scatter_rows_gbn(S[:w], b_k, ev['new_inds_b'],
+                         interpret=interpret))
+
+    if with_width:
+        new_w_b = ev['w_b'] + (ev['new_width_b'] - ev['w_b'])
+        wp = slice(w + 3 + nk, w + 3 + 2 * nk)
+        S = S.at[wp].set(
+            scatter_rows_gbn(S[wp], b_k, _split_f(new_w_b),
+                             interpret=interpret))
+    return S
+
+
+def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
+                uniform_log2, sparse_w, log2_n_projs, interpret):
+    (S, S_min, min_lt, keys, pos, moves, applied) = carry
+    w = cfg.n_lanes
+    nl = cfg.n_leaves
+    dtype = log2d_w32.dtype
+    nk = _nk(dtype)
+    p = pos.shape[1]
+
+    keys, leaf, rand_bit, u, _ = _draws(keys, nl, p, dtype, 4)
+    leaf, rand_bit, u = leaf.T, rand_bit.T, u.T             # [B, P]
+
+    lt = _lt_from_S(S, w, nk, nl, dtype)
+    pos, ev = _propose_walks(S, pos, leaf, rand_bit, cfg, log2d_w32,
+                             uniform_log2, dtype, sparse_w,
+                             log2_n_projs, interpret)
+    accept = _accept_walks(ev, lt, u, beta, cfg)
+    keep = (_claim_sequential if claim == 'sequential' else
+            _claim_pairwise)(accept, ev)
+    S = _apply_walks(S, ev, keep, cfg, dtype, interpret)
+
+    pos = ev['a']
+    moves = moves + jnp.int32(p * pos.shape[0])
+    applied = applied + jnp.sum(keep.astype(jnp.int32))
+
+    lt_new = _lt_from_S(S, w, nk, nl, dtype)
+    improved = lt_new < min_lt
+    min_lt = jnp.where(improved, lt_new, min_lt)
+    S_min = jax.lax.cond(
+        jnp.any(improved),
+        lambda args: jnp.where(improved[None, :, None], *args),
+        lambda args: args[1], (S, S_min))
+    return (S, S_min, min_lt, keys, pos, moves, applied)
+
+
+@fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'uniform_log2',
+                                       'interpret'))
+def run_walks(batch: SABatch, betas, log2d_w32, cfg: SweepConfig, pos,
+              sparse_wb=None, log2_n_projs=None, *, claim='pairwise',
+              uniform_log2=None, interpret=None):
+    """One chained multi-walk iteration per beta (P proposals per
+    replica per iteration; P is ``pos.shape[0]``).
+
+    ``pos`` is ``int32 [P, B]`` (-1 = start a fresh walk), as in the
+    masked multi-walk engine; returns the updated batch and
+    ``{'moves', 'applied', 'pos'}``.
+    """
+    w = cfg.n_lanes
+    nl = cfg.n_leaves
+    dtype = log2d_w32.dtype
+    nk = _nk(dtype)
+    sparse_w = None if sparse_wb is None else \
+        jnp.asarray(sparse_wb).reshape(-1)
+
+    S = _pack_w(batch.c0, batch.c1, batch.par, batch.inds, batch.lcc)
+    S_min = _pack_w(batch.min_c0, batch.min_c1, batch.min_par,
+                    batch.min_inds, batch.lcc)
+
+    def step(carry, beta):
+        return _iter_walks(carry, beta, log2d_w32, cfg, claim,
+                           uniform_log2, sparse_w, log2_n_projs,
+                           interpret), None
+
+    carry = (S, S_min, batch.min_log2_total, batch.keys, pos.T,
+             jnp.int32(0), jnp.int32(0))
+    carry, _ = jax.lax.scan(step, carry, betas)
+    (S, S_min, min_lt, keys, pos_bp, moves, applied) = carry
+
+    lt = _lt_from_S(S, w, nk, nl, dtype)
+    improved = lt < min_lt
+    min_lt = jnp.where(improved, lt, min_lt)
+    S_min = jnp.where(improved[None, :, None], S, S_min)
+    c0, c1, par, inds, lcc = _unpack_w(S, w, dtype)
+    mc0, mc1, mpar, minds, _ml = _unpack_w(S_min, w, dtype)
+    hyper = compute_hyper_b(c0, c1, inds)
+    out = SABatch(c0, c1, par, inds, hyper, lcc, lt, min_lt, mc0, mc1,
+                  mpar, minds, keys)
+    return out, {'moves': moves, 'applied': applied, 'pos': pos_bp.T}
+
+
+# --------------------------- finite width ---------------------------
+
+
+def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
+                   skip_w, cfg: SweepConfig, claim, uniform_log2,
+                   sparse_w, log2_n_projs, interpret):
+    from tnco_tpu.kernels.sa_finite import _WIDTH_EPS
+    from tnco_tpu.kernels.sa_finite_batched import (_greedy_slices_b,
+                                                    _lcc_fw_b)
+
+    (S, slices, S_min, min_slices, min_lt, keys, pos, moves,
+     applied) = carry
+    w = cfg.n_lanes
+    nl = cfg.n_leaves
+    dtype = log2d_w32.dtype
+    nk = _nk(dtype)
+    p = pos.shape[1]
+
+    keys, leaf, rand_bit, u, (k_reslice,) = _draws(keys, nl, p, dtype, 5)
+    leaf, rand_bit, u = leaf.T, rand_bit.T, u.T
+
+    lt = _lt_from_S(S, w, nk, nl, dtype)
+    pos, ev = _propose_walks(S, pos, leaf, rand_bit, cfg, log2d_w32,
+                             uniform_log2, dtype, sparse_w,
+                             log2_n_projs, interpret,
+                             slices_wb=slices, with_width=True)
+    ev['new_width_b'] = _width_bn(ev['new_inds_b'], log2d_w32,
+                                  uniform_log2, dtype, sparse_w=sparse_w,
+                                  log2_n_projs=log2_n_projs)
+    new_sliced_width = _width_bn(
+        ev['new_inds_b'] & ~slices[:, :, None], log2d_w32, uniform_log2,
+        dtype, sparse_w=sparse_w, log2_n_projs=log2_n_projs)
+    fits = new_sliced_width <= max_width + _WIDTH_EPS
+    accept = _accept_walks(ev, lt, u, beta, cfg) & fits
+    keep = (_claim_sequential if claim == 'sequential' else
+            _claim_pairwise)(accept, ev)
+    S = _apply_walks(S, ev, keep, cfg, dtype, interpret, with_width=True)
+
+    pos = ev['a']
+    moves = moves + jnp.int32(p * pos.shape[0])
+    applied = applied + jnp.sum(keep.astype(jnp.int32))
+
+    sp_w1 = None if sparse_w is None else sparse_w[:, None]
+
+    def do_reslice(args):
+        slices_, S_ = args
+        c0, c1, par, inds, lcc, width = _unpack_w(S_, w, dtype, fw=True)
+        new_slices = _greedy_slices_b(
+            c0, inds, width, k_reslice, max_width, log2d_w32,
+            skip_w[:, None], sp_w1, log2_n_projs)
+        new_lcc = _lcc_fw_b(c0, c1, inds, new_slices, log2d_w32,
+                            sp_w1, log2_n_projs)
+        old_lt = _lt_from_S(S_, w, nk, nl, dtype)
+        new_lt = costs_ops.log2_total_from_lcc(new_lcc, nl)
+        better = new_lt < old_lt
+        slices_out = jnp.where(better[None, :], new_slices, slices_)
+        lcc_cur = _join_f(S_[w + 2:w + 2 + nk], dtype)
+        lcc_out = jnp.where(better[:, None], new_lcc.T, lcc_cur)
+        S_out = S_.at[w + 2:w + 2 + nk].set(_split_f(lcc_out))
+        return slices_out, S_out
+
+    has_slices = jnp.any(slices != 0)
+    slices, S = jax.lax.cond(update_slices & has_slices, do_reslice,
+                             lambda x: x, (slices, S))
+
+    lt_new = _lt_from_S(S, w, nk, nl, dtype)
+    improved = lt_new < min_lt
+    min_lt = jnp.where(improved, lt_new, min_lt)
+
+    def snap(args):
+        S_min, min_slices = args
+        return (jnp.where(improved[None, :, None], S, S_min),
+                jnp.where(improved[None, :], slices, min_slices))
+
+    S_min, min_slices = jax.lax.cond(
+        jnp.any(improved), snap, lambda x: x, (S_min, min_slices))
+    return (S, slices, S_min, min_slices, min_lt, keys, pos, moves,
+            applied)
+
+
+@fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'uniform_log2',
+                                       'interpret'))
+def run_walks_fw(batch, betas, update_slices_mask, max_width, log2d_w32,
+                 skip_wb, cfg: SweepConfig, pos, sparse_wb=None,
+                 log2_n_projs=None, *, claim='pairwise',
+                 uniform_log2=None, interpret=None):
+    """Finite-width chained multi-walk rounds (one per beta).
+
+    Width-capped proposals against the shared slice lanes + the
+    periodic greedy reslice-if-better, mirroring the other FW engines'
+    cadence semantics.
+    """
+    from tnco_tpu.kernels.sa_finite_batched import SABatchFW
+
+    w = cfg.n_lanes
+    nl = cfg.n_leaves
+    dtype = log2d_w32.dtype
+    nk = _nk(dtype)
+    max_width = jnp.asarray(max_width, dtype)
+    sparse_w = None if sparse_wb is None else \
+        jnp.asarray(sparse_wb).reshape(-1)
+    skip_w = jnp.asarray(skip_wb).reshape(-1)
+
+    S = _pack_w(batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,
+                width=batch.width)
+    S_min = _pack_w(batch.min_c0, batch.min_c1, batch.min_par,
+                    batch.min_inds, batch.lcc, width=batch.width)
+
+    def step(carry, x):
+        beta, upd = x
+        return _iter_walks_fw(carry, beta, upd, max_width, log2d_w32,
+                              skip_w, cfg, claim, uniform_log2,
+                              sparse_w, log2_n_projs, interpret), None
+
+    carry = (S, batch.slices, S_min, batch.min_slices,
+             batch.min_log2_total, batch.keys, pos.T, jnp.int32(0),
+             jnp.int32(0))
+    carry, _ = jax.lax.scan(step, carry, (betas, update_slices_mask))
+    (S, slices, S_min, min_slices, min_lt, keys, pos_bp, moves,
+     applied) = carry
+
+    lt = _lt_from_S(S, w, nk, nl, dtype)
+    improved = lt < min_lt
+    min_lt = jnp.where(improved, lt, min_lt)
+    S_min = jnp.where(improved[None, :, None], S, S_min)
+    min_slices = jnp.where(improved[None, :], slices, min_slices)
+    c0, c1, par, inds, lcc, width = _unpack_w(S, w, dtype, fw=True)
+    mc0, mc1, mpar, minds, _ml, _mw = _unpack_w(S_min, w, dtype, fw=True)
+    hyper = compute_hyper_b(c0, c1, inds)
+    out = SABatchFW(c0, c1, par, inds, hyper, lcc, width, slices, lt,
+                    min_lt, mc0, mc1, mpar, minds, min_slices, keys)
+    return out, {'moves': moves, 'applied': applied, 'pos': pos_bp.T}

@@ -52,7 +52,8 @@ def make_mesh(devices=None, axis_name: str = 'r', *, shape=None,
 # Engines whose device state is the lane-major SABatch/SABatchFW layout
 # (replica axis LAST); 'vmapped' keeps replica-major pytrees instead.
 # Lane-major engines share the exchange_best machinery too.
-_LANE_MAJOR = ('batched', 'multiwalk', 'mxu', 'walker', 'sweep')
+_LANE_MAJOR = ('batched', 'multiwalk', 'mxu', 'walker', 'sweep',
+               'walks')
 
 
 def replica_sharding(mesh, axis_name=None):
@@ -165,6 +166,12 @@ class ReplicaRunner:
         trajectories to 'multiwalk', much faster on very large networks
         (Sycamore-scale) where the masked broadcasts dominate.
 
+        'walks' is the chained multi-walk engine rebuilt on the
+        pull/gather machinery (kernels/sa_walks.py): multiwalk
+        semantics (P chained leaf-to-root walks per replica) with
+        per-iteration cost independent of P — the large-network
+        chained engine.  ``n_walks`` applies; ``walk_chunk`` does not.
+
         'sweep' is the synchronous full-tree engine
         (kernels/sa_fullsweep.py): one proposal at EVERY internal node
         per beta, Luby conflict filtering.  Its default acceptance is
@@ -210,13 +217,13 @@ class ReplicaRunner:
             else:
                 engine = 'vmapped'
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
-                          'mxu', 'walker', 'sweep'):
+                          'mxu', 'walker', 'sweep', 'walks'):
             raise ValueError(f"Unknown engine: {engine!r}")
         if prob_kind is None:
             prob_kind = 'mh_local' if engine == 'sweep' else 'mh'
-        if prob_kind == 'mh_local' and engine != 'sweep':
+        if prob_kind == 'mh_local' and engine not in ('sweep', 'walks'):
             raise ValueError("prob_kind='mh_local' is only supported by "
-                             "engine='sweep'.")
+                             "the 'sweep' and 'walks' engines.")
         self.cfg = sa.SweepConfig(n_leaves=self.template.n_leaves,
                                   n_lanes=n_lanes,
                                   disable_shared_inds=disable_shared_inds,
@@ -258,7 +265,8 @@ class ReplicaRunner:
         self.states = batch
         self._mw_pos = (jnp.full((self.n_walks, len(ctrees)), -1,
                                  jnp.int32)
-                        if engine in ('multiwalk', 'mxu', 'walker')
+                        if engine in ('multiwalk', 'mxu', 'walker',
+                                      'walks')
                         else None)
         self.n_replicas = len(ctrees)
         self.sweeps_done = 0
@@ -397,6 +405,17 @@ class ReplicaRunner:
                     self.states, jnp.asarray(chunk), self.log2d_w32,
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
                     self.log2_n_projs)
+                self._mw_pos = metrics['pos']
+                last_min = self.states.min_log2_total
+            elif self.engine == 'walks':
+                from tnco_tpu.kernels import sa_fullsweep as sfs
+                from tnco_tpu.kernels import sa_walks as swk
+                self.states, metrics = swk.run_walks(
+                    self.states, jnp.asarray(chunk), self.log2d_w32,
+                    self.cfg, self._mw_pos, self.sparse_wb,
+                    self.log2_n_projs,
+                    uniform_log2=sfs.uniform_log2_dim(
+                        self.template.log2_dims_array))
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'sweep':
@@ -548,21 +567,21 @@ class ReplicaRunnerFW:
             else:
                 engine = 'vmapped'
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
-                          'mxu', 'walker', 'sweep'):
+                          'mxu', 'walker', 'sweep', 'walks'):
             raise ValueError(f"Unknown engine: {engine!r}")
         if prob_kind is None:
             prob_kind = 'mh_local' if engine == 'sweep' else 'mh'
-        if prob_kind == 'mh_local' and engine != 'sweep':
+        if prob_kind == 'mh_local' and engine not in ('sweep', 'walks'):
             raise ValueError("prob_kind='mh_local' is only supported by "
-                             "engine='sweep'.")
+                             "the 'sweep' and 'walks' engines.")
         self.cfg = saf.SweepConfigFW(
             n_leaves=self.template.n_leaves,
             n_lanes=n_lanes,
             disable_shared_inds=disable_shared_inds,
             prob_kind=prob_kind,
             max_new_slices=int(max_number_new_slices))
-        if engine in ('multiwalk', 'mxu', 'walker', 'sweep') and \
-                max_number_new_slices:
+        if engine in ('multiwalk', 'mxu', 'walker', 'sweep',
+                      'walks') and max_number_new_slices:
             raise ValueError(f"engine={engine!r} does not support "
                              "max_number_new_slices.")
         if (engine == 'mxu' and not walk_chunk and
@@ -601,7 +620,8 @@ class ReplicaRunnerFW:
             batch = _to_vmapped_fw(batch)
         self._mw_pos = (jnp.full((self.n_walks, len(ctrees)), -1,
                                  jnp.int32)
-                        if engine in ('multiwalk', 'mxu', 'walker')
+                        if engine in ('multiwalk', 'mxu', 'walker',
+                                      'walks')
                         else None)
         self.mesh = mesh
         if mesh is not None:
@@ -768,6 +788,18 @@ class ReplicaRunnerFW:
                     self.max_width, self.log2d_w32, self.skip_lanes,
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
                     self.log2_n_projs)
+                self._mw_pos = metrics['pos']
+                last_min = self.states.min_log2_total
+            elif self.engine == 'walks':
+                from tnco_tpu.kernels import sa_fullsweep as sfs
+                from tnco_tpu.kernels import sa_walks as swk
+                self.states, metrics = swk.run_walks_fw(
+                    self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
+                    self.max_width, self.log2d_w32, self.skip_lanes,
+                    self.cfg, self._mw_pos, self.sparse_wb,
+                    self.log2_n_projs,
+                    uniform_log2=sfs.uniform_log2_dim(
+                        self.template.log2_dims_array))
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'sweep':
