@@ -111,7 +111,8 @@ def test_walks_pairwise_validity_and_audits(n_walks, rng, random_seed):
     pos = jnp.full((n_walks, b), -1, dtype=jnp.int32)
     betas = jnp.linspace(0.0, 10.0, 50, dtype=jnp.float32)
 
-    out, metrics = sw.run_walks(batch, betas, log2d_w32, cfg, pos)
+    out, metrics = sw.run_walks(batch, betas, log2d_w32, cfg, pos,
+                                claim='pairwise')
     assert int(metrics['moves']) == 50 * n_walks * b
     assert 0 < int(metrics['applied']) <= int(metrics['moves'])
 
@@ -166,7 +167,8 @@ def test_walks_fw_pairwise_validity(rng, random_seed):
     upd = jnp.asarray(np.arange(60) % 10 == 0)
 
     out, metrics = sw.run_walks_fw(batch, betas, upd, max_width,
-                                   log2d_w32, skip, cfg, pos)
+                                   log2d_w32, skip, cfg, pos,
+                                   claim='pairwise')
     assert 0 < int(metrics['applied']) <= int(metrics['moves'])
     log2d_arr = np.asarray(log2d)
     for i in range(4):

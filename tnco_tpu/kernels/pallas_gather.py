@@ -72,27 +72,38 @@ def _gather_xla(vals_gbn, ids_bq):
     return jnp.where(ok[None, :, :], out, zero)
 
 
-@fts.partial(jax.jit, static_argnames=('interpret',))
-def gather_gbn(vals_gbn, ids_bq, *, interpret=None):
+@fts.partial(jax.jit, static_argnames=('interpret', 'planes'))
+def gather_gbn(vals_gbn, ids_bq, *, interpret=None, planes=None):
     """``[G, B, N]`` planes x ``[B, Q]`` ids -> ``[G, B, Q]``.
 
     ``interpret=None`` selects the Pallas kernel on TPU and the XLA
     lowering elsewhere (identical values either way).
+
+    ``planes=(lo, hi)`` gathers only that plane range (output
+    ``[hi-lo, B, Q]``) WITHOUT slicing ``vals`` on the caller side —
+    the kernel grid simply starts at plane ``lo``, so no copy of the
+    untouched planes is ever materialized.
     """
-    g, b, n = vals_gbn.shape
+    if planes is not None:
+        lo, hi = planes
+    else:
+        lo, hi = 0, vals_gbn.shape[0]
+    g, b, n = hi - lo, vals_gbn.shape[1], vals_gbn.shape[2]
     _, q = ids_bq.shape
     if interpret is None:
         if jax.devices()[0].platform != 'tpu' or not gather_supported(b, n):
-            return _gather_xla(vals_gbn, ids_bq)
+            return _gather_xla(vals_gbn[lo:hi], ids_bq)
         interpret = False
-
     dtype = vals_gbn.dtype
+    # bitcast-convert is a free XLA bitcast, not a copy
     vals_i = jax.lax.bitcast_convert_type(vals_gbn, jnp.int32) \
         if dtype != jnp.int32 else vals_gbn
     b_pad = _pad_to(b, 8)
     n_pad = _pad_to(n, _LANES)
     blq = min(1024, _pad_to(q, _LANES))
     q_pad = _pad_to(q, blq)
+    # NOTE: a nonzero pad here copies the FULL vals array per call —
+    # hot callers keep their state pre-padded so this is a no-op.
     vals_p = jnp.pad(vals_i, ((0, 0), (0, b_pad - b), (0, n_pad - n)))
     # padded ids -> -1 (out of range -> 0 output)
     ids_p = jnp.pad(ids_bq, ((0, b_pad - b), (0, q_pad - q)),
@@ -104,7 +115,7 @@ def gather_gbn(vals_gbn, ids_bq, *, interpret=None):
         in_specs=[
             pl.BlockSpec((b_pad, blq), lambda gi, qi: (0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_pad, n_pad), lambda gi, qi: (gi, 0, 0),
+            pl.BlockSpec((1, b_pad, n_pad), lambda gi, qi: (gi + lo, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, b_pad, blq), lambda gi, qi: (gi, 0, qi),

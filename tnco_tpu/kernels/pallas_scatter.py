@@ -129,15 +129,26 @@ def _scatter_xla(vals_gbn, inv_bn, upd_gbq):
     return jnp.where((inv_bn >= 0)[None, :, :], g, vals_gbn)
 
 
-@fts.partial(jax.jit, static_argnames=('interpret',))
-def scatter_rows_gbn(vals_gbn, ids_bq, upd_gbq, *, interpret=None):
+@fts.partial(jax.jit, static_argnames=('interpret', 'planes'))
+def scatter_rows_gbn(vals_gbn, ids_bq, upd_gbq, *, interpret=None,
+                     planes=None):
     """Row scatter: ``out[g, b, ids[b, q]] = upd[g, b, q]``.
 
     Out-of-range ids (NULL) leave ``vals`` untouched; in-range ids must
     be unique per replica row (the engines' kept proposals are pairwise
     disjoint by construction).  Exact for any 32-bit dtype.
+
+    ``planes=(lo, hi)`` scatters into only that plane range of ``vals``
+    (``upd`` is ``[hi-lo, B, Q]``; the output is ``[hi-lo, B, N]``)
+    without slicing ``vals`` on the caller side — the kernel reads the
+    untouched planes never, so no copy of them is materialized.  The
+    caller writes the result back with ``vals.at[lo:hi].set(out)``.
     """
-    g, b, n = vals_gbn.shape
+    if planes is not None:
+        lo, hi = planes
+    else:
+        lo, hi = 0, vals_gbn.shape[0]
+    g, b, n = hi - lo, vals_gbn.shape[1], vals_gbn.shape[2]
     _, q = ids_bq.shape
     use_xla = None
     if interpret is None:
@@ -148,7 +159,7 @@ def scatter_rows_gbn(vals_gbn, ids_bq, upd_gbq, *, interpret=None):
             interpret = False
     if use_xla:
         inv = inv_ids(ids_bq, n, interpret=None)
-        return _scatter_xla(vals_gbn, inv, upd_gbq)
+        return _scatter_xla(vals_gbn[lo:hi], inv, upd_gbq)
 
     inv = inv_ids(ids_bq, n, interpret=interpret)
 
@@ -160,11 +171,14 @@ def scatter_rows_gbn(vals_gbn, ids_bq, upd_gbq, *, interpret=None):
     b_pad = _pad_to(b, 8)
     n_pad = _pad_to(n, _LANES)
     q_pad = _pad_to(q, _LANES)
+    # No-op when the caller keeps its state pre-padded (hot path).
     vals_p = jnp.pad(vals_i, ((0, 0), (0, b_pad - b), (0, n_pad - n)))
     upd_p = jnp.pad(upd_i, ((0, 0), (0, b_pad - b), (0, q_pad - q)))
     inv_p = jnp.pad(inv, ((0, b_pad - b), (0, n_pad - n)),
                     constant_values=-1)
 
+    aliases = {2: 0} if planes is None and b_pad == b and n_pad == n \
+        else {}
     out = pl.pallas_call(
         fts.partial(_scatter_kernel, q_pad=q_pad),
         grid=(g, n_pad // _LANES),
@@ -173,7 +187,8 @@ def scatter_rows_gbn(vals_gbn, ids_bq, upd_gbq, *, interpret=None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b_pad, q_pad), lambda gi, nb: (gi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_pad, _LANES), lambda gi, nb: (gi, 0, nb),
+            pl.BlockSpec((1, b_pad, _LANES),
+                         lambda gi, nb: (gi + lo, 0, nb),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, b_pad, _LANES),
@@ -182,7 +197,7 @@ def scatter_rows_gbn(vals_gbn, ids_bq, upd_gbq, *, interpret=None):
         out_shape=jax.ShapeDtypeStruct((g, b_pad, n_pad), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
-        input_output_aliases={2: 0},
+        input_output_aliases=aliases,
         interpret=interpret,
     )(inv_p, upd_p, vals_p)
     out = out[:, :b, :n]

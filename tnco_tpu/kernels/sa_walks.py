@@ -12,17 +12,21 @@ the right chained semantics but pays O(N·W) masked-reduction traffic
 per walk; this engine keeps those semantics and replaces every row
 access with the fullsweep v2 primitives:
 
-- state packed as ``uint32 [F, B, N]`` planes with nodes on LANES
-  (``[inds(0:W), c0, c1, lcc, par(, width)]``);
-- every irregular row read is a lane-wise
+- state packed as ``uint32 [F, B, N_pad]`` planes with nodes on LANES
+  (``[inds(0:W), c0, c1, lcc(, width), par]``; N padded to 128 with
+  inert rows so the kernels' pads are no-ops inside the scan);
+- every irregular row read is a lane-wise plane-RANGE
   :func:`tnco_tpu.kernels.pallas_gather.gather_gbn` at the ``[B, P]``
-  walk positions (3 calls: rows at B, rows at A, index sets at
-  {C, c0(B), c1(B)});
-- the apply step writes the 4 touched rows per kept walk with the dual
+  walk positions (scalar rows at B, scalar rows at A, then ONE
+  index-plane gather at the five ids {B, A, C, c0(B), c1(B)}) — the
+  scalar phases stream only a handful of planes, and the W index
+  planes stream exactly once;
+- the apply step writes the 4 touched rows per kept walk with TWO
+  plane-range calls of the dual
   :func:`tnco_tpu.kernels.pallas_scatter.scatter_rows_gbn` (an id
   inversion shared across planes + lane-wise dynamic_gather from the
   update buffer) — no masked O(N·P) passes, no XLA scalar-loop
-  scatters.
+  scatters, no caller-side plane slices.
 
 Per-iteration cost is dominated by streaming the state planes a fixed
 number of times, independent of the walk count ``P`` — so ``P`` scales
@@ -31,11 +35,15 @@ proposal throughput until tree-neighborhood conflicts bite.
 Semantics: identical to :mod:`tnco_tpu.kernels.sa_multiwalk` (same
 proposal geometry, same acceptance, same PRNG stream, same additive
 float updates) up to the conflict filter.  ``claim='sequential'``
-reproduces the multi-walk engine's lower-index-wins scan and is
-BIT-IDENTICAL to it (enforced by tests); ``claim='pairwise'`` (the
-default) blocks a walk on conflict with any lower-index *accepted*
-walk — slightly more conservative, O(P^2·B) in one fused pass instead
-of a P-step serial loop.  Kept proposals are pairwise disjoint either
+(the default) reproduces the multi-walk engine's lower-index-wins
+scan and is BIT-IDENTICAL to it (enforced by tests);
+``claim='pairwise'`` blocks a walk on conflict with any lower-index
+*accepted* walk — one fused O(P^2·B) pass instead of a P-step serial
+loop, but transitively more conservative: near the root (where every
+walk's path converges) it blocks restructuring moves the sequential
+scan lets through, which measurably degrades deep-network quality at
+equal iterations (CPU probe: 88.6 vs ~81 on width-capped Sycamore at
+7000 iterations, P=8).  Kept proposals are pairwise disjoint either
 way, so the simultaneous application equals a sequential order.
 
 Reference semantics per proposal: include/tnco/optimize/
@@ -66,34 +74,68 @@ NULL = -1
 _SCALED_FLOOR = 2.0**-60
 
 
+def _n_pad(n: int) -> int:
+    """State lane padding: multiples of 128 keep the Pallas gather and
+    scatter pads no-ops inside the scan (a nonzero pad there copies the
+    full state every call)."""
+    return -(-n // 128) * 128
+
+
 def _pack_w(c0, c1, par, inds, lcc, width=None):
-    """``[N, B]`` / ``[N, W, B]`` arrays -> ``u32 [F, B, N]`` planes.
+    """``[N, B]`` / ``[N, W, B]`` arrays -> ``u32 [F, B, N_pad]``.
 
     Plane layout (walks engine): ``[0:W)`` inds; c0; c1; lcc (nk);
-    par; optionally the FW pre-slicing width (nk).  ``par`` sits after
-    ``lcc`` so the three scatter groups (``c0,c1,lcc`` at {B,A} ids /
-    ``par`` at {C,E} ids / ``inds`` at B ids) are contiguous slices.
+    optionally the FW pre-slicing width (nk); par LAST — so the merged
+    apply scatter (inds+c0+c1+lcc(+width) at the {B, A} ids) and the
+    par scatter (at the {C, E} ids) are both contiguous plane ranges.
+
+    The node axis is padded to a multiple of 128 with INERT rows:
+    children/parent NULL (never reached by any walk), inds 0 and lcc
+    -inf (an exact zero contribution to the order-pinned total, so
+    padded and unpadded engines produce bit-identical costs).
     """
+    n = c0.shape[0]
+    pad = _n_pad(n) - n
+    if pad:
+        nullp = jnp.full((pad,) + c0.shape[1:], NULL, c0.dtype)
+        c0 = jnp.concatenate([c0, nullp], axis=0)
+        c1 = jnp.concatenate([c1, nullp], axis=0)
+        par = jnp.concatenate([par, nullp], axis=0)
+        inds = jnp.concatenate(
+            [inds, jnp.zeros((pad,) + inds.shape[1:], inds.dtype)],
+            axis=0)
+        lcc = jnp.concatenate(
+            [lcc, jnp.full((pad,) + lcc.shape[1:], -jnp.inf, lcc.dtype)],
+            axis=0)
+        if width is not None:
+            width = jnp.concatenate(
+                [width,
+                 jnp.zeros((pad,) + width.shape[1:], width.dtype)],
+                axis=0)
     planes = [jnp.transpose(inds, (1, 2, 0))]
     planes.append(_u32(c0.T)[None])
     planes.append(_u32(c1.T)[None])
     planes.append(_split_f(lcc.T))
-    planes.append(_u32(par.T)[None])
     if width is not None:
         planes.append(_split_f(width.T))
+    planes.append(_u32(par.T)[None])
     return jnp.concatenate(planes, axis=0)
 
 
-def _unpack_w(S, w, dtype, fw=False):
+def _par_plane(w, nk, fw):
+    return w + 2 + nk + (nk if fw else 0)
+
+
+def _unpack_w(S, w, dtype, n, fw=False):
     nk = _nk(dtype)
-    inds = jnp.transpose(S[:w], (2, 0, 1))                  # [N, W, B]
-    c0 = _i32(S[w]).T
-    c1 = _i32(S[w + 1]).T
-    lcc = _join_f(S[w + 2:w + 2 + nk], dtype).T
-    par = _i32(S[w + 2 + nk]).T
+    inds = jnp.transpose(S[:w, :, :n], (2, 0, 1))           # [N, W, B]
+    c0 = _i32(S[w, :, :n]).T
+    c1 = _i32(S[w + 1, :, :n]).T
+    lcc = _join_f(S[w + 2:w + 2 + nk, :, :n], dtype).T
+    par = _i32(S[_par_plane(w, nk, fw), :, :n]).T
     if not fw:
         return c0, c1, par, inds, lcc
-    width = _join_f(S[w + 3 + nk:w + 3 + 2 * nk], dtype).T
+    width = _join_f(S[w + 2 + nk:w + 2 + 2 * nk, :, :n], dtype).T
     return c0, c1, par, inds, lcc, width
 
 
@@ -107,49 +149,59 @@ def _propose_walks(S, pos, leaf, rand_bit, cfg: SweepConfig, log2d_w32,
                    interpret, slices_wb=None, with_width=False):
     """Row pulls + proposal math at the ``[B, P]`` walk positions.
 
+    Three dependent pull phases, each a plane-RANGE gather over the
+    shared state (no caller-side plane slices, so nothing beyond the
+    pulled planes is ever copied): scalar rows at B (c0, c1, lcc,
+    width?, par -> A), scalar rows at A, then ONE index-plane gather at
+    the five ids {B, A, C, c0(B), c1(B)}.
+
     Returns the advanced positions and the per-walk ``ev`` dict
     (ids/costs ``[B, P]``, lane sets ``[W, B, P]``).
     """
     w = cfg.n_lanes
     nk = _nk(dtype)
     p = pos.shape[1]
-    par_plane = w + 2 + nk
+    par_plane = _par_plane(w, nk, with_width)
 
     # Restart finished walks at the parent of a fresh leaf (multiwalk
     # semantics: a walk at the root, or never started, restarts).
     ids0 = jnp.concatenate([jnp.maximum(pos, 0), leaf], axis=1)
-    pp = _i32(gather_gbn(S[par_plane][None], ids0,
-                         interpret=interpret)[0])
+    pp = _i32(gather_gbn(S, ids0, interpret=interpret,
+                         planes=(par_plane, par_plane + 1))[0])
     par_pos, par_leaf = pp[:, :p], pp[:, p:]
     at_boundary = (pos == NULL) | (par_pos == NULL)
     pos = jnp.where(at_boundary, par_leaf, pos)
 
     b = pos
-    n_pull = w + 3 + nk + (nk if with_width else 0)
-    rb = gather_gbn(S[:n_pull], b, interpret=interpret)
-    inds_b = rb[:w]
-    c0b = _i32(rb[w])
-    c1b = _i32(rb[w + 1])
-    l_b = _join_f(rb[w + 2:w + 2 + nk], dtype)
-    a = _i32(rb[w + 2 + nk])
+    rb = gather_gbn(S, b, interpret=interpret,
+                    planes=(w, par_plane + 1))
+    c0b = _i32(rb[0])
+    c1b = _i32(rb[1])
+    l_b = _join_f(rb[2:2 + nk], dtype)
+    a = _i32(rb[-1])
     a = jnp.where(b == NULL, NULL, a)
-    ev = dict(a=a, b=b, c0b=c0b, c1b=c1b, inds_b=inds_b, l_b=l_b)
+    ev = dict(a=a, b=b, c0b=c0b, c1b=c1b, l_b=l_b)
     if with_width:
-        ev['w_b'] = _join_f(rb[w + 3 + nk:w + 3 + 2 * nk], dtype)
+        ev['w_b'] = _join_f(rb[2 + nk:2 + 2 * nk], dtype)
 
-    ra = gather_gbn(S[:w + 2 + nk], a, interpret=interpret)
-    inds_a = ra[:w]
-    c0a = _i32(ra[w])
-    c1a = _i32(ra[w + 1])
-    ev['l_a'] = _join_f(ra[w + 2:w + 2 + nk], dtype)
+    ra = gather_gbn(S, a, interpret=interpret, planes=(w, par_plane))
+    c0a = _i32(ra[0])
+    c1a = _i32(ra[1])
+    ev['l_a'] = _join_f(ra[2:2 + nk], dtype)
+    if with_width:
+        ev['w_a'] = _join_f(ra[2 + nk:2 + 2 * nk], dtype)
     c = jnp.where(c0a == b, c1a, c0a)
     ev.update(c=c, c0a=c0a, c1a=c1a)
 
-    r3 = gather_gbn(S[:w], jnp.concatenate([c, c0b, c1b], axis=1),
-                    interpret=interpret)
-    inds_c = r3[:, :, :p]
-    inds0 = r3[:, :, p:2 * p]
-    inds1 = r3[:, :, 2 * p:]
+    r5 = gather_gbn(S, jnp.concatenate([b, a, c, c0b, c1b], axis=1),
+                    interpret=interpret, planes=(0, w))
+    inds_b = r5[:, :, :p]
+    inds_a = r5[:, :, p:2 * p]
+    inds_c = r5[:, :, 2 * p:3 * p]
+    inds0 = r5[:, :, 3 * p:4 * p]
+    inds1 = r5[:, :, 4 * p:]
+    ev['inds_b'] = inds_b
+    ev['inds_a'] = inds_a
 
     i0 = jnp.any((inds0 & inds_c) != 0, axis=0)
     i1 = jnp.any((inds1 & inds_c) != 0, axis=0)
@@ -240,11 +292,17 @@ def _apply_walks(S, ev, kept, cfg: SweepConfig, dtype, interpret,
                  with_width=False):
     """Scatter the 4 touched rows of every kept walk.
 
-    Float rows are written in the multi-walk engine's ADDITIVE form
-    (``old + (new - old)``) so trajectories stay bit-identical to it.
+    TWO plane-range scatter calls: the merged group (inds, c0, c1, lcc
+    and the FW width) at the {B, A} ids — the A rows rewrite their own
+    unchanged index sets/widths, which is free since the planes stream
+    anyway and keeps the call count minimal — and the par plane at the
+    {C, E} ids.  Float rows are written in the multi-walk engine's
+    ADDITIVE form (``old + (new - old)``) so trajectories stay
+    bit-identical to it.
     """
     w = cfg.n_lanes
     nk = _nk(dtype)
+    par_plane = _par_plane(w, nk, with_width)
 
     def masked(ids):
         return jnp.where(kept, ids, NULL)
@@ -259,35 +317,29 @@ def _apply_walks(S, ev, kept, cfg: SweepConfig, dtype, interpret,
     new_l_b = ev['l_b'] + (ev['ln_b'] - ev['l_b'])
     new_l_a = ev['l_a'] + (ev['ln_a'] - ev['l_a'])
 
-    # Group 1: c0, c1, lcc at {B, A}.
+    # Merged group: inds + c0 + c1 + lcc (+ width) at {B, A}.
     ids_ba = jnp.concatenate([b_k, a_k], axis=1)
-    upd1 = jnp.concatenate([
+    planes1 = [
+        jnp.concatenate([ev['new_inds_b'], ev['inds_a']], axis=2),
         _u32(jnp.concatenate([new_c0b, new_c0a], axis=1))[None],
         _u32(jnp.concatenate([new_c1b, new_c1a], axis=1))[None],
         _split_f(jnp.concatenate([new_l_b, new_l_a], axis=1)),
-    ], axis=0)
-    S = S.at[w:w + 2 + nk].set(
-        scatter_rows_gbn(S[w:w + 2 + nk], ids_ba, upd1,
-                         interpret=interpret))
-
-    # Group 2: par at {C, E} (C reparents to B, E to A).
-    ids_ce = jnp.concatenate([c_k, e_k], axis=1)
-    upd2 = _u32(jnp.concatenate([ev['b'], ev['a']], axis=1))[None]
-    S = S.at[w + 2 + nk:w + 3 + nk].set(
-        scatter_rows_gbn(S[w + 2 + nk:w + 3 + nk], ids_ce, upd2,
-                         interpret=interpret))
-
-    # Group 3: inds at B.
-    S = S.at[:w].set(
-        scatter_rows_gbn(S[:w], b_k, ev['new_inds_b'],
-                         interpret=interpret))
-
+    ]
     if with_width:
         new_w_b = ev['w_b'] + (ev['new_width_b'] - ev['w_b'])
-        wp = slice(w + 3 + nk, w + 3 + 2 * nk)
-        S = S.at[wp].set(
-            scatter_rows_gbn(S[wp], b_k, _split_f(new_w_b),
-                             interpret=interpret))
+        planes1.append(
+            _split_f(jnp.concatenate([new_w_b, ev['w_a']], axis=1)))
+    upd1 = jnp.concatenate(planes1, axis=0)
+    S = S.at[:par_plane].set(
+        scatter_rows_gbn(S, ids_ba, upd1, interpret=interpret,
+                         planes=(0, par_plane)))
+
+    # par at {C, E} (C reparents to B, E to A).
+    ids_ce = jnp.concatenate([c_k, e_k], axis=1)
+    upd2 = _u32(jnp.concatenate([ev['b'], ev['a']], axis=1))[None]
+    S = S.at[par_plane:par_plane + 1].set(
+        scatter_rows_gbn(S, ids_ce, upd2, interpret=interpret,
+                         planes=(par_plane, par_plane + 1)))
     return S
 
 
@@ -329,8 +381,8 @@ def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
 @fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'uniform_log2',
                                        'interpret'))
 def run_walks(batch: SABatch, betas, log2d_w32, cfg: SweepConfig, pos,
-              sparse_wb=None, log2_n_projs=None, *, claim='pairwise',
-              uniform_log2=None, interpret=None):
+              sparse_wb=None, log2_n_projs=None, *,
+              claim='sequential', uniform_log2=None, interpret=None):
     """One chained multi-walk iteration per beta (P proposals per
     replica per iteration; P is ``pos.shape[0]``).
 
@@ -363,8 +415,9 @@ def run_walks(batch: SABatch, betas, log2d_w32, cfg: SweepConfig, pos,
     improved = lt < min_lt
     min_lt = jnp.where(improved, lt, min_lt)
     S_min = jnp.where(improved[None, :, None], S, S_min)
-    c0, c1, par, inds, lcc = _unpack_w(S, w, dtype)
-    mc0, mc1, mpar, minds, _ml = _unpack_w(S_min, w, dtype)
+    n = batch.c0.shape[0]
+    c0, c1, par, inds, lcc = _unpack_w(S, w, dtype, n)
+    mc0, mc1, mpar, minds, _ml = _unpack_w(S_min, w, dtype, n)
     hyper = compute_hyper_b(c0, c1, inds)
     out = SABatch(c0, c1, par, inds, hyper, lcc, lt, min_lt, mc0, mc1,
                   mpar, minds, keys)
@@ -417,7 +470,12 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
 
     def do_reslice(args):
         slices_, S_ = args
-        c0, c1, par, inds, lcc, width = _unpack_w(S_, w, dtype, fw=True)
+        # The slicer + slice-aware lcc rebuild run on the PADDED node
+        # axis: pad rows are inert (c0 NULL -> leaf -> lcc exactly
+        # -inf, width 0), so totals stay bit-identical to the unpadded
+        # engines.
+        c0, c1, par, inds, lcc, width = _unpack_w(
+            S_, w, dtype, S_.shape[2], fw=True)
         new_slices = _greedy_slices_b(
             c0, inds, width, k_reslice, max_width, log2d_w32,
             skip_w[:, None], sp_w1, log2_n_projs)
@@ -455,7 +513,7 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
                                        'interpret'))
 def run_walks_fw(batch, betas, update_slices_mask, max_width, log2d_w32,
                  skip_wb, cfg: SweepConfig, pos, sparse_wb=None,
-                 log2_n_projs=None, *, claim='pairwise',
+                 log2_n_projs=None, *, claim='sequential',
                  uniform_log2=None, interpret=None):
     """Finite-width chained multi-walk rounds (one per beta).
 
@@ -497,8 +555,10 @@ def run_walks_fw(batch, betas, update_slices_mask, max_width, log2d_w32,
     min_lt = jnp.where(improved, lt, min_lt)
     S_min = jnp.where(improved[None, :, None], S, S_min)
     min_slices = jnp.where(improved[None, :], slices, min_slices)
-    c0, c1, par, inds, lcc, width = _unpack_w(S, w, dtype, fw=True)
-    mc0, mc1, mpar, minds, _ml, _mw = _unpack_w(S_min, w, dtype, fw=True)
+    n = batch.c0.shape[0]
+    c0, c1, par, inds, lcc, width = _unpack_w(S, w, dtype, n, fw=True)
+    mc0, mc1, mpar, minds, _ml, _mw = _unpack_w(S_min, w, dtype, n,
+                                                fw=True)
     hyper = compute_hyper_b(c0, c1, inds)
     out = SABatchFW(c0, c1, par, inds, hyper, lcc, width, slices, lt,
                     min_lt, mc0, mc1, mpar, minds, min_slices, keys)
