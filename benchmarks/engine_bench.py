@@ -19,7 +19,11 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument('--engine', default='walker',
-                    help="'walker' | 'multiwalk' | 'mxu' | 'sweep'")
+                    help="'walker' | 'multiwalk' | 'mxu' | 'sweep' | "
+                         "'walks'")
+    ap.add_argument('--claim', default='sequential',
+                    help="walks engine conflict filter: 'sequential' | "
+                         "'pairwise'")
     ap.add_argument('--config', default='sycamore')
     ap.add_argument('--replicas', type=int, default=256)
     ap.add_argument('--n-walks', type=int, default=128)
@@ -82,6 +86,13 @@ def main() -> None:
             from tnco_tpu.kernels import pallas_walker as pw
             return pw.run_walker(b, betas, log2d_w32, cfg, args.n_walks,
                                  pos_)
+        if args.engine == 'walks':
+            from tnco_tpu.kernels import sa_fullsweep as sfs
+            from tnco_tpu.kernels import sa_walks as swk
+            return swk.run_walks(
+                b, betas, log2d_w32, cfg, pos_, claim=args.claim,
+                uniform_log2=sfs.uniform_log2_dim(
+                    template.log2_dims_array))
         if args.engine == 'mxu':
             from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
             return mxu.run_multiwalk_mxu(b, betas, log2d_w32, cfg,
