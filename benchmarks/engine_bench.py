@@ -17,6 +17,13 @@ import numpy as np
 
 
 def main() -> None:
+    # Mirror the CLI's platform override (sitecustomize pins
+    # JAX_PLATFORMS=axon; the env var alone may not stick).
+    import os
+    platform = os.environ.get('TNCO_TPU_PLATFORM')
+    if platform:
+        import jax
+        jax.config.update('jax_platforms', platform)
     ap = argparse.ArgumentParser()
     ap.add_argument('--engine', default='walker',
                     help="'walker' | 'multiwalk' | 'mxu' | 'sweep' | "
