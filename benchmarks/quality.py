@@ -77,7 +77,11 @@ def run_quality(name: str, seconds: float, seed: int = 0,
     if tpu_beta_max is None:
         tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
                         else beta_max)
-    chunk_sweeps = 128
+    # Walk-family engines do one proposal per walk per beta — long
+    # chunks amortize the per-call tunnel RPC without skewing the
+    # elapsed-fraction beta schedule (the window is time-based).
+    chunk_sweeps = 256 if runner.engine in ('multiwalk', 'mxu',
+                                            'walker', 'walks') else 128
     # Warm-up compile outside the budget (not counted in tpu_moves)
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps)
@@ -203,7 +207,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     if tpu_beta_max is None:
         tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
                         else beta_max)
-    chunk_sweeps = 64
+    chunk_sweeps = 256 if runner.engine in ('multiwalk', 'mxu',
+                                            'walker', 'walks') else 64
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps, update_slices=10)
     runner.moves_done = 0
