@@ -229,3 +229,48 @@ def test_walks_runner_end_to_end(rng, random_seed):
     lm = r2.log2_min_totals()
     idx = int(np.argmin(lm))
     assert r2.min_ctree(idx).is_valid(check_shared_inds=True)
+
+
+def test_walks_sharded_bit_identical(rng, random_seed):
+    """shard_map execution over the 8-device virtual mesh reproduces
+    the single-device trajectories bit for bit (replicas independent)."""
+    from tnco_tpu.parallel.replicas import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip('needs >= 4 devices')
+    mesh = make_mesh(jax.devices()[:4])
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=8)
+    cfg, _log2d, log2d_w32, batch = _im_batch(ctrees)
+    pos = jnp.full((3, 8), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 8.0, 20, dtype=jnp.float32)
+
+    ref, mref = sw.run_walks(batch, betas, log2d_w32, cfg, pos)
+    got, mgot = sw.run_walks_sharded(batch, betas, log2d_w32, cfg, pos,
+                                     mesh)
+    assert int(mref['moves']) == int(mgot['moves'])
+    assert int(mref['applied']) == int(mgot['applied'])
+    for a, b_ in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_walks_sharded_runner_fw(rng, random_seed):
+    """FW walks on a 2-D ('dcn', 'ici') mesh through the runner, with
+    exchange collectives restricted to the ici axis."""
+    from tnco_tpu.optimize.finite_width import SimpleCostModel as FWModel
+    from tnco_tpu.parallel.replicas import ReplicaRunnerFW, make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip('needs >= 4 devices')
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2),
+                     axis_names=('dcn', 'ici'))
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=8)
+    runner = ReplicaRunnerFW(ctrees, list(range(8)),
+                             cmodel=FWModel(max_width=3.0),
+                             engine='walks', n_walks=4, mesh=mesh)
+    runner.run(np.linspace(0, 10, 30).astype(np.float32), chunk_size=15,
+               update_slices=10, exchange_every=1,
+               exchange_axes=('ici',))
+    lm = runner.log2_min_totals()
+    idx = int(np.argmin(lm))
+    assert np.isfinite(lm[idx])
+    assert runner.min_ctree(idx).is_valid(check_shared_inds=True)

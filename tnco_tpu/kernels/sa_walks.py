@@ -68,7 +68,7 @@ from tnco_tpu.kernels.sa_infinite import SweepConfig
 from tnco_tpu.kernels.sa_multiwalk import _draws
 from tnco_tpu.ops import costs as costs_ops
 
-__all__ = ['run_walks', 'run_walks_fw']
+__all__ = ['run_walks', 'run_walks_fw', 'run_walks_sharded']
 
 NULL = -1
 _SCALED_FLOOR = 2.0**-60
@@ -563,3 +563,87 @@ def run_walks_fw(batch, betas, update_slices_mask, max_width, log2d_w32,
     out = SABatchFW(c0, c1, par, inds, hyper, lcc, width, slices, lt,
                     min_lt, mc0, mc1, mpar, minds, min_slices, keys)
     return out, {'moves': moves, 'applied': applied, 'pos': pos_bp.T}
+
+
+# --------------------------- multi-chip ---------------------------
+
+
+def _batch_specs(batch, axes):
+    """PartitionSpecs for a lane-major batch pytree: every leaf carries
+    the replica axis LAST except ``keys`` ([B, 2], replica-first)."""
+    from jax.sharding import PartitionSpec as P
+
+    leaves, treedef = jax.tree.flatten(batch)
+
+    def spec(x, replica_axis):
+        s = [None] * x.ndim
+        s[replica_axis] = axes
+        return P(*s)
+
+    specs = [spec(x, -1) for x in leaves[:-1]] + [spec(leaves[-1], 0)]
+    return jax.tree.unflatten(treedef, specs)
+
+
+@fts.partial(jax.jit, static_argnames=('cfg', 'mesh', 'log2_n_projs',
+                                       'claim', 'uniform_log2',
+                                       'interpret'))
+def run_walks_sharded(batch, betas, log2d_w32, cfg: SweepConfig, pos,
+                      mesh, sparse_wb=None, log2_n_projs=None, *,
+                      claim='sequential', uniform_log2=None,
+                      interpret=None, fw_args=None):
+    """Replica-sharded chained walks over a ``jax.sharding.Mesh``.
+
+    ``shard_map`` gives every device its local replica shard and runs
+    the full engine on per-device shapes — the supported pattern for
+    Pallas kernels on pods (a plain ``jit`` over sharded inputs would
+    have to partition the Mosaic custom calls, which GSPMD cannot).
+    Per-replica trajectories are bit-identical to the single-device
+    engine (replicas are independent; tests enforce it on the virtual
+    CPU mesh).  ``moves``/``applied`` are psum-reduced to replicated
+    scalars.
+
+    ``fw_args=(update_slices_mask, max_width, skip_wb)`` switches to the
+    finite-width engine (``batch`` then is a ``SABatchFW``).
+
+    This is the pod-scale execution of SURVEY.md §2.3: replicas over
+    ICI/DCN mesh axes, exchange collectives layered outside (see
+    ``parallel.replicas.exchange_best_sharded``).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    specs = _batch_specs(batch, axes)
+    pos_spec = P(None, axes)
+    rep = P()
+    fw = fw_args is not None
+    has_sparse = sparse_wb is not None
+    if not has_sparse:
+        sparse_wb = jnp.zeros((), jnp.uint32)  # placeholder leaf
+    if not fw:
+        fw_args = jnp.zeros((), jnp.float32)   # placeholder leaf
+
+    def body(b, pos_, betas_, log2d_, sparse_, fwa):
+        sp = sparse_ if has_sparse else None
+        if not fw:
+            out, m = run_walks(b, betas_, log2d_, cfg, pos_, sp,
+                               log2_n_projs, claim=claim,
+                               uniform_log2=uniform_log2,
+                               interpret=interpret)
+        else:
+            upd, max_width, skip_wb_ = fwa
+            out, m = run_walks_fw(b, betas_, upd, max_width, log2d_,
+                                  skip_wb_, cfg, pos_, sp,
+                                  log2_n_projs, claim=claim,
+                                  uniform_log2=uniform_log2,
+                                  interpret=interpret)
+        m = dict(m)
+        m['moves'] = jax.lax.psum(m['moves'], axes)
+        m['applied'] = jax.lax.psum(m['applied'], axes)
+        return out, m
+
+    metric_specs = {'moves': rep, 'applied': rep, 'pos': pos_spec}
+    shmap = jax.shard_map(body, mesh=mesh,
+                          in_specs=(specs, pos_spec, rep, rep, rep, rep),
+                          out_specs=(specs, metric_specs),
+                          check_vma=False)
+    return shmap(batch, pos, betas, log2d_w32, sparse_wb, fw_args)

@@ -410,12 +410,20 @@ class ReplicaRunner:
             elif self.engine == 'walks':
                 from tnco_tpu.kernels import sa_fullsweep as sfs
                 from tnco_tpu.kernels import sa_walks as swk
-                self.states, metrics = swk.run_walks(
-                    self.states, jnp.asarray(chunk), self.log2d_w32,
-                    self.cfg, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs,
-                    uniform_log2=sfs.uniform_log2_dim(
-                        self.template.log2_dims_array))
+                ul = sfs.uniform_log2_dim(self.template.log2_dims_array)
+                if self.mesh is not None:
+                    # shard_map: per-device engine on local replica
+                    # shards (the Pallas-on-pods pattern).
+                    self.states, metrics = swk.run_walks_sharded(
+                        self.states, jnp.asarray(chunk), self.log2d_w32,
+                        self.cfg, self._mw_pos, self.mesh,
+                        self.sparse_wb, self.log2_n_projs,
+                        uniform_log2=ul)
+                else:
+                    self.states, metrics = swk.run_walks(
+                        self.states, jnp.asarray(chunk), self.log2d_w32,
+                        self.cfg, self._mw_pos, self.sparse_wb,
+                        self.log2_n_projs, uniform_log2=ul)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'sweep':
@@ -730,7 +738,8 @@ class ReplicaRunnerFW:
             timeout: float | None = None,
             callback=None,
             exchange_every: int = 0,
-            exchange_fraction: float = 0.25) -> dict:
+            exchange_fraction: float = 0.25,
+            exchange_axes=None) -> dict:
         if exchange_every and self.engine not in _LANE_MAJOR:
             from warnings import warn
             warn(f"exchange_every is only supported by the "
@@ -793,13 +802,22 @@ class ReplicaRunnerFW:
             elif self.engine == 'walks':
                 from tnco_tpu.kernels import sa_fullsweep as sfs
                 from tnco_tpu.kernels import sa_walks as swk
-                self.states, metrics = swk.run_walks_fw(
-                    self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
-                    self.max_width, self.log2d_w32, self.skip_lanes,
-                    self.cfg, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs,
-                    uniform_log2=sfs.uniform_log2_dim(
-                        self.template.log2_dims_array))
+                ul = sfs.uniform_log2_dim(self.template.log2_dims_array)
+                if self.mesh is not None:
+                    fw_args = (jnp.asarray(mchunk), self.max_width,
+                               self.skip_lanes)
+                    self.states, metrics = swk.run_walks_sharded(
+                        self.states, jnp.asarray(chunk), self.log2d_w32,
+                        self.cfg, self._mw_pos, self.mesh,
+                        self.sparse_wb, self.log2_n_projs,
+                        uniform_log2=ul, fw_args=fw_args)
+                else:
+                    self.states, metrics = swk.run_walks_fw(
+                        self.states, jnp.asarray(chunk),
+                        jnp.asarray(mchunk), self.max_width,
+                        self.log2d_w32, self.skip_lanes, self.cfg,
+                        self._mw_pos, self.sparse_wb,
+                        self.log2_n_projs, uniform_log2=ul)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'sweep':
@@ -824,8 +842,13 @@ class ReplicaRunnerFW:
             if (exchange_every and
                     self.engine in _LANE_MAJOR and
                     pos < n and n_chunks % exchange_every == 0):
-                self.states = exchange_best_fw(self.states,
-                                               exchange_fraction)
+                if self.mesh is not None:
+                    self.states = exchange_best_fw_sharded(
+                        self.states, self.mesh, exchange_axes,
+                        exchange_fraction)
+                else:
+                    self.states = exchange_best_fw(self.states,
+                                                   exchange_fraction)
             if callback is not None:
                 callback({
                     'progress': min(pos, n) / n,
@@ -1038,5 +1061,81 @@ def exchange_best_fw(states: 'sfb.SABatchFW', fraction: float = 0.25
         mix(states.c0), mix(states.c1), mix(states.par), mix(states.inds),
         mix(states.hyper), mix(states.lcc), mix(states.width),
         mix(states.slices), jnp.where(worst, lt[best], lt),
+        states.min_log2_total, states.min_c0, states.min_c1,
+        states.min_par, states.min_inds, states.min_slices, states.keys)
+
+def exchange_best_fw_sharded(states: 'sfb.SABatchFW', mesh,
+                             axis_names=None, fraction: float = 0.25
+                             ) -> 'sfb.SABatchFW':
+    """Mesh-aware finite-width population exchange.
+
+    :func:`exchange_best_sharded` with the slice set and pre-slice
+    widths travelling alongside the tree — the pmin/psum collectives
+    are restricted to ``axis_names`` exactly as in the IM variant, so
+    frequent exchange stays on ICI for a 2-D ('dcn', 'ici') mesh.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names) if axis_names is None else \
+        tuple(axis_names)
+    all_axes = tuple(mesh.axis_names)
+
+    def spec_of(x, replica_axis):
+        sp = [None] * x.ndim
+        sp[replica_axis] = all_axes
+        return P(*sp)
+
+    batch_tuple = (states.c0, states.c1, states.par, states.inds,
+                   states.hyper, states.lcc, states.width, states.slices,
+                   states.log2_total)
+    in_specs = tuple(spec_of(x, -1) for x in batch_tuple)
+
+    def body(c0, c1, par, inds, hyper, lcc, width, slices, lt):
+        li = jnp.argmin(lt)
+        local_min = lt[li]
+        group_min = jax.lax.pmin(local_min, axes)
+        lin = jnp.int32(0)
+        stride = 1
+        for ax in reversed(axes):
+            lin = lin + jax.lax.axis_index(ax) * stride
+            stride *= mesh.shape[ax]
+        owner = jax.lax.pmin(
+            jnp.where(local_min == group_min, lin, jnp.int32(2**30)),
+            axes)
+        is_owner = (lin == owner) & (local_min == group_min)
+
+        def bcast(x):
+            contrib = jnp.where(is_owner, x[..., li], 0)
+            if x.dtype == jnp.uint32:
+                return jax.lax.psum(contrib.astype(jnp.int32),
+                                    axes).astype(jnp.uint32)
+            return jax.lax.psum(contrib, axes)
+
+        bc0, bc1, bpar = bcast(c0), bcast(c1), bcast(par)
+        binds, bhyper = bcast(inds), bcast(hyper)
+        blcc, bwidth, bslices = bcast(lcc), bcast(width), bcast(slices)
+
+        b = lt.shape[0]
+        k = max(1, int(b * fraction))
+        thresh = jnp.sort(lt)[b - k]
+        worst = (lt >= thresh) & (lt > group_min)
+        wn = worst[None, :]
+        ww = worst[None, None, :]
+        return (jnp.where(wn, bc0[:, None], c0),
+                jnp.where(wn, bc1[:, None], c1),
+                jnp.where(wn, bpar[:, None], par),
+                jnp.where(ww, binds[:, :, None], inds),
+                jnp.where(ww, bhyper[:, :, None], hyper),
+                jnp.where(wn, blcc[:, None], lcc),
+                jnp.where(wn, bwidth[:, None], width),
+                jnp.where(wn, bslices[:, None], slices),
+                jnp.where(worst, group_min, lt))
+
+    shmap = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=in_specs)
+    (c0, c1, par, inds, hyper, lcc, width, slices,
+     lt) = shmap(*batch_tuple)
+    return sfb.SABatchFW(
+        c0, c1, par, inds, hyper, lcc, width, slices, lt,
         states.min_log2_total, states.min_c0, states.min_c1,
         states.min_par, states.min_inds, states.min_slices, states.keys)
