@@ -99,7 +99,31 @@ def replica_state_fw(batch: SABatchFW, i: int):
                      batch.keys[i])
 
 
-def _lcc_fw_b(c0, c1, inds, slices, log2d_w32, sparse_wb, log2_n_projs):
+def _pc_width(lanes, uniform_log2, dtype, sparse_wb, log2_n_projs,
+              word_axis):
+    """Popcount width fast path for UNIFORM index dims.
+
+    ``width = log2(dim) * popcount`` — bitwise-identical to the pinned
+    pairwise tree whenever ``log2(dim)`` is exactly representable and
+    its multiples are exact (dim 2: always; any power of two: always),
+    ulp-close otherwise.  Callers gate on ``uniform_log2_dim``.
+    """
+    def pc(x):
+        return jnp.sum(jax.lax.population_count(x).astype(jnp.int32),
+                       axis=word_axis).astype(dtype)
+
+    u = jnp.asarray(uniform_log2, dtype)
+    if sparse_wb is None:
+        return pc(lanes) * u
+    shape = [1] * lanes.ndim
+    shape[word_axis] = -1
+    sp = sparse_wb.reshape(shape)
+    return (pc(lanes & ~sp) * u +
+            jnp.minimum(pc(lanes & sp) * u, log2_n_projs))
+
+
+def _lcc_fw_b(c0, c1, inds, slices, log2d_w32, sparse_wb, log2_n_projs,
+              uniform_log2=None):
     """[N, B] slice-aware log2 cost per node (leaves -> -inf)."""
     internal = c0 != -1
     c0s = jnp.where(internal, c0, 0)
@@ -108,20 +132,32 @@ def _lcc_fw_b(c0, c1, inds, slices, log2d_w32, sparse_wb, log2_n_projs):
     inds_c1 = jnp.take_along_axis(inds, c1s[:, None, :], axis=0)
     union = inds_c0 | inds_c1 | slices[None, :, :]
 
-    def w_one(u):
-        return _width_b(u, log2d_w32, sparse_wb=sparse_wb,
-                        log2_n_projs=log2_n_projs)
+    if uniform_log2 is not None:
+        lcc = _pc_width(union, uniform_log2, log2d_w32.dtype,
+                        None if sparse_wb is None else
+                        sparse_wb.reshape(-1),
+                        log2_n_projs, word_axis=1)
+    else:
+        def w_one(u):
+            return _width_b(u, log2d_w32, sparse_wb=sparse_wb,
+                            log2_n_projs=log2_n_projs)
 
-    lcc = jax.vmap(w_one)(union)  # over node axis
+        lcc = jax.vmap(w_one)(union)  # over node axis
     return jnp.where(internal, lcc, -jnp.inf).astype(log2d_w32.dtype)
 
 
 def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
-                     skip_wb, sparse_wb, log2_n_projs):
+                     skip_wb, sparse_wb, log2_n_projs,
+                     uniform_log2=None):
     """Lane-major greedy slicer (see sa_finite.greedy_slices).
 
     Mirrors the vmapped slicer exactly, including per-replica jitter keys.
     Returns ``uint32[W, B]`` slice lanes.
+
+    ``uniform_log2``: common log2 dim enabling the popcount width fast
+    path in the per-round all-node width recompute — the slicer's
+    dominant cost (bitwise-identical for power-of-two dims; see
+    ``_pc_width``).
     """
     n, w, b = inds.shape
     n_bits = w * 32
@@ -177,6 +213,11 @@ def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
 
     def all_sw(slices):
         sliced = inds_pad & ~slices[None]
+        if uniform_log2 is not None:
+            return _pc_width(sliced, uniform_log2, dtype,
+                             None if sparse_wb is None else
+                             sparse_wb.reshape(-1),
+                             log2_n_projs, word_axis=1)[:n]
         out = jax.lax.map(jax.vmap(w_of),
                           sliced.reshape(n_pad // chunk, chunk, w, b))
         return out.reshape(n_pad, b)[:n]

@@ -576,9 +576,11 @@ def _iter_fullsweep_fw(carry, beta, update_slices, max_width,
         c0, c1, par, inds, lcc, width = _unpack(S_, w, dtype, fw=True)
         new_slices = _greedy_slices_b(
             c0, inds, width, k_reslice, max_width, log2d_w32,
-            skip_w[:, None], sp_w1, log2_n_projs)
+            skip_w[:, None], sp_w1, log2_n_projs,
+            uniform_log2=uniform_log2)
         new_lcc = _lcc_fw_b(c0, c1, inds, new_slices, log2d_w32,
-                            sp_w1, log2_n_projs)
+                            sp_w1, log2_n_projs,
+                            uniform_log2=uniform_log2)
         old_lt = _log2_total_bn(
             _join_f(S_[w + 3:w + 3 + nk, :, nl:], dtype))
         new_lt = _log2_total_bn(new_lcc[nl:].T)

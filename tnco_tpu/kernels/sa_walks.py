@@ -478,9 +478,11 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
             S_, w, dtype, S_.shape[2], fw=True)
         new_slices = _greedy_slices_b(
             c0, inds, width, k_reslice, max_width, log2d_w32,
-            skip_w[:, None], sp_w1, log2_n_projs)
+            skip_w[:, None], sp_w1, log2_n_projs,
+            uniform_log2=uniform_log2)
         new_lcc = _lcc_fw_b(c0, c1, inds, new_slices, log2d_w32,
-                            sp_w1, log2_n_projs)
+                            sp_w1, log2_n_projs,
+                            uniform_log2=uniform_log2)
         old_lt = _lt_from_S(S_, w, nk, nl, dtype)
         new_lt = costs_ops.log2_total_from_lcc(new_lcc, nl)
         better = new_lt < old_lt
