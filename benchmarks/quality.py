@@ -24,7 +24,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                 engine: str = 'auto',
                 n_walks: int = 8,
                 walk_chunk: int = 0,
-                tpu_beta_max: float | None = None) -> dict:
+                tpu_beta_max: float | None = None,
+                update_slices: int = 10) -> dict:
     import jax.numpy as jnp
 
     from benchmarks.run import build_config
@@ -40,7 +41,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                                seconds, seed, n_tpu_replicas,
                                n_cpu_replicas, engine, n_walks, walk_chunk,
                                exchange_every=exchange_every,
-                               tpu_beta_max=tpu_beta_max)
+                               tpu_beta_max=tpu_beta_max,
+                               update_slices=update_slices)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
 
     n_paths = 32
@@ -168,7 +170,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                     engine: str = 'auto', n_walks: int = 8,
                     walk_chunk: int = 0,
                     exchange_every: int = 0,
-                    tpu_beta_max: float | None = None) -> dict:
+                    tpu_beta_max: float | None = None,
+                    update_slices: int = 10) -> dict:
     """Finite-width protocol: width-capped SA + slices, same budget rule."""
     import jax.numpy as jnp
 
@@ -210,7 +213,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     chunk_sweeps = 256 if runner.engine in ('multiwalk', 'mxu',
                                             'walker', 'walks') else 64
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
-               chunk_size=chunk_sweeps, update_slices=10)
+               chunk_size=chunk_sweeps, update_slices=update_slices)
     runner.moves_done = 0
     t0 = time.perf_counter()
     n_calls = 0
@@ -221,7 +224,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         betas = np.linspace(min(frac0, 1.0) * tpu_beta_max,
                             min(frac0 + 0.05, 1.0) * tpu_beta_max,
                             chunk_sweeps).astype(np.float32)
-        runner.run(betas, chunk_size=chunk_sweeps, update_slices=10)
+        runner.run(betas, chunk_size=chunk_sweeps,
+                   update_slices=update_slices)
         n_calls += 1
         # See the IM arm: in-run exchange cadences never fire with
         # single-chunk calls, so exchange between calls.
@@ -325,13 +329,17 @@ def main() -> None:
     parser.add_argument('--tpu-beta-max', type=float, default=None,
                         help='Override the TPU-arm beta_max (default: '
                              '60, or 3000 under mh_local).')
+    parser.add_argument('--update-slices', type=int, default=10,
+                        help='TPU-arm reslice cadence in sweeps/'
+                             'iterations (FW configs).')
     args = parser.parse_args()
     res = run_quality(args.config, args.seconds, args.seed,
                       args.tpu_replicas, args.cpu_replicas,
                       exchange_every=args.exchange_every,
                       engine=args.engine, n_walks=args.n_walks,
                       walk_chunk=args.walk_chunk,
-                      tpu_beta_max=args.tpu_beta_max)
+                      tpu_beta_max=args.tpu_beta_max,
+                      update_slices=args.update_slices)
     print(json.dumps(res, indent=1))
 
 
