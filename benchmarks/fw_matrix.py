@@ -27,7 +27,7 @@ def main() -> None:
     ap.add_argument('--short-seconds', type=float, default=90.0)
     ap.add_argument('--long-seconds', type=float, default=300.0)
     ap.add_argument('--replicas', type=int, default=64)
-    ap.add_argument('--grid', default='8:2,8:10,32:2,32:10,64:4',
+    ap.add_argument('--grid', default='8:10,16:5,32:2,64:1,64:4',
                     help='comma list of n_walks:update_slices cells')
     ap.add_argument('--exchange-every', type=int, default=0)
     args = ap.parse_args()
