@@ -15,7 +15,8 @@ from tnco_tpu.kernels import sa_batched as sb
 from tnco_tpu.kernels import sa_multiwalk as smw
 from tnco_tpu.kernels.sa_infinite import SweepConfig
 from tnco_tpu.ops import bitops
-from tnco_tpu.testing.utils import generate_random_tensors
+from tnco_tpu.testing.utils import (assert_batches_identical,
+                                    generate_random_tensors)
 from tnco_tpu.utils.tn import get_random_contraction_path
 
 
@@ -55,8 +56,7 @@ def test_walker_bit_identical(n_walks, rng, random_seed):
     assert int(mref['applied']) == int(mgot['applied'])
     np.testing.assert_array_equal(np.asarray(mref['pos']),
                                   np.asarray(mgot['pos']))
-    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert_batches_identical(ref, got)
 
 
 def test_walker_continuation(rng, random_seed):
@@ -79,8 +79,7 @@ def test_walker_continuation(rng, random_seed):
     got, m2 = pw.run_walker(mid, betas[10:], log2d_w32, cfg, p,
                             m1['pos'], interpret=True)
     assert int(mref['moves']) == int(m1['moves']) + int(m2['moves'])
-    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert_batches_identical(ref, got)
 
 
 def test_walker_fw_bit_identical(rng, random_seed):
@@ -114,8 +113,7 @@ def test_walker_fw_bit_identical(rng, random_seed):
     assert int(mref['applied']) == int(mgot['applied'])
     np.testing.assert_array_equal(np.asarray(mref['pos']),
                                   np.asarray(mgot['pos']))
-    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert_batches_identical(ref, got)
 
 
 def test_walker_rows_roundtrip_fuzz(rng, random_seed):

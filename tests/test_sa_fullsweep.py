@@ -17,7 +17,8 @@ from tnco_tpu.kernels import sa_batched as sb
 from tnco_tpu.kernels import sa_fullsweep as sfs
 from tnco_tpu.kernels.sa_infinite import SweepConfig, compute_lcc
 from tnco_tpu.ops import bitops
-from tnco_tpu.testing.utils import (generate_random_tensors,
+from tnco_tpu.testing.utils import (assert_batches_identical,
+                                    generate_random_tensors,
                                     is_valid_contraction_tree)
 from tnco_tpu.utils.tn import get_random_contraction_path
 
@@ -269,8 +270,7 @@ def test_fullsweep_interpret_gather_matches_xla(rng, random_seed):
     got, mgot = sfs.run_fullsweep(batch, betas, log2d_w32, cfg,
                                   interpret=True)
     assert int(mref['applied']) == int(mgot['applied'])
-    for x, y in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert_batches_identical(ref, got)
 
 
 def test_fullsweep_popcount_width_matches_pinned(rng, random_seed):
@@ -302,8 +302,7 @@ def test_fullsweep_popcount_width_matches_pinned(rng, random_seed):
     got, mgot = sfs.run_fullsweep(batch, betas, log2d_w32, cfg,
                                   uniform_log2=ul)
     assert int(mref['applied']) == int(mgot['applied'])
-    for x, y in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert_batches_identical(ref, got)
 
 
 def test_delta_log2_local_precision():

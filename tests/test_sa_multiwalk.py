@@ -14,7 +14,8 @@ from tnco_tpu.kernels import sa_batched as sb
 from tnco_tpu.kernels import sa_multiwalk as smw
 from tnco_tpu.kernels.sa_infinite import SweepConfig, compute_lcc
 from tnco_tpu.ops import bitops
-from tnco_tpu.testing.utils import (generate_random_tensors,
+from tnco_tpu.testing.utils import (assert_batches_identical,
+                                    generate_random_tensors,
                                     is_valid_contraction_tree)
 from tnco_tpu.utils.tn import get_random_contraction_path
 
@@ -113,8 +114,7 @@ def test_multiwalk_chunked_bit_identical(walk_chunk, rng, random_seed):
     assert int(mref['applied']) == int(mgot['applied'])
     np.testing.assert_array_equal(np.asarray(mref['pos']),
                                   np.asarray(mgot['pos']))
-    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert_batches_identical(ref, got)
 
 
 def test_multiwalk_fw_chunked_bit_identical(rng, random_seed):
@@ -142,8 +142,7 @@ def test_multiwalk_fw_chunked_bit_identical(rng, random_seed):
                                   skip, cfg, n_walks, pos)
     got, _ = smw.run_multiwalk_fw(batch, betas, upd, max_width, log2d_w32,
                                   skip, cfg, n_walks, pos, walk_chunk=2)
-    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert_batches_identical(ref, got)
 
 
 def test_mxu_pack_roundtrip(rng, random_seed):
@@ -189,15 +188,13 @@ def test_mxu_bit_identical(n_walks, rng, random_seed):
     assert int(mref['applied']) == int(mgot['applied'])
     np.testing.assert_array_equal(np.asarray(mref['pos']),
                                   np.asarray(mgot['pos']))
-    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert_batches_identical(ref, got)
 
     # walk_chunk changes no values (one-hot gathers are exact).
     gotc, mgotc = mxu.run_multiwalk_mxu(batch, betas, log2d_w32, cfg,
                                         n_walks, pos, walk_chunk=2)
     assert int(mgot['applied']) == int(mgotc['applied'])
-    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(gotc)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert_batches_identical(got, gotc)
 
 
 def test_mxu_fw_bit_identical(rng, random_seed):
@@ -229,16 +226,14 @@ def test_mxu_fw_bit_identical(rng, random_seed):
                                          log2d_w32, skip, cfg, n_walks,
                                          pos)
     assert int(mref['applied']) == int(mgot['applied'])
-    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert_batches_identical(ref, got)
 
     # walk_chunk changes no values (one-hot gathers are exact).
     gotc, mgotc = mxu.run_multiwalk_fw_mxu(batch, betas, upd, max_width,
                                            log2d_w32, skip, cfg, n_walks,
                                            pos, walk_chunk=2)
     assert int(mgot['applied']) == int(mgotc['applied'])
-    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(gotc)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert_batches_identical(got, gotc)
 
 
 def test_multiwalk_greedy_monotone(rng, random_seed):

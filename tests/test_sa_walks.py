@@ -18,7 +18,8 @@ from tnco_tpu.kernels import sa_walks as sw
 from tnco_tpu.kernels.sa_finite import SweepConfigFW
 from tnco_tpu.kernels.sa_infinite import SweepConfig, compute_lcc
 from tnco_tpu.ops import bitops
-from tnco_tpu.testing.utils import (generate_random_tensors,
+from tnco_tpu.testing.utils import (assert_batches_identical,
+                                    generate_random_tensors,
                                     is_valid_contraction_tree)
 from tnco_tpu.utils.tn import get_random_contraction_path
 
@@ -70,8 +71,7 @@ def test_walks_bit_identical_to_multiwalk(n_walks, rng, random_seed):
     assert int(mref['applied']) == int(mgot['applied'])
     np.testing.assert_array_equal(np.asarray(mref['pos']),
                                   np.asarray(mgot['pos']))
-    for a, b_ in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    assert_batches_identical(ref, got)
 
 
 def test_walks_fw_bit_identical_to_multiwalk(rng, random_seed):
@@ -96,8 +96,7 @@ def test_walks_fw_bit_identical_to_multiwalk(rng, random_seed):
     got, mgot = sw.run_walks_fw(batch, betas, upd, max_width, log2d_w32,
                                 skip, cfg, pos, claim='sequential')
     assert int(mref['applied']) == int(mgot['applied'])
-    for a, b_ in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    assert_batches_identical(ref, got)
 
 
 @pytest.mark.parametrize('n_walks', [1, 6])
@@ -199,8 +198,7 @@ def test_walks_deterministic(rng, random_seed):
     a, ma = sw.run_walks(batch, betas, log2d_w32, cfg, pos)
     b, mb = sw.run_walks(batch, betas, log2d_w32, cfg, pos)
     assert int(ma['applied']) == int(mb['applied'])
-    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert_batches_identical(a, b)
 
 
 def test_walks_runner_end_to_end(rng, random_seed):
@@ -249,8 +247,7 @@ def test_walks_sharded_bit_identical(rng, random_seed):
                                      mesh)
     assert int(mref['moves']) == int(mgot['moves'])
     assert int(mref['applied']) == int(mgot['applied'])
-    for a, b_ in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    assert_batches_identical(ref, got)
 
 
 def test_walks_sharded_runner_fw(rng, random_seed):

@@ -276,16 +276,43 @@ def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
         over = (~processed) & (w_cur > max_width + _WIDTH_EPS)
         return jnp.any(over) & (r < n)
 
-    def round_body(carry):
-        slices, w_cur, processed, r = carry
+    # With the uniform popcount width, K needy nodes are processed per
+    # full-width recompute: the inner steps re-derive the processed
+    # node's CURRENT sliced width with a cheap exact popcount, so the
+    # node order (first-over by node id) and every selection are
+    # OUTPUT-IDENTICAL to the one-node-per-round loop — widths only
+    # shrink, so the stale `over` mask is a superset and a node that
+    # meanwhile fits contributes nothing (tests assert equality).  The
+    # all-node width recompute is the reslice's dominant stream, so
+    # this cuts it ~K-fold.
+    k_batch = 8 if uniform_log2 is not None else 1
+
+    def one_node(carry2):
+        slices, w_cur, processed = carry2
         over = (~processed) & (w_cur > max_width + _WIDTH_EPS)
         active = jnp.any(over, axis=0)                       # [b]
         t_star = jnp.argmax(over, axis=0).astype(jnp.int32)  # first over
-        sw = jnp.take_along_axis(w_cur, t_star[None, :], axis=0)[0]
+        if uniform_log2 is not None:
+            xs = jnp.take_along_axis(inds, t_star[None, None, :],
+                                     axis=0)[0]
+            sw = _pc_width(xs & ~slices, uniform_log2, dtype,
+                           None if sparse_wb is None else
+                           sparse_wb.reshape(-1),
+                           log2_n_projs, word_axis=0)
+            active = active & (sw > max_width + _WIDTH_EPS)
+        else:
+            sw = jnp.take_along_axis(w_cur, t_star[None, :], axis=0)[0]
         slices = select_at(slices, t_star, sw, active)
         processed = processed | ((iota_nodes == t_star[None, :]) &
-                                 active[None, :])
-        return (slices, all_sw(slices), processed, r + 1)
+                                 jnp.any(over, axis=0)[None, :])
+        return (slices, w_cur, processed)
+
+    def round_body(carry):
+        slices, w_cur, processed, r = carry
+        slices, _, processed = jax.lax.fori_loop(
+            0, k_batch, lambda _i, c2: one_node(c2),
+            (slices, w_cur, processed))
+        return (slices, all_sw(slices), processed, r + k_batch)
 
     carry = (slices0, all_sw(slices0), processed0, jnp.int32(0))
     slices, _, _, _ = jax.lax.while_loop(cond, round_body, carry)

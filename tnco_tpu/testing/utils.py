@@ -13,6 +13,7 @@ import operator as op
 from random import Random
 
 __all__ = [
+    'assert_batches_identical',
     'generate_random_inds', 'generate_random_tensors',
     'is_valid_contraction_tree', 'exact_contraction_costs',
     'exact_log2_total'
@@ -225,3 +226,29 @@ def is_valid_contraction_tree(ctree,
         except (TypeError, ValueError):
             assert all(dims[x] == v for x, v in ctree.dims.items())
     return True
+
+
+def assert_batches_identical(ref, got, *, total_rtol=3e-7):
+    """Cross-engine batch equality: exact state, ulp-tolerant totals.
+
+    The engine bit-identity invariant covers the STATE trajectory
+    (trees, index lanes, per-node log2 costs, slices, PRNG keys) —
+    compared bitwise.  The derived scalar summaries ``log2_total`` /
+    ``min_log2_total`` pass through ``exp2``/``log2``, and XLA's CPU
+    codegen for transcendentals is fusion-context-dependent: the SAME
+    pinned op tree on the SAME inputs can differ by one ulp between two
+    programs (observed: an engine's jit tail vs a standalone recompute
+    of the identical lcc).  No op-order pinning can remove that, so the
+    totals are compared to ``total_rtol`` (~2 ulp) instead.
+    """
+    import numpy as np
+
+    names = list(ref.__slots__)
+    for name in names:
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        if name in ('log2_total', 'min_log2_total'):
+            np.testing.assert_allclose(a, b, rtol=total_rtol, atol=0,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
