@@ -25,7 +25,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                 n_walks: int = 8,
                 walk_chunk: int = 0,
                 tpu_beta_max: float | None = None,
-                update_slices: int = 10) -> dict:
+                update_slices: int = 10,
+                tempering: bool = False) -> dict:
     import jax.numpy as jnp
 
     from benchmarks.run import build_config
@@ -42,7 +43,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                                n_cpu_replicas, engine, n_walks, walk_chunk,
                                exchange_every=exchange_every,
                                tpu_beta_max=tpu_beta_max,
-                               update_slices=update_slices)
+                               update_slices=update_slices,
+                               tempering=tempering)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
 
     n_paths = 32
@@ -84,6 +86,14 @@ def run_quality(name: str, seconds: float, seed: int = 0,
     # elapsed-fraction beta schedule (the window is time-based).
     chunk_sweeps = 256 if runner.engine in ('multiwalk', 'mxu',
                                             'walker', 'walks') else 128
+    ladder = None
+    if tempering:
+        from tnco_tpu.parallel.tempering import TemperingLadder
+        if runner.states is None:
+            raise ValueError('--tempering needs a device engine')
+        ladder = TemperingLadder(n_tpu_replicas, beta_max=tpu_beta_max,
+                                 seed=seed)
+
     # Warm-up compile outside the budget (not counted in tpu_moves)
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps)
@@ -94,13 +104,18 @@ def run_quality(name: str, seconds: float, seed: int = 0,
         frac0 = (time.perf_counter() - t0) / seconds
         if frac0 >= 1.0:
             break
-        # Estimated fraction covered by this chunk: assume it takes as
-        # long as the average so far (coarse but self-correcting).
-        betas = np.linspace(min(frac0, 1.0) * tpu_beta_max,
-                            min(frac0 + 0.05, 1.0) * tpu_beta_max,
-                            chunk_sweeps).astype(np.float32)
+        if ladder is not None:
+            betas = ladder.betas_for(chunk_sweeps)
+        else:
+            # Estimated fraction covered by this chunk: assume it takes
+            # as long as the average so far (coarse, self-correcting).
+            betas = np.linspace(min(frac0, 1.0) * tpu_beta_max,
+                                min(frac0 + 0.05, 1.0) * tpu_beta_max,
+                                chunk_sweeps).astype(np.float32)
         runner.run(betas, chunk_size=chunk_sweeps)
         n_calls += 1
+        if ladder is not None:
+            ladder.swap(np.asarray(runner.states.log2_total))
         # Each run call is a single device chunk, so in-run exchange
         # cadences never fire; exchange between calls instead.
         if (exchange_every and runner.states is not None and
@@ -158,6 +173,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
         'tpu_best_log2_flops': tpu_best,
         'tpu_moves': tpu_moves,
         'tpu_time_s': tpu_time,
+        'tempering_swap_rate': (None if ladder is None else
+                                ladder.swap_rate),
         'cpu_replicas': n_cpu_replicas,
         'cpu_best_log2_flops': cpu_best,
         'cpu_moves': cpu_moves,
@@ -171,7 +188,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                     walk_chunk: int = 0,
                     exchange_every: int = 0,
                     tpu_beta_max: float | None = None,
-                    update_slices: int = 10) -> dict:
+                    update_slices: int = 10,
+                    tempering: bool = False) -> dict:
     """Finite-width protocol: width-capped SA + slices, same budget rule."""
     import jax.numpy as jnp
 
@@ -212,6 +230,11 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                         else beta_max)
     chunk_sweeps = 256 if runner.engine in ('multiwalk', 'mxu',
                                             'walker', 'walks') else 64
+    ladder = None
+    if tempering:
+        from tnco_tpu.parallel.tempering import TemperingLadder
+        ladder = TemperingLadder(n_tpu_replicas, beta_max=tpu_beta_max,
+                                 seed=seed)
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps, update_slices=update_slices)
     runner.moves_done = 0
@@ -221,12 +244,17 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         frac0 = (time.perf_counter() - t0) / seconds
         if frac0 >= 1.0:
             break
-        betas = np.linspace(min(frac0, 1.0) * tpu_beta_max,
-                            min(frac0 + 0.05, 1.0) * tpu_beta_max,
-                            chunk_sweeps).astype(np.float32)
+        if ladder is not None:
+            betas = ladder.betas_for(chunk_sweeps)
+        else:
+            betas = np.linspace(min(frac0, 1.0) * tpu_beta_max,
+                                min(frac0 + 0.05, 1.0) * tpu_beta_max,
+                                chunk_sweeps).astype(np.float32)
         runner.run(betas, chunk_size=chunk_sweeps,
                    update_slices=update_slices)
         n_calls += 1
+        if ladder is not None:
+            ladder.swap(np.asarray(runner.states.log2_total))
         # See the IM arm: in-run exchange cadences never fire with
         # single-chunk calls, so exchange between calls.
         if (exchange_every and runner.states is not None and
@@ -292,6 +320,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         'tpu_best_log2_flops': tpu_best,
         'tpu_moves': tpu_moves,
         'tpu_time_s': tpu_time,
+        'tempering_swap_rate': (None if ladder is None else
+                                ladder.swap_rate),
         'cpu_replicas': n_cpu_replicas,
         'cpu_best_log2_flops': cpu_best,
         'cpu_moves': cpu_moves,
@@ -329,6 +359,9 @@ def main() -> None:
     parser.add_argument('--tpu-beta-max', type=float, default=None,
                         help='Override the TPU-arm beta_max (default: '
                              '60, or 3000 under mh_local).')
+    parser.add_argument('--tempering', action='store_true',
+                        help='TPU arm: parallel-tempering ladder '
+                             'instead of the annealed schedule.')
     parser.add_argument('--update-slices', type=int, default=10,
                         help='TPU-arm reslice cadence in sweeps/'
                              'iterations (FW configs).')
@@ -339,7 +372,8 @@ def main() -> None:
                       engine=args.engine, n_walks=args.n_walks,
                       walk_chunk=args.walk_chunk,
                       tpu_beta_max=args.tpu_beta_max,
-                      update_slices=args.update_slices)
+                      update_slices=args.update_slices,
+                      tempering=args.tempering)
     print(json.dumps(res, indent=1))
 
 

@@ -306,6 +306,9 @@ def _propose(S, u_bits, cfg: SweepConfig, log2d_w32, uniform_log2,
 
 
 def _accept(ev, lt, u, beta, cfg):
+    beta = jnp.asarray(beta)
+    if beta.ndim:  # [B] per-lane ladder (parallel tempering)
+        beta = beta[:, None]
     if cfg.prob_kind == 'mh':
         delta = costs_ops.delta_log2_local(lt[:, None], ev['l_a'],
                                            ev['l_b'], ev['ln_a'],

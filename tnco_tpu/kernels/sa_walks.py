@@ -229,6 +229,11 @@ def _propose_walks(S, pos, leaf, rand_bit, cfg: SweepConfig, log2d_w32,
 
 
 def _accept_walks(ev, lt, u, beta, cfg: SweepConfig):
+    # beta: scalar (one temperature per iteration) or [B] (per-lane
+    # ladder — parallel tempering); identical ops for the scalar case.
+    beta = jnp.asarray(beta)
+    if beta.ndim:
+        beta = beta[:, None]
     if cfg.prob_kind == 'mh':
         l_new = costs_ops.new_total_log2(lt[:, None], ev['l_a'],
                                          ev['l_b'], ev['ln_a'],

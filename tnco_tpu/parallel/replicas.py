@@ -372,12 +372,13 @@ class ReplicaRunner:
                 break
             chunk = betas[pos:pos + chunk_size]
             if len(chunk) < chunk_size:
-                # Repeat the last beta; extra sweeps at the final
-                # temperature only help convergence and keep shapes static.
+                # Repeat the last beta row; extra sweeps at the final
+                # temperature only help convergence and keep shapes
+                # static.  (betas may be [n] or per-lane [n, B].)
                 chunk = np.concatenate(
                     [chunk,
-                     np.full(chunk_size - len(chunk), chunk[-1],
-                             dtype=chunk.dtype)])
+                     np.repeat(chunk[-1:], chunk_size - len(chunk),
+                               axis=0)])
             if self.engine == 'batched':
                 self.states, metrics = sb.run_sweeps_batched(
                     self.states, jnp.asarray(chunk), self.log2d_w32,
@@ -764,7 +765,7 @@ class ReplicaRunnerFW:
             if len(chunk) < chunk_size:
                 pad = chunk_size - len(chunk)
                 chunk = np.concatenate(
-                    [chunk, np.full(pad, chunk[-1], dtype=chunk.dtype)])
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)])
                 mchunk = np.concatenate([mchunk, np.zeros(pad, dtype=bool)])
             if self.engine == 'batched':
                 self.states, metrics = sfb.run_sweeps_fw_batched(
