@@ -90,3 +90,34 @@ def test_replica_runner_float64(rng, random_seed):
         assert np.asarray(run.states.min_log2_total).dtype == np.float64
         assert out['moves'] > 0
         assert np.all(np.isfinite(run.log2_min_totals()))
+
+
+def test_walks_engine_float64(rng, random_seed):
+    """The chained pull-engine's 2-plane (f64) codec paths: bit-identity
+    to multiwalk under the sequential claim holds in x64 too."""
+    from tnco_tpu.kernels import sa_batched as sb
+    from tnco_tpu.kernels import sa_multiwalk as smw
+    from tnco_tpu.kernels import sa_walks as sw
+    from tnco_tpu.kernels.sa_infinite import SweepConfig
+    from tnco_tpu.testing.utils import assert_batches_identical
+
+    with jax.enable_x64(True):
+        ctree = _ctree(rng, random_seed)
+        ctrees = [ctree] * 3
+        n_lanes = ctree.inds_array.shape[1]
+        cfg = SweepConfig(n_leaves=ctree.n_leaves, n_lanes=n_lanes)
+        log2d = bitops.pad_log2_dims(ctree.log2_dims_array, n_lanes,
+                                     jnp.float64)
+        log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+        batch = sb.init_batch(ctrees, [1, 2, 3], np.asarray(log2d),
+                              dtype=np.float64)
+        pos = jnp.full((4, 3), -1, dtype=jnp.int32)
+        betas = jnp.linspace(0.0, 8.0, 20, dtype=jnp.float64)
+
+        ref, mref = smw.run_multiwalk(batch, betas, log2d_w32, cfg, 4,
+                                      pos)
+        got, mgot = sw.run_walks(batch, betas, log2d_w32, cfg, pos,
+                                 claim='sequential')
+        assert np.asarray(got.lcc).dtype == np.float64
+        assert int(mref['applied']) == int(mgot['applied'])
+        assert_batches_identical(ref, got)

@@ -467,7 +467,7 @@ def _iter_fullsweep(carry, beta, log2d_w32, cfg: SweepConfig,
     S = _apply(S, ev, kept, cfg, dtype, interpret)
 
     moves = moves + jnp.int32(ni * S.shape[1])
-    applied = applied + jnp.sum(kept.astype(jnp.int32))
+    applied = applied + jnp.sum(kept.astype(jnp.int32), dtype=jnp.int32)
 
     lt = _log2_total_bn(_join_f(S[w + 3:w + 3 + nk, :, nl:], dtype))
     improved = lt < min_lt
@@ -568,7 +568,7 @@ def _iter_fullsweep_fw(carry, beta, update_slices, max_width,
     S = _apply(S, ev, kept, cfg, dtype, interpret, width_plane=True)
 
     moves = moves + jnp.int32(ni * S.shape[1])
-    applied = applied + jnp.sum(kept.astype(jnp.int32))
+    applied = applied + jnp.sum(kept.astype(jnp.int32), dtype=jnp.int32)
 
     sp_w1 = None if sparse_w is None else sparse_w[:, None]
 

@@ -305,8 +305,9 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
     # Advance every walk (kept or not — a rejected proposal still moves
     # up, exactly like the sequential sweep).
     pos = ev['a']
-    moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
-    applied = applied + jnp.sum(keep.astype(jnp.int32))
+    moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32),
+                             dtype=jnp.int32)
+    applied = applied + jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
 
     # ---- Min tracking (trees are consistent at iteration boundaries)
     lt_new = _log2_total_b(lcc, n_leaves)
@@ -415,8 +416,9 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
         width_pre=width_pre)
 
     pos = ev['a']
-    moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
-    applied = applied + jnp.sum(keep.astype(jnp.int32))
+    moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32),
+                             dtype=jnp.int32)
+    applied = applied + jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
 
     # ---- Periodic greedy reslice-if-better (lockstep FW cadence) -------
     def do_reslice(args):

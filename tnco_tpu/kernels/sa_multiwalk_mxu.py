@@ -330,8 +330,9 @@ def _iter_mxu(carry, beta, log2d_w32, cfg: SweepConfig, n_walks, n,
     R = _place(Rb, ev, keep, n)
 
     pos = ev['a']
-    moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
-    applied = applied + jnp.sum(keep.astype(jnp.int32))
+    moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32),
+                             dtype=jnp.int32)
+    applied = applied + jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
 
     # ---- Min tracking -------------------------------------------------
     lcc = _f32_from([R[:, _LCC + k].astype(jnp.float32)
@@ -499,8 +500,9 @@ def _iter_fw_mxu(carry, beta, update_slices, max_width, log2d_w32,
     R = _place(Rb, ev, keep, n)
 
     pos = ev['a']
-    moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32))
-    applied = applied + jnp.sum(keep.astype(jnp.int32))
+    moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32),
+                             dtype=jnp.int32)
+    applied = applied + jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
 
     # ---- Periodic greedy reslice-if-better (lockstep FW cadence) ------
     def do_reslice(args):

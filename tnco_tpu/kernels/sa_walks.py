@@ -371,7 +371,7 @@ def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
 
     pos = ev['a']
     moves = moves + jnp.int32(p * pos.shape[0])
-    applied = applied + jnp.sum(keep.astype(jnp.int32))
+    applied = applied + jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
 
     lt_new = _lt_from_S(S, w, nk, nl, dtype)
     improved = lt_new < min_lt
@@ -469,7 +469,7 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
 
     pos = ev['a']
     moves = moves + jnp.int32(p * pos.shape[0])
-    applied = applied + jnp.sum(keep.astype(jnp.int32))
+    applied = applied + jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
 
     sp_w1 = None if sparse_w is None else sparse_w[:, None]
 
