@@ -56,5 +56,6 @@ print(f'mxu best cost: {results[0].cost} ops')
 # the large-network production engine (per-iteration cost independent
 # of n_walks; bit-identical trajectories to 'multiwalk').
 opt = Optimizer(method='sa', seed=42, engine='walks', n_walks=8)
-results = opt.optimize(tn, betas=(0.0, 20.0), n_steps=60, n_runs=8)
+tn, results = opt.optimize(rows, betas=(0, 50), n_steps=400, n_runs=64,
+                           fuse=False)
 print(f'walks best cost: {results[0].cost} ops')
