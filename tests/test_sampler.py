@@ -72,6 +72,20 @@ def test_sampler_rejects_multiqubit_nonclassical():
         sampler.sample([(hx, (0, 1))], n_samples=1, **OPTIMIZE)
 
 
-def test_sampler_finite_width_not_implemented():
-    with pytest.raises(NotImplementedError):
-        Sampler(max_width=10)
+def test_sampler_finite_width():
+    # BEYOND REFERENCE (it raises NotImplementedError here,
+    # tnco/app/circuit/sampling.py:479-481): finite max_width runs the
+    # width-capped optimizer and executes the sliced amplitude networks
+    # via utils.tn.contract_sliced.  A tight cap forces nonempty slice
+    # sets, and the peaked circuit must still sample its peak exactly.
+    circuit = [(X, (0,)), (H, (1,)), (H, (1,))]
+    sampler = Sampler(max_width=1.0, seed=5)
+    state = sampler.sample(circuit, n_samples=1, simplify=False,
+                           fuse=False, decompose_hyper_inds=False,
+                           return_intermediate_state_only=True, **OPTIMIZE)
+    assert any(res is not None and res.slices
+               for _, res, *_ in state), 'cap never forced a slice'
+    hits, qubits = sampler.sample(state, n_samples=20,
+                                  qubit_order=(0, 1), **OPTIMIZE)
+    assert hits == {'10': 1.0}
+    assert qubits == (0, 1)

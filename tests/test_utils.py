@@ -9,7 +9,8 @@ import pytest
 from tnco_tpu.testing.utils import generate_random_tensors
 from tnco_tpu.utils.tensor import (get_einsum_subscripts, is_diagonal,
                                    svd, tensordot)
-from tnco_tpu.utils.tn import (contract, fuse, get_connected_components,
+from tnco_tpu.utils.tn import (contract, contract_sliced, fuse,
+                               get_connected_components,
                                get_einsum_subscripts as tn_subscripts,
                                get_hyper_count,
                                get_random_contraction_path,
@@ -92,6 +93,78 @@ def test_fuse_exclude_inds(rng, random_seed):
     assert len(path) <= 1
     with pytest.raises(ValueError):
         fuse(ts_inds, dims, 4.0, exclude_inds=('zz',))
+
+
+def test_contract_sliced_matches_unsliced(rng, random_seed):
+    # Random single-component network; slicing any subset of the
+    # non-output indices and summing the projected passes must equal
+    # the plain contraction (linearity).
+    ts_inds, output_inds, dims = generate_random_tensors(
+        rng, n_ccs=1, n_tensors=6, n_output_inds=2, n_hyper_edges=1,
+        min_dim=2, max_dim=3)
+    paths = get_random_contraction_path(ts_inds, output_inds,
+                                        seed=random_seed)
+    arrays = [
+        np.asarray(rng.choices(range(-3, 4),
+                               k=int(np.prod([dims[x] for x in xs]))),
+                   dtype=float).reshape([dims[x] for x in xs])
+        for xs in ts_inds
+    ]
+    ts_w, out_inds, (want,) = contract(paths, ts_inds, output_inds,
+                                       arrays=list(arrays))
+    sliceable = sorted(
+        frozenset(x for xs in ts_inds for x in xs) - frozenset(output_inds),
+        key=repr)
+    slices = tuple(rng.sample(sliceable, k=min(2, len(sliceable))))
+    ts_out, out_inds_s, (got,) = contract_sliced(paths, ts_inds, slices,
+                                                 output_inds,
+                                                 arrays=list(arrays))
+    assert out_inds_s == out_inds and len(ts_out) == 1
+    # Dropping sliced axes may permute the surviving output axes.
+    got = np.transpose(np.asarray(got),
+                       [ts_out[0].index(x) for x in ts_w[0]])
+    np.testing.assert_allclose(got, np.asarray(want))
+
+    # Empty slice tuple degenerates to a single plain pass.
+    _, _, (got0,) = contract_sliced(paths, ts_inds, (), output_inds,
+                                    arrays=list(arrays))
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want))
+
+
+def test_contract_sliced_hyper_and_errors():
+    # Hyper index 'h' (3 tensors): slicing it must equal the einsum that
+    # sums it.
+    ts_inds = [('h', 'i'), ('h', 'i', 'j'), ('h', 'j')]
+    rng_ = np.random.default_rng(7)
+    arrays = [rng_.integers(-2, 3, size=(2,) * len(xs)).astype(float)
+              for xs in ts_inds]
+    path = [(0, 1), (0, 1)]
+    want = np.einsum('hi,hij,hj->', *arrays)
+    _, _, (got,) = contract_sliced(path, ts_inds, ('h',), (),
+                                   arrays=list(arrays))
+    np.testing.assert_allclose(np.asarray(got), want)
+
+    # Repeated in-tensor label: projection takes the diagonal element.
+    ts2 = [('h', 'h', 'i'), ('i',)]
+    arr2 = [rng_.integers(-2, 3, size=(2, 2, 2)).astype(float),
+            rng_.integers(-2, 3, size=(2,)).astype(float)]
+    _, _, (got2,) = contract_sliced([(0, 1)], ts2, ('h',), (),
+                                    arrays=list(arr2))
+    np.testing.assert_allclose(np.asarray(got2),
+                               np.einsum('hhi,i->', *arr2))
+
+    with pytest.raises(ValueError, match='output'):
+        contract_sliced(path, ts_inds, ('i',), ('i',),
+                        arrays=list(arrays))
+    with pytest.raises(ValueError, match='not in the network'):
+        contract_sliced(path, ts_inds, ('zz',), (), arrays=list(arrays))
+    with pytest.raises(ValueError, match='arrays'):
+        contract_sliced(path, ts_inds, ('h',), ())
+    with pytest.raises(ValueError, match='single tensor'):
+        # Incomplete path leaves two tensors: the slice sum would not
+        # distribute over their product.
+        contract_sliced([(0, 1)], ts_inds, ('h',), (),
+                        arrays=list(arrays))
 
 
 def test_tensordot_hyper_semantics(rng):

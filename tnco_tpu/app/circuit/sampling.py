@@ -22,7 +22,7 @@ import numpy as np
 
 from tnco_tpu.app import Optimizer, Tensor, TensorNetwork
 from tnco_tpu.utils.circuit import load
-from tnco_tpu.utils.tn import contract
+from tnco_tpu.utils.tn import contract, contract_sliced
 
 __all__ = ['Sampler', 'sample', 'SamplingIntermediateState']
 
@@ -204,22 +204,33 @@ def sample(circuit,
                 for q in output_qubits
             ]
 
-            _, _, (amp_0,) = contract(result.path,
-                                      tn.ts_inds,
-                                      output_inds=(),
-                                      arrays=list(arrays) + projectors,
-                                      backend=contraction_backend)
-            prob_0 = abs(complex(np.asarray(amp_0)))**2
+            # Sorted so the slice-sum order (and hence float rounding) is
+            # independent of the hash seed.
+            res_slices = tuple(sorted(getattr(result, 'slices', ()) or (),
+                                      key=repr))
+
+            def amplitude(projs):
+                ts = list(arrays) + projs
+                if res_slices:
+                    # Width-capped optimization: execute the sliced
+                    # contraction (one projected pass per slice
+                    # assignment, summed) — beyond-reference capability.
+                    _, _, (amp,) = contract_sliced(
+                        result.path, tn.ts_inds, res_slices,
+                        output_inds=(), arrays=ts,
+                        backend=contraction_backend)
+                else:
+                    _, _, (amp,) = contract(result.path, tn.ts_inds,
+                                            output_inds=(), arrays=ts,
+                                            backend=contraction_backend)
+                return abs(complex(np.asarray(amp)))**2
+
+            prob_0 = amplitude(projectors)
 
             flip_at = output_qubits.index(op_qubits[0])
             projectors[flip_at] = np.asarray(
                 [1, 0] if bitstring[qubit_loc] else [0, 1], dtype=float)
-            _, _, (amp_1,) = contract(result.path,
-                                      tn.ts_inds,
-                                      output_inds=(),
-                                      arrays=list(arrays) + projectors,
-                                      backend=contraction_backend)
-            prob_1 = abs(complex(np.asarray(amp_1)))**2
+            prob_1 = amplitude(projectors)
 
             if rng.random() < prob_1 / (prob_0 + prob_1):
                 bitstring[qubit_loc] ^= 1
@@ -237,8 +248,11 @@ def sample(circuit,
 class Sampler:
     """Front-end for BGL bitstring sampling (reference sampling.py:422-553).
 
-    Args mirror :func:`tnco_tpu.app.Optimizer`.  Finite ``max_width`` is not
-    supported (slices would require re-running per slice assignment).
+    Args mirror :func:`tnco_tpu.app.Optimizer`.  Finite ``max_width`` IS
+    supported (the reference raises NotImplementedError,
+    sampling.py:479-481): the width-capped optimizer's sliced amplitude
+    networks are executed one projected pass per slice assignment and
+    summed (:func:`tnco_tpu.utils.tn.contract_sliced`).
     """
 
     max_width: float | None = None
@@ -263,9 +277,10 @@ class Sampler:
                               seed=self._rng.randrange(2**32),
                               verbose=self.verbose - 5)
         object.__setattr__(self, '_optimizer', optimizer)
-        if self.max_width is not None and self.max_width < float('inf'):
-            raise NotImplementedError(
-                "Sampling with finite width is not yet implemented.")
+        # Finite max_width is SUPPORTED here (the reference raises
+        # NotImplementedError, sampling.py:479-481): sliced amplitude
+        # networks are executed per slice assignment and summed
+        # (utils.tn.contract_sliced).
 
     def sample(self,
                circuit,
