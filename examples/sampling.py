@@ -34,3 +34,15 @@ hits, qubits = sampler.sample(state, n_samples=200,
 print('qubit order:', qubits)
 for bitstring, frac in list(hits.items())[:8]:
     print(f'  {bitstring}: {frac:.3f}')
+
+# Memory-capped sampling (beyond the reference, which raises
+# NotImplementedError for finite max_width): the width-capped optimizer
+# slices the amplitude networks and each amplitude is executed one
+# projected pass per slice assignment, summed exactly.
+capped = Sampler(max_width=2.0, seed=0)
+hits_c, _ = capped.sample(circuit, n_samples=100, fuse=3,
+                          qubit_order=(0, 1, 2, 3),
+                          betas=(0, 30), n_steps=30, n_runs=4)
+print('width-capped (max_width=2.0) top bitstrings:')
+for bitstring, frac in list(hits_c.items())[:4]:
+    print(f'  {bitstring}: {frac:.3f}')
