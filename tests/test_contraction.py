@@ -150,6 +150,51 @@ def test_replay_fw_width_respected(rng, random_seed):
     assert replayed == int(opt.min_total_cost)
 
 
+def test_fw_result_executes_sliced(rng, random_seed):
+    """The FW optimizer's (path, min_slices) EXECUTES correctly: the
+    sliced contraction (one projected pass per slice assignment, summed)
+    equals an independent dense ``np.einsum`` of the network.  Ties the
+    finite-width cost semantics (every contraction repeats per slice
+    value, simple.hpp:139-144) to actual numerics — the reference never
+    executes sliced contractions."""
+    import string
+
+    import numpy as np
+
+    from tnco_tpu.utils.tn import contract_sliced
+
+    ts_inds, output_inds, dims = generate_random_tensors(
+        rng, n_tensors=6, n_output_inds=0, min_dim=2, max_dim=3,
+        use_mixed_labels=False)
+    arrays = [
+        np.asarray(rng.choices(range(-2, 3),
+                               k=int(np.prod([dims[x] for x in xs]))),
+                   dtype=float).reshape([dims[x] for x in xs])
+        for xs in ts_inds
+    ]
+    letter = {x: string.ascii_letters[i]
+              for i, x in enumerate(dict.fromkeys(
+                  x for xs in ts_inds for x in xs))}
+    sub = ','.join(''.join(letter[x] for x in xs) for xs in ts_inds)
+    want = np.einsum(sub + '->', *arrays)
+
+    paths = get_random_contraction_path(ts_inds, output_inds,
+                                        merge_paths=False,
+                                        seed=random_seed)
+    (path,) = [p for p in paths if p]
+    ctree = ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True)
+    opt = FWOptimizer(ctree, FWCostModel(max_width=1.5), seed=random_seed)
+    opt.update_many(MetropolisHastings(), [b * 0.5 for b in range(40)],
+                    update_slices_every=10)
+
+    slices = tuple(sorted(opt.min_slices))
+    _, _, (got,) = contract_sliced(opt.min_ctree.path(), ts_inds, slices,
+                                   output_inds, arrays=list(arrays))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-9,
+                               atol=1e-9)
+
+
 def test_replay_multiple_components(rng, random_seed):
     """Per-component optimization + merge replays over the full TN
     (reference app flow, infinite_memory/sa.py:230-231)."""
