@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument('--walk-chunk', type=int, default=0)
     ap.add_argument('--iters', type=int, default=64)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--update-slices', type=int, default=0,
+                    help='FW reslice cadence in iterations (0 = never). '
+                         'Finite-width mode is selected by the config '
+                         '(e.g. sycamore_fw / qaoa carry a max_width).')
     args = ap.parse_args()
 
     import jax
@@ -49,7 +53,8 @@ def main() -> None:
     from tnco_tpu.ops import bitops
     from tnco_tpu.utils.tn import get_random_contraction_path
 
-    (ts_inds, output_inds, dims), _ = build_config(args.config, args.seed)
+    (ts_inds, output_inds, dims), max_width = build_config(
+        args.config, args.seed)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
     n_paths = min(args.replicas, 8)
     paths = [
@@ -69,8 +74,13 @@ def main() -> None:
     log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
     log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
     print(f'N={len(template)} lanes={n_lanes} B={args.replicas} '
-          f'P={args.n_walks} wc={args.walk_chunk} engine={args.engine}',
+          f'P={args.n_walks} wc={args.walk_chunk} engine={args.engine}'
+          + (f' FW(max_width={max_width}, upd={args.update_slices})'
+             if max_width is not None else ''),
           flush=True)
+    if max_width is not None:
+        _bench_fw(args, ctrees, max_width)
+        return
     t0 = time.perf_counter()
     batch = sb.init_batch(ctrees, list(range(args.replicas)),
                           np.asarray(log2d))
@@ -122,6 +132,46 @@ def main() -> None:
           f'frac: {applied/max(moves,1):.2f}  '
           f'iter_ms: {dt/args.iters*1000:.2f}  '
           f'best: {float(jnp.min(out.min_log2_total)):.3f}')
+
+
+def _bench_fw(args, ctrees, max_width) -> None:
+    """Finite-width engine throughput through the production runner.
+
+    Times one full ``ReplicaRunnerFW.run`` over ``--iters`` betas (one
+    jitted chunk) after a warm-up call, so the number isolates the FW
+    per-iteration cost; ``--update-slices 0`` disables the periodic
+    greedy reslice to split base-iteration cost from reslice cost.
+    """
+    import jax.numpy as jnp
+
+    from tnco_tpu.optimize.finite_width import SimpleCostModel
+    from tnco_tpu.parallel.replicas import ReplicaRunnerFW
+
+    t0 = time.perf_counter()
+    runner = ReplicaRunnerFW(ctrees, list(range(len(ctrees))),
+                             cmodel=SimpleCostModel(max_width=max_width),
+                             engine=args.engine, n_walks=args.n_walks,
+                             walk_chunk=args.walk_chunk)
+    print(f'runner built in {time.perf_counter()-t0:.1f}s', flush=True)
+    betas = jnp.linspace(0.0, 30.0, args.iters,
+                         dtype=np.asarray(runner.log2d).dtype)
+
+    def once():
+        t0 = time.perf_counter()
+        out = runner.run(betas, update_slices=args.update_slices,
+                         chunk_size=args.iters)
+        dt = time.perf_counter() - t0
+        return out, dt
+
+    _, dt1 = once()
+    print(f'compile+run1: {dt1:.1f}s', flush=True)
+    moves0 = runner.moves_done
+    out, dt = once()
+    moves = runner.moves_done - moves0
+    print(f'proposals/s: {moves/dt:.3e}  '
+          f'iter_ms: {dt/args.iters*1000:.2f}  '
+          f'best: {float(np.min(out["log2_min_total"])):.3f}',
+          flush=True)
 
 
 if __name__ == '__main__':
