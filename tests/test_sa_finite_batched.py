@@ -125,3 +125,62 @@ def test_fw_batched_rescue_matches_vmapped(rng, random_seed):
     np.testing.assert_allclose(np.asarray(vout.min_log2_total),
                                np.asarray(bout.min_log2_total), rtol=1e-6)
     assert int(np.sum(vmet['moves'])) == int(np.sum(bmet['moves']))
+
+
+@pytest.mark.parametrize('ul,skip_all', [(1.0, False), (2.0, False),
+                                         (1.0, True)])
+def test_greedy_slices_fast_matches_reference_path(ul, skip_all,
+                                                   random_seed):
+    """The sorted-space slicer (uniform power-of-two dims) must produce
+    EXACTLY the slice lanes of the reference per-node-round path."""
+    nprng = np.random.default_rng(random_seed)
+    n, b = 37, 5
+    n_inds = 45  # not a lane multiple on purpose
+    w = -(-n_inds // 32)
+    inds_np = nprng.integers(0, 2**32, size=(n, w, b),
+                             dtype=np.uint64).astype(np.uint32)
+    mask_words = np.zeros(w, np.uint32)
+    for i in range(n_inds):
+        mask_words[i // 32] |= np.uint32(1) << np.uint32(i % 32)
+    inds_np &= mask_words[None, :, None]  # clear pad bits
+    inds_np[:4] = 0                       # a few empty (leaf-like) rows
+    inds = jnp.asarray(inds_np)
+
+    valid = (np.arange(w * 32) < n_inds)
+    log2d_w32 = jnp.asarray(
+        np.where(valid, ul, 0.0).astype(np.float32)).reshape(w, 32)
+
+    pc = np.zeros((n, b), np.int64)       # exact popcount widths
+    for wi in range(w):
+        v = inds_np[:, wi, :].copy()
+        for _ in range(32):
+            pc += (v & 1)
+            v >>= 1
+    width = jnp.asarray(pc.astype(np.float32) * np.float32(ul))
+    max_width = float(np.median(pc) * ul)  # plenty of over-width nodes
+
+    if skip_all:
+        skip = jnp.asarray(mask_words)     # nothing sliceable
+    else:
+        skip_np = nprng.integers(0, 2**32, size=w,
+                                 dtype=np.uint64).astype(np.uint32)
+        skip = jnp.asarray(skip_np & mask_words)
+
+    keys = jax.vmap(jax.random.PRNGKey)(
+        jnp.arange(random_seed, random_seed + b, dtype=jnp.uint32))
+
+    ref = sfb._greedy_slices_b(None, inds, width, keys,
+                               jnp.float32(max_width), log2d_w32,
+                               skip[:, None], None, None,
+                               uniform_log2=None)
+    fast = sfb._greedy_slices_b(None, inds, width, keys,
+                                jnp.float32(max_width), log2d_w32,
+                                skip[:, None], None, None,
+                                uniform_log2=ul)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fast))
+
+    # multi-window exercise (window smaller than the over-node count)
+    small = sfb._greedy_slices_fast(inds, width, keys,
+                                    jnp.float32(max_width), log2d_w32,
+                                    skip[:, None], ul, window=4)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(small))

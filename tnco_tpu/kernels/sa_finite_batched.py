@@ -124,26 +124,173 @@ def _pc_width(lanes, uniform_log2, dtype, sparse_wb, log2_n_projs,
 
 def _lcc_fw_b(c0, c1, inds, slices, log2d_w32, sparse_wb, log2_n_projs,
               uniform_log2=None):
-    """[N, B] slice-aware log2 cost per node (leaves -> -inf)."""
-    internal = c0 != -1
-    c0s = jnp.where(internal, c0, 0)
-    c1s = jnp.where(internal, c1, 0)
-    inds_c0 = jnp.take_along_axis(inds, c0s[:, None, :], axis=0)
-    inds_c1 = jnp.take_along_axis(inds, c1s[:, None, :], axis=0)
-    union = inds_c0 | inds_c1 | slices[None, :, :]
+    """[N, B] slice-aware log2 cost per node (leaves -> -inf).
 
+    With uniform dims the child-row reads go through
+    ``pallas_gather.gather_gbn`` (XLA lowers the lane-varying
+    ``take_along_axis`` to a scalar loop on TPU; the gather moves bits,
+    so values are identical either way).
+    """
+    internal = c0 != -1
     if uniform_log2 is not None:
+        from tnco_tpu.kernels.pallas_gather import gather_gbn
+
+        inds_wbn = jnp.transpose(inds, (1, 2, 0))       # [W, B, N]
+        ids0 = jnp.where(internal, c0, -1).T             # [B, N]
+        ids1 = jnp.where(internal, c1, -1).T
+        union = (gather_gbn(inds_wbn, ids0) |
+                 gather_gbn(inds_wbn, ids1) |
+                 slices[:, :, None])                     # [W, B, N]
         lcc = _pc_width(union, uniform_log2, log2d_w32.dtype,
                         None if sparse_wb is None else
                         sparse_wb.reshape(-1),
-                        log2_n_projs, word_axis=1)
+                        log2_n_projs, word_axis=0).T     # [N, B]
     else:
+        c0s = jnp.where(internal, c0, 0)
+        c1s = jnp.where(internal, c1, 0)
+        inds_c0 = jnp.take_along_axis(inds, c0s[:, None, :], axis=0)
+        inds_c1 = jnp.take_along_axis(inds, c1s[:, None, :], axis=0)
+        union = inds_c0 | inds_c1 | slices[None, :, :]
+
         def w_one(u):
             return _width_b(u, log2d_w32, sparse_wb=sparse_wb,
                             log2_n_projs=log2_n_projs)
 
         lcc = jax.vmap(w_one)(union)  # over node axis
     return jnp.where(internal, lcc, -jnp.inf).astype(log2d_w32.dtype)
+
+
+def _greedy_slices_fast(inds, width, keys_jitter, max_width, log2d_w32,
+                        skip_wb, uniform_log2, window=128):
+    """Sorted-space greedy slicer for UNIFORM power-of-two dims.
+
+    Output-identical to the reference path in ``_greedy_slices_b`` (and
+    so to the vmapped ``sa_finite.greedy_slices``), restructured for the
+    TPU: the reference path's sequential per-node rounds each pay a
+    lane-varying row gather, a [n_bits, B] permutation gather, a cumsum
+    and a scatter (~3 ms/node at Sycamore shapes), plus a full all-node
+    width recompute per round.  This path exploits three exact
+    identities:
+
+    - widths only shrink as slices grow, so the ENTRY over-width set
+      (``width > max_width``) is a superset of every node that can need
+      slicing, and the per-round width refresh is unnecessary — each
+      node's CURRENT sliced width is re-derived exactly at its turn;
+    - the score order is fixed for the whole call, so the loop can run
+      entirely in sorted score space: the over rows are gathered ONCE
+      (``pallas_gather.gather_gbn``) and permuted ONCE at word level,
+      and the final slice set is permuted back ONCE at exit — no
+      per-node gathers or scatters remain;
+    - with uniform power-of-two dims every width is ``log2(dim) * an
+      exact integer count``, so the candidates-before prefix can be an
+      exact 128-block bf16 triangular matmul on the MXU instead of a
+      cumsum (f32 MACs of 0/1 values, counts <= 127 per block).
+
+    Per-iteration work is then a handful of [B, n_bits] elementwise
+    tiles (~0.1 ms vs ~3 ms), and the loop trip count is the actual
+    max over-node count instead of padded rounds.  Reference semantics:
+    include/tnco/optimize/finite_width/greedy/utils.hpp:24-125.
+    """
+    n, w, b = inds.shape
+    n_bits = w * 32
+    nbp = max(128, -(-n_bits // 128) * 128)
+    dtype = log2d_w32.dtype
+    log2d_flat = log2d_w32.reshape(n_bits)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    ul = jnp.asarray(uniform_log2, dtype)
+    window = min(window, n)
+
+    from tnco_tpu.kernels.pallas_gather import gather_bn, gather_gbn
+
+    # --- entry: score order (verbatim from the reference path) ---
+    big = (width > max_width + _WIDTH_EPS).astype(dtype)  # [n, b]
+    n_big = jnp.concatenate([
+        jnp.einsum(
+            'nb,njb->jb',
+            big,
+            ((inds[:, word, None, :] >> shifts[None, :, None]) &
+             jnp.uint32(1)).astype(dtype)) for word in range(w)
+    ], axis=0)  # [n_bits, b]
+    jitter = jax.vmap(
+        lambda k: jax.random.uniform(k, (n_bits,), dtype=dtype))(
+            keys_jitter).T  # [n_bits, b]
+    score = n_big * 1e6 + log2d_flat[:, None] + 1e-4 * jitter
+    order = jnp.argsort(-score, axis=0)  # [n_bits, b]
+    inv = jnp.argsort(order, axis=0)     # inverse permutation
+
+    # Sorted-space addressing: sorted position q of replica b reads bit
+    # ``order[q, b]`` = word ``order >> 5``, bit ``order & 31``.  Pad
+    # the sorted axis to a lane multiple; pad ids -1 -> zero bits.
+    ord_bq = order.T.astype(jnp.int32)                      # [b, n_bits]
+    word_q = jnp.pad(ord_bq >> 5, ((0, 0), (0, nbp - n_bits)),
+                     constant_values=-1)
+    bit_q = jnp.pad((ord_bq & 31).astype(jnp.uint32),
+                    ((0, 0), (0, nbp - n_bits)))
+
+    skip_words = jnp.broadcast_to(
+        jnp.asarray(skip_wb).reshape(1, w), (b, w)).astype(jnp.uint32)
+    skip_srt = ((gather_bn(skip_words, word_q) >>
+                 bit_q) & jnp.uint32(1)).astype(jnp.int8)   # [b, nbp]
+    not_skip = (jnp.int8(1) - skip_srt) * jnp.pad(
+        jnp.ones((b, n_bits), jnp.int8),
+        ((0, 0), (0, nbp - n_bits)))
+
+    # Entry over-node ids, ascending per replica (id processing order).
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    over0 = width > max_width + _WIDTH_EPS
+    ids_sorted = jnp.sort(
+        jnp.where(over0, iota_n[:, None], jnp.int32(n)), axis=0)
+    max_count = jnp.max(jnp.sum(over0.astype(jnp.int32), axis=0))
+
+    inds_wbn = jnp.transpose(inds, (1, 2, 0))               # [w, b, n]
+    i128 = jnp.arange(128)
+    stl128 = (i128[:, None] < i128[None, :]).astype(jnp.bfloat16)
+    max_w = jnp.asarray(max_width, dtype)
+
+    def one_node(k, sl, bits_srt):
+        xs = jax.lax.dynamic_index_in_dim(bits_srt, k, axis=0,
+                                          keepdims=False)   # [b, nbp]
+        avail = xs * (jnp.int8(1) - sl)
+        cnt = jnp.sum(avail.astype(jnp.int32), axis=1)
+        sw = cnt.astype(dtype) * ul                          # exact
+        cand = avail * not_skip
+        c3 = cand.reshape(b, nbp // 128, 128)
+        within = jnp.einsum('bnk,kl->bnl', c3.astype(jnp.bfloat16),
+                            stl128,
+                            preferred_element_type=jnp.float32)
+        blocks = jnp.sum(c3.astype(jnp.int32), axis=2)       # [b, nblk]
+        bprefix = (jnp.cumsum(blocks, axis=1) - blocks).astype(dtype)
+        cb = bprefix[:, :, None] + within.astype(dtype)      # exact ints
+        w_before = sw[:, None, None] - ul * cb
+        selected = (c3 > 0) & (w_before > max_w + _WIDTH_EPS)
+        return sl | selected.reshape(b, nbp).astype(jnp.int8)
+
+    def window_body(carry):
+        sl, offset = carry
+        ids_w = jax.lax.dynamic_slice(ids_sorted, (offset, 0),
+                                      (window, b))
+        ids_bk = jnp.where(ids_w < n, ids_w, -1).T           # [b, window]
+        g1 = gather_gbn(inds_wbn, ids_bk)                    # [w, b, K]
+        rows_wb = jnp.transpose(g1, (2, 1, 0))               # [K, b, w]
+        word_srt = gather_gbn(rows_wb, word_q)               # [K, b, nbp]
+        bits_srt = ((word_srt >> bit_q[None]) &
+                    jnp.uint32(1)).astype(jnp.int8)
+        trip = jnp.clip(max_count - offset, 0, window)
+        sl = jax.lax.fori_loop(
+            0, trip, lambda k, s: one_node(k, s, bits_srt), sl)
+        return sl, offset + jnp.int32(window)
+
+    sl0 = jnp.zeros((b, nbp), jnp.int8)
+    sl, _ = jax.lax.while_loop(lambda c: c[1] < max_count, window_body,
+                               (sl0, jnp.int32(0)))
+
+    # Back to lane space: lane bit j of replica b = sl[b, inv[j, b]].
+    lane_bits = gather_bn(sl.astype(jnp.int32),
+                          inv.T.astype(jnp.int32))           # [b, n_bits]
+    lb = lane_bits.reshape(b, w, 32).astype(jnp.uint32)
+    packed = jnp.sum(lb << shifts[None, None, :], axis=2,
+                     dtype=jnp.uint32)
+    return packed.T                                          # [w, b]
 
 
 def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
@@ -157,8 +304,13 @@ def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
     ``uniform_log2``: common log2 dim enabling the popcount width fast
     path in the per-round all-node width recompute — the slicer's
     dominant cost (bitwise-identical for power-of-two dims; see
-    ``_pc_width``).
+    ``_pc_width``).  With uniform dims and no sparse indices the whole
+    slicer runs on the sorted-space path (``_greedy_slices_fast``),
+    which is output-identical on every platform.
     """
+    if uniform_log2 is not None and sparse_wb is None:
+        return _greedy_slices_fast(inds, width, keys_jitter, max_width,
+                                   log2d_w32, skip_wb, uniform_log2)
     n, w, b = inds.shape
     n_bits = w * 32
     dtype = log2d_w32.dtype
