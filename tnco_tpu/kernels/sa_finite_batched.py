@@ -306,9 +306,14 @@ def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
     dominant cost (bitwise-identical for power-of-two dims; see
     ``_pc_width``).  With uniform dims and no sparse indices the whole
     slicer runs on the sorted-space path (``_greedy_slices_fast``),
-    which is output-identical on every platform.
+    which is output-identical on every platform.  The fast path
+    additionally requires an INTEGER ``log2(dim)`` (power-of-two dims):
+    its single-multiply ``log2(dim) * count`` widths are exact there,
+    whereas the reference path's iterated cumsum of a non-representable
+    ``log2(dim)`` rounds differently.
     """
-    if uniform_log2 is not None and sparse_wb is None:
+    if (uniform_log2 is not None and sparse_wb is None
+            and float(uniform_log2).is_integer()):
         return _greedy_slices_fast(inds, width, keys_jitter, max_width,
                                    log2d_w32, skip_wb, uniform_log2)
     n, w, b = inds.shape
@@ -473,7 +478,7 @@ def _greedy_slices_b(c0, inds, width, keys_jitter, max_width, log2d_w32,
 
 def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
                       skip_wb, cfg: SweepConfigFW, iota_n, sparse_wb,
-                      log2_n_projs):
+                      log2_n_projs, uniform_log2=None):
     (c0, c1, par, inds, lcc, width, slices, _lt_prev, min_lt,
      min_c0, min_c1, min_par, min_inds, min_slices, keys) = carry
     n_leaves = cfg.n_leaves
@@ -671,9 +676,11 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
         c0_, inds_, width_, slices_, lcc_ = args
         new_slices = _greedy_slices_b(c0_, inds_, width_, k_reslice,
                                       max_width, log2d_w32, skip_wb,
-                                      sparse_wb, log2_n_projs)
+                                      sparse_wb, log2_n_projs,
+                                      uniform_log2=uniform_log2)
         new_lcc = _lcc_fw_b(c0_, c1, inds_, new_slices, log2d_w32,
-                            sparse_wb, log2_n_projs)
+                            sparse_wb, log2_n_projs,
+                            uniform_log2=uniform_log2)
         better = (_log2_total_b(new_lcc, n_leaves) <
                   _log2_total_b(lcc_, n_leaves))
         bet_w = better[None, None, :] if new_slices.ndim == 3 else \
@@ -708,7 +715,7 @@ def _sweep_fw_batched(carry, beta, update_slices, max_width, log2d_w32,
 
 def _run_fw(batch: SABatchFW, betas, update_slices_mask, max_width,
             log2d_w32, skip_wb, cfg: SweepConfigFW, sparse_wb=None,
-            log2_n_projs=None):
+            log2_n_projs=None, uniform_log2=None):
     n = batch.c0.shape[0]
     iota_n = jnp.arange(n, dtype=jnp.int32)[:, None]
     max_width = jnp.asarray(max_width, log2d_w32.dtype)
@@ -717,7 +724,8 @@ def _run_fw(batch: SABatchFW, betas, update_slices_mask, max_width,
         beta, upd = x
         carry, moves = _sweep_fw_batched(carry, beta, upd, max_width,
                                          log2d_w32, skip_wb, cfg, iota_n,
-                                         sparse_wb, log2_n_projs)
+                                         sparse_wb, log2_n_projs,
+                                         uniform_log2)
         return carry, (carry[7], carry[8], moves)
 
     carry = (batch.c0, batch.c1, batch.par, batch.inds,
@@ -736,8 +744,8 @@ def _run_fw(batch: SABatchFW, betas, update_slices_mask, max_width,
                  'moves': moves_hist}
 
 
-run_sweeps_fw_batched = fts.partial(jax.jit,
-                                    static_argnames=('cfg',))(_run_fw)
+run_sweeps_fw_batched = fts.partial(
+    jax.jit, static_argnames=('cfg', 'uniform_log2'))(_run_fw)
 
 
 def init_batch_fw(ctrees, seeds, max_width, log2_dims_padded, *,

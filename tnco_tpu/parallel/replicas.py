@@ -768,10 +768,19 @@ class ReplicaRunnerFW:
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)])
                 mchunk = np.concatenate([mchunk, np.zeros(pad, dtype=bool)])
             if self.engine == 'batched':
+                from tnco_tpu.kernels import sa_fullsweep as sfs
+
+                # This engine is BIT-IDENTICAL to the vmapped kernel;
+                # only integer log2 dims keep the popcount widths exact,
+                # so gate harder than the walk-family engines do.
+                ul = sfs.uniform_log2_dim(self.template.log2_dims_array)
+                if ul is not None and not float(ul).is_integer():
+                    ul = None
                 self.states, metrics = sfb.run_sweeps_fw_batched(
                     self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
                     self.max_width, self.log2d_w32, self.skip_lanes,
-                    self.cfg, self.sparse_wb, self.log2_n_projs)
+                    self.cfg, self.sparse_wb, self.log2_n_projs,
+                    uniform_log2=ul)
                 last_min = metrics['log2_min_total'][-1]
             elif self.engine == 'multiwalk':
                 from tnco_tpu.kernels import sa_multiwalk as smw
