@@ -29,7 +29,9 @@ def main() -> None:
     ap.add_argument('--replicas', type=int, default=64)
     ap.add_argument('--grid', default='8:10,16:5,32:2,64:1,64:4',
                     help='comma list of n_walks:update_slices cells')
-    ap.add_argument('--exchange-every', type=int, default=0)
+    # Defended default (docs/QUALITY.md): exchange every 4 chunks won
+    # the sycamore_fw 300 s arm (63.805 vs 64.62 without exchange).
+    ap.add_argument('--exchange-every', type=int, default=4)
     args = ap.parse_args()
 
     from benchmarks.quality import run_quality
