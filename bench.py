@@ -62,18 +62,24 @@ def main() -> None:
     betas = jnp.linspace(0.0, 30.0, n_iters, dtype=jnp.float32)
     pos = jnp.full((n_walks, n_replicas), -1, dtype=jnp.int32)
 
+    # Uniform-dims popcount width fast path (bitwise-equal to the pinned
+    # pairwise tree for integer log2 dims; the pinned tree on this hot
+    # path was the round-2 0.66x bench regression).
+    from tnco_tpu.kernels.sa_fullsweep import uniform_log2_dim
+    ul = uniform_log2_dim(template.log2_dims_array)
+
     # Multi-walk engine (fastest; see kernels/sa_multiwalk.py): n_walks
     # proposal evaluations per replica per iteration, one masked pass.
     # Warm-up / compile.  NOTE: on the remote-tunneled TPU platform,
     # block_until_ready does not reliably block — an actual host transfer
     # does, so all timings force one.
     out, metrics = smw.run_multiwalk(batch, betas, log2d_w32, cfg,
-                                     n_walks, pos)
+                                     n_walks, pos, uniform_log2=ul)
     int(metrics['moves'])
 
     t0 = time.perf_counter()
     out, metrics = smw.run_multiwalk(batch, betas, log2d_w32, cfg,
-                                     n_walks, pos)
+                                     n_walks, pos, uniform_log2=ul)
     moves = int(metrics['moves'])
     applied = int(metrics['applied'])
     elapsed = time.perf_counter() - t0

@@ -116,3 +116,41 @@ def test_streamed_engine_valid(rng, random_seed):
         is_valid_contraction_tree(best)
         assert float(out.min_log2_total[i]) == pytest.approx(
             exact_log2_total(best), abs=1e-3)
+
+
+def test_batched_popcount_width_matches_pinned(rng, random_seed):
+    """All-dim-2 network: run_sweeps_batched with the popcount width fast
+    path (uniform_log2) is bitwise identical to the pinned bit-plane
+    width tree (integer f32 sums are exact)."""
+    from tnco_tpu.kernels.sa_fullsweep import uniform_log2_dim
+
+    ts_inds, output_inds, dims = generate_random_tensors(
+        rng, n_output_inds=2, min_dim=2, max_dim=2)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(4):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = sa.SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    batch = sb.init_batch(ctrees, list(range(4)), np.asarray(log2d))
+    betas = jnp.linspace(0.0, 12.0, 30, dtype=jnp.float32)
+
+    ul = uniform_log2_dim(template.log2_dims_array)
+    assert ul == 1.0
+    ref, mref = sb.run_sweeps_batched(batch, betas, log2d_w32, cfg)
+    got, mgot = sb.run_sweeps_batched(batch, betas, log2d_w32, cfg,
+                                      uniform_log2=ul)
+    from tnco_tpu.testing.utils import assert_batches_identical
+    assert_batches_identical(ref, got)
+    np.testing.assert_array_equal(
+        np.asarray(mref['log2_min_total']),
+        np.asarray(mgot['log2_min_total']))

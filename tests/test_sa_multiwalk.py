@@ -431,3 +431,82 @@ def test_mxu_piece_planes_fuzz(rng, random_seed):
     Rw = mxu.pack_state(c0, c1, par, lcc, inds, width=width)
     *outs, owidth = mxu.unpack_state(Rw, with_width=True)
     np.testing.assert_array_equal(np.asarray(width), np.asarray(owidth))
+
+
+def _setup_uniform(rng, random_seed, n_replicas=4, dim=2):
+    """All-dims-equal network (the popcount width fast-path regime)."""
+    ts_inds, output_inds, dims = generate_random_tensors(
+        rng, n_output_inds=2, min_dim=dim, max_dim=dim)
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(n_replicas):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    return ctrees
+
+
+@pytest.mark.parametrize('dim', [2, 4])
+def test_multiwalk_popcount_width_matches_pinned(dim, rng, random_seed):
+    """On an all-dim-`dim` network (integer log2) the popcount width fast
+    path — the fix for the round-2 bench regression, docs/ROADMAP.md —
+    is bitwise identical to the pinned bit-plane width tree."""
+    from tnco_tpu.kernels.sa_fullsweep import uniform_log2_dim
+
+    n_walks = 8
+    ctrees = _setup_uniform(rng, random_seed, dim=dim)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    b = len(ctrees)
+    batch = sb.init_batch(ctrees, list(range(b)), np.asarray(log2d))
+    pos = jnp.full((n_walks, b), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 40, dtype=jnp.float32)
+
+    ul = uniform_log2_dim(template.log2_dims_array)
+    assert ul == float(np.log2(dim))
+    ref, mref = smw.run_multiwalk(batch, betas, log2d_w32, cfg, n_walks,
+                                  pos)
+    got, mgot = smw.run_multiwalk(batch, betas, log2d_w32, cfg, n_walks,
+                                  pos, uniform_log2=ul)
+    assert int(mref['applied']) == int(mgot['applied'])
+    np.testing.assert_array_equal(np.asarray(mref['pos']),
+                                  np.asarray(mgot['pos']))
+    assert_batches_identical(ref, got)
+
+
+def test_multiwalk_fw_popcount_width_matches_pinned(rng, random_seed):
+    """Finite-width variant: fast-path width/reslice/lcc bitwise-match
+    the pinned tree (slices, trees, caches and totals all identical)."""
+    from tnco_tpu.kernels import sa_finite_batched as sfb
+    from tnco_tpu.kernels.sa_finite import SweepConfigFW
+    from tnco_tpu.kernels.sa_fullsweep import uniform_log2_dim
+
+    n_walks = 4
+    max_width = 3.0
+    ctrees = _setup_uniform(rng, random_seed, n_replicas=3)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfigFW(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    skip = jnp.zeros(n_lanes, dtype=jnp.uint32)
+    batch = sfb.init_batch_fw(ctrees, list(range(3)), max_width,
+                              np.asarray(log2d),
+                              skip_lanes=np.asarray(skip))
+    pos = jnp.full((n_walks, 3), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 30, dtype=jnp.float32)
+    upd = jnp.asarray(np.arange(30) % 5 == 0)
+
+    ul = uniform_log2_dim(template.log2_dims_array)
+    ref, _ = smw.run_multiwalk_fw(batch, betas, upd, max_width, log2d_w32,
+                                  skip, cfg, n_walks, pos)
+    got, _ = smw.run_multiwalk_fw(batch, betas, upd, max_width, log2d_w32,
+                                  skip, cfg, n_walks, pos, uniform_log2=ul)
+    assert_batches_identical(ref, got)

@@ -205,8 +205,26 @@ def replica_state(batch: SABatch, i: int):
                      batch.min_inds[..., i], batch.keys[i])
 
 
-def _width_b(lanes_wb, log2d_w32, *, sparse_wb=None, log2_n_projs=None):
-    """Width of ``uint32[W, B]`` lane sets -> ``f32[B]``."""
+def _width_b(lanes_wb, log2d_w32, *, sparse_wb=None, log2_n_projs=None,
+             uniform_log2=None):
+    """Width of ``uint32[W, B]`` lane sets -> ``f32[B]``.
+
+    Fast path: when every index dim is equal AND its log2 is an integer
+    (``uniform_log2``, e.g. 1.0 for the ubiquitous bond-dim-2 networks),
+    ``width = popcount * log2(dim)`` — BITWISE-equal to the pinned
+    pairwise tree (integer-valued f32 sums and products are exact), so
+    the cross-engine bit-identity invariant is preserved while the hot
+    width drops from a materialized ``[W*32, ...]`` bit-plane halving
+    tree to one popcount pass (the round-2 bench regression: the pinned
+    tree on this path cost ~34% of multiwalk throughput, BENCH_r02).
+    Non-integral or non-uniform dims keep the pinned tree.
+    """
+    if (uniform_log2 is not None and sparse_wb is None
+            and float(uniform_log2).is_integer()):
+        pc = jnp.sum(jax.lax.population_count(lanes_wb).astype(jnp.int32),
+                     axis=0)
+        return pc.astype(log2d_w32.dtype) * jnp.asarray(
+            uniform_log2, log2d_w32.dtype)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     if sparse_wb is None:
         bits = ((lanes_wb[:, None, :] >> shifts[None, :, None]) &
@@ -225,8 +243,10 @@ def _width_b(lanes_wb, log2d_w32, *, sparse_wb=None, log2_n_projs=None):
             h = terms.shape[0] // 2
             terms = terms[:h] + terms[h:]
         return terms[0].reshape(lanes_wb.shape[1:])
-    dense = _width_b(lanes_wb & ~sparse_wb, log2d_w32)
-    sparse = _width_b(lanes_wb & sparse_wb, log2d_w32)
+    dense = _width_b(lanes_wb & ~sparse_wb, log2d_w32,
+                     uniform_log2=uniform_log2)
+    sparse = _width_b(lanes_wb & sparse_wb, log2d_w32,
+                      uniform_log2=uniform_log2)
     return dense + jnp.minimum(sparse, log2_n_projs)
 
 
@@ -248,7 +268,7 @@ def compute_hyper_b(c0, c1, inds):
 
 
 def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
-                   sparse_wb, log2_n_projs):
+                   sparse_wb, log2_n_projs, uniform_log2=None):
     """One lockstep leaf-to-root sweep over all replicas.
 
     PRNG usage per replica matches ``sa_infinite.sweep`` exactly (one split
@@ -286,7 +306,8 @@ def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
 
     def width(lanes_wb):
         return _width_b(lanes_wb, log2d_w32, sparse_wb=sparse_wb,
-                        log2_n_projs=log2_n_projs)
+                        log2_n_projs=log2_n_projs,
+                        uniform_log2=uniform_log2)
 
     lt0 = _log2_total_b(lcc, n_leaves)
     m_leaf = row_mask(leaf)
@@ -418,13 +439,14 @@ def _sweep_batched(batch_tuple, beta, log2d_w32, cfg: SweepConfig, iota_n,
 
 
 def _run(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
-         sparse_wb=None, log2_n_projs=None):
+         sparse_wb=None, log2_n_projs=None, uniform_log2=None):
     n = batch.c0.shape[0]
     iota_n = jnp.arange(n, dtype=jnp.int32)[:, None]
 
     def step(carry, beta):
         carry, moves = _sweep_batched(carry, beta, log2d_w32, cfg, iota_n,
-                                      sparse_wb, log2_n_projs)
+                                      sparse_wb, log2_n_projs,
+                                      uniform_log2)
         lt, min_lt = carry[5], carry[6]
         return carry, (lt, min_lt, moves)
 
@@ -445,11 +467,12 @@ def _run(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
                  'moves': moves_hist}
 
 
-run_sweeps_batched = fts.partial(jax.jit, static_argnames=('cfg',))(_run)
+run_sweeps_batched = fts.partial(
+    jax.jit, static_argnames=('cfg', 'uniform_log2'))(_run)
 
 
 def _stream_iter(carry, log2d_w32, betas, cfg: SweepConfig, iota_n,
-                 sparse_wb, log2_n_projs):
+                 sparse_wb, log2_n_projs, uniform_log2=None):
     """One iteration of the continuous move stream.
 
     Unlike the lockstep sweep (where the while-loop runs until the deepest
@@ -487,7 +510,8 @@ def _stream_iter(carry, log2d_w32, betas, cfg: SweepConfig, iota_n,
 
     def width(lanes_wb):
         return _width_b(lanes_wb, log2d_w32, sparse_wb=sparse_wb,
-                        log2_n_projs=log2_n_projs)
+                        log2_n_projs=log2_n_projs,
+                        uniform_log2=uniform_log2)
 
     keys, k_a, k_b = split3(keys)
 
@@ -597,13 +621,13 @@ def _stream_iter(carry, log2d_w32, betas, cfg: SweepConfig, iota_n,
 
 def _run_stream(batch: SABatch, betas, n_iters: int, log2d_w32,
                 cfg: SweepConfig, pos_b, sweep_cnt, sparse_wb=None,
-                log2_n_projs=None):
+                log2_n_projs=None, uniform_log2=None):
     n = batch.c0.shape[0]
     iota_n = jnp.arange(n, dtype=jnp.int32)[:, None]
 
     def step(carry, _):
         carry = _stream_iter(carry, log2d_w32, betas, cfg, iota_n,
-                             sparse_wb, log2_n_projs)
+                             sparse_wb, log2_n_projs, uniform_log2)
         return carry, None
 
     carry = (batch.c0, batch.c1, batch.par, batch.inds,
@@ -633,4 +657,4 @@ def _run_stream(batch: SABatch, betas, n_iters: int, log2d_w32,
 
 
 run_stream_batched = fts.partial(
-    jax.jit, static_argnames=('cfg', 'n_iters'))(_run_stream)
+    jax.jit, static_argnames=('cfg', 'n_iters', 'uniform_log2'))(_run_stream)

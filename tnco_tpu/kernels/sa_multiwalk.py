@@ -269,7 +269,8 @@ def _draws(keys, n, p, dtype, n_keys):
 
 
 def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
-                    walk_chunk, iota_n, sparse_wb, log2_n_projs):
+                    walk_chunk, iota_n, sparse_wb, log2_n_projs,
+                    uniform_log2=None):
     (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1, min_par, min_inds,
      keys, pos, moves, applied) = carry
     n_leaves = cfg.n_leaves
@@ -280,7 +281,8 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
     def width(lanes_pwb):  # [Pc,W,B] -> [Pc,B]
         return jax.vmap(
             lambda lw: _width_b(lw, log2d_w32, sparse_wb=sparse_wb,
-                                log2_n_projs=log2_n_projs))(lanes_pwb)
+                                log2_n_projs=log2_n_projs,
+                                uniform_log2=uniform_log2))(lanes_pwb)
 
     # Exact total each iteration (the applied deltas drift by ~1 ulp).
     lt = _log2_total_b(lcc, n_leaves)
@@ -330,10 +332,11 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
             min_inds, keys, pos, moves, applied)
 
 
-@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk'))
+@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk',
+                                         'uniform_log2'))
 def run_multiwalk(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
                   n_walks: int, pos, sparse_wb=None, log2_n_projs=None,
-                  walk_chunk: int = 0):
+                  walk_chunk: int = 0, uniform_log2=None):
     """Runs one multi-walk iteration per beta (P proposals per replica
     per iteration).  ``walk_chunk`` in (0, P) evaluates/applies walks in
     groups of that size (bit-identical; bounds compile-time temporaries
@@ -344,7 +347,7 @@ def run_multiwalk(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
     def step(carry, beta):
         carry = _iter_multiwalk(carry, beta, log2d_w32, cfg, n_walks,
                                 walk_chunk, iota_n, sparse_wb,
-                                log2_n_projs)
+                                log2_n_projs, uniform_log2)
         return carry, None
 
     carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,
@@ -371,7 +374,7 @@ def run_multiwalk(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
 
 def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
                        skip_wb, cfg, n_walks, walk_chunk, iota_n,
-                       sparse_wb, log2_n_projs):
+                       sparse_wb, log2_n_projs, uniform_log2=None):
     """Finite-width multi-walk iteration: width-capped proposals against
     a shared per-lane slice set (+ optional greedy reslice-if-better,
     mirroring the lockstep FW engine's post-sweep cadence)."""
@@ -389,7 +392,8 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
     def width(lanes_pwb):
         return jax.vmap(
             lambda lw: _width_b(lw, log2d_w32, sparse_wb=sparse_wb,
-                                log2_n_projs=log2_n_projs))(lanes_pwb)
+                                log2_n_projs=log2_n_projs,
+                                uniform_log2=uniform_log2))(lanes_pwb)
 
     lt = _log2_total_b(lcc, n_leaves)
     sl = slices[None, :, :]  # [1, W, B] broadcast over the walk group
@@ -425,9 +429,11 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
         slices_, lcc_ = args
         new_slices = _greedy_slices_b(c0, inds, width_pre, k_reslice,
                                       max_width, log2d_w32, skip_wb,
-                                      sparse_wb, log2_n_projs)
+                                      sparse_wb, log2_n_projs,
+                                      uniform_log2=uniform_log2)
         new_lcc = _lcc_fw_b(c0, c1, inds, new_slices, log2d_w32,
-                            sparse_wb, log2_n_projs)
+                            sparse_wb, log2_n_projs,
+                            uniform_log2=uniform_log2)
         better = (_log2_total_b(new_lcc, n_leaves) <
                   _log2_total_b(lcc_, n_leaves))
         return (jnp.where(better[None, :], new_slices, slices_),
@@ -459,11 +465,12 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
             applied)
 
 
-@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk'))
+@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk',
+                                         'uniform_log2'))
 def run_multiwalk_fw(batch, betas, update_slices_mask, max_width,
                      log2d_w32, skip_wb, cfg, n_walks: int, pos,
                      sparse_wb=None, log2_n_projs=None,
-                     walk_chunk: int = 0):
+                     walk_chunk: int = 0, uniform_log2=None):
     """Finite-width multi-walk: one iteration per beta.
 
     ``batch`` is a :class:`tnco_tpu.kernels.sa_finite_batched.SABatchFW`;
@@ -479,7 +486,8 @@ def run_multiwalk_fw(batch, betas, update_slices_mask, max_width,
         beta, upd = x
         carry = _iter_multiwalk_fw(carry, beta, upd, max_width, log2d_w32,
                                    skip_wb, cfg, n_walks, walk_chunk,
-                                   iota_n, sparse_wb, log2_n_projs)
+                                   iota_n, sparse_wb, log2_n_projs,
+                                   uniform_log2)
         return carry, None
 
     carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,
