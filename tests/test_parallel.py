@@ -409,3 +409,48 @@ def test_walker_exchange_and_accessors(rng, random_seed):
     for i in range(0, 8, 3):
         is_valid_contraction_tree(runner.ctree(i), ts_inds, output_inds,
                                   dims)
+
+
+def test_auto_routing(monkeypatch):
+    """'auto' routes large networks to the device walk engines when an
+    accelerator is present (the round-2 quality winners: walker for IM,
+    walks at P=32 for FW — docs/QUALITY.md), and to the native CPU
+    engine otherwise."""
+    from tnco_tpu import native
+    from tnco_tpu.optimize.finite_width import (SimpleCostModel as
+                                                SimpleCostModelFW)
+    from tnco_tpu.parallel import replicas
+    from tnco_tpu.parallel.replicas import ReplicaRunnerFW
+
+    # 900-tensor chain: N*W = 1799 * 29 > 32768 words => "large".
+    n_t = 900
+    ts_inds = [(i, i + 1) for i in range(n_t)]
+    output_inds = (0, n_t)
+    dims = {i: 2 for i in range(n_t + 1)}
+    # Sequential left fold: contract (0,1), then result with next, ...
+    path = [(0, 1)] * (n_t - 1)
+    ctree = ContractionTree(path, ts_inds, dims, output_inds=output_inds)
+    assert len(ctree) * ctree.inds_array.shape[1] > 32768
+
+    monkeypatch.setattr(replicas, '_accel_available', lambda: True)
+    r = ReplicaRunner([ctree], [0], cmodel=SimpleCostModel())
+    assert r.engine == 'walker'
+    assert r.n_walks == 8
+    rfw = ReplicaRunnerFW([ctree], [0],
+                          cmodel=SimpleCostModelFW(max_width=30))
+    assert rfw.engine == 'walks'
+    assert rfw.n_walks == 32
+
+    monkeypatch.setattr(replicas, '_accel_available', lambda: False)
+    if native.available():
+        r = ReplicaRunner([ctree], [0], cmodel=SimpleCostModel())
+        assert r.engine == 'native'
+
+    # Small networks stay on the lane-major batched engine either way.
+    monkeypatch.setattr(replicas, '_accel_available', lambda: True)
+    small_inds = [(0, 1), (1, 2), (2, 3)]
+    small_path = [(0, 1), (0, 1)]
+    small = ContractionTree(small_path, small_inds, {i: 2 for i in range(4)},
+                            output_inds=(0, 3))
+    r = ReplicaRunner([small], [0], cmodel=SimpleCostModel())
+    assert r.engine == 'batched'

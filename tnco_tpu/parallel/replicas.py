@@ -110,6 +110,29 @@ def _shard_batch(batch: 'sb.SABatch', mesh) -> 'sb.SABatch':
         put(batch.keys, 0))
 
 
+
+def _accel_available() -> bool:
+    """True when the default JAX backend is an accelerator.
+
+    The 'auto' engine routes large networks to the device walk engines
+    only when one is actually present; on CPU-only hosts (tests, plain
+    shells) large networks keep the native C++ engine.  Monkeypatchable
+    (tests pin the routing without a TPU).
+    """
+    try:
+        return jax.devices()[0].platform != 'cpu'
+    except Exception:
+        return False
+
+
+def _resolve_walks(engine: str, n_walks) -> int:
+    """Per-engine default walk count (the defended operating points:
+    docs/QUALITY.md round-2/3 — walker IM at P=8, walks FW at P=32)."""
+    if n_walks is not None:
+        return int(n_walks)
+    return 32 if engine == 'walks' else 8
+
+
 class ReplicaRunner:
     """Runs a batch of SA replicas (one connected component) on device.
 
@@ -138,7 +161,7 @@ class ReplicaRunner:
                  prob_kind: str | None = None,
                  mesh=None,
                  engine: str = 'auto',
-                 n_walks: int = 8,
+                 n_walks: int | None = None,
                  walk_chunk: int = 0,
                  dtype=jnp.float32) -> None:
         """``engine``: 'auto' | 'batched' | 'vmapped' | 'native' |
@@ -208,17 +231,24 @@ class ReplicaRunner:
             from tnco_tpu import native
             if len(self.template) * n_lanes <= 32768:
                 engine = 'batched'
+            elif (_accel_available() and self.sparse_lanes is None and
+                  prob_kind in (None, 'mh')):
+                # Large networks on a device: the Pallas row-major
+                # walker is the device IM winner on the corrected
+                # quality protocol (docs/QUALITY.md: Sycamore 300 s
+                # 62.71 vs fixed CPU 63.31 / reference 63.17).
+                engine = 'walker'
             elif (native.available() and self.sparse_lanes is None and
                   not disable_shared_inds and prob_kind in (None, 'mh')):
-                # Very large networks: the multithreaded CPU engine's
-                # O(W)-per-move pointer walk beats the device engines
-                # today (see docs/ROADMAP.md).
+                # No accelerator: the multithreaded CPU engine's
+                # O(W)-per-move pointer walk wins on huge networks.
                 engine = 'native'
             else:
                 engine = 'vmapped'
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
                           'mxu', 'walker', 'sweep', 'walks'):
             raise ValueError(f"Unknown engine: {engine!r}")
+        n_walks = _resolve_walks(engine, n_walks)
         if prob_kind is None:
             prob_kind = 'mh_local' if engine == 'sweep' else 'mh'
         if prob_kind == 'mh_local' and engine not in ('sweep', 'walks'):
@@ -380,16 +410,22 @@ class ReplicaRunner:
                      np.repeat(chunk[-1:], chunk_size - len(chunk),
                                axis=0)])
             if self.engine == 'batched':
+                from tnco_tpu.kernels import sa_fullsweep as sfs
                 self.states, metrics = sb.run_sweeps_batched(
                     self.states, jnp.asarray(chunk), self.log2d_w32,
-                    self.cfg, self.sparse_wb, self.log2_n_projs)
+                    self.cfg, self.sparse_wb, self.log2_n_projs,
+                    uniform_log2=sfs.uniform_log2_dim(
+                        self.template.log2_dims_array))
                 last_min = metrics['log2_min_total'][-1]
             elif self.engine == 'multiwalk':
+                from tnco_tpu.kernels import sa_fullsweep as sfs
                 from tnco_tpu.kernels import sa_multiwalk as smw
                 self.states, metrics = smw.run_multiwalk(
                     self.states, jnp.asarray(chunk), self.log2d_w32,
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs, walk_chunk=self.walk_chunk)
+                    self.log2_n_projs, walk_chunk=self.walk_chunk,
+                    uniform_log2=sfs.uniform_log2_dim(
+                        self.template.log2_dims_array))
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'mxu':
@@ -538,7 +574,7 @@ class ReplicaRunnerFW:
                  max_number_new_slices: int = 0,
                  mesh=None,
                  engine: str = 'auto',
-                 n_walks: int = 8,
+                 n_walks: int | None = None,
                  walk_chunk: int = 0,
                  dtype=jnp.float32) -> None:
         ctrees = list(ctrees)
@@ -570,6 +606,15 @@ class ReplicaRunnerFW:
             if (len(self.template) * n_lanes <= 32768 and
                     max_number_new_slices == 0):
                 engine = 'batched'
+            elif (_accel_available() and self.sparse_lanes is None and
+                  max_number_new_slices == 0 and
+                  prob_kind in (None, 'mh')):
+                # Large width-capped networks on a device: the chained
+                # 'walks' engine at P=32 is the device FW winner on the
+                # corrected protocol (docs/QUALITY.md: Sycamore-FW
+                # 300 s 63.805/63.848 vs fixed CPU 63.915/64.059 and
+                # reference 64.358/65.157).
+                engine = 'walks'
             elif (native.available() and self.sparse_lanes is None and
                   not disable_shared_inds and prob_kind in (None, 'mh')):
                 engine = 'native'
@@ -578,6 +623,7 @@ class ReplicaRunnerFW:
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
                           'mxu', 'walker', 'sweep', 'walks'):
             raise ValueError(f"Unknown engine: {engine!r}")
+        n_walks = _resolve_walks(engine, n_walks)
         if prob_kind is None:
             prob_kind = 'mh_local' if engine == 'sweep' else 'mh'
         if prob_kind == 'mh_local' and engine not in ('sweep', 'walks'):
@@ -783,12 +829,15 @@ class ReplicaRunnerFW:
                     uniform_log2=ul)
                 last_min = metrics['log2_min_total'][-1]
             elif self.engine == 'multiwalk':
+                from tnco_tpu.kernels import sa_fullsweep as sfs
                 from tnco_tpu.kernels import sa_multiwalk as smw
                 self.states, metrics = smw.run_multiwalk_fw(
                     self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
                     self.max_width, self.log2d_w32, self.skip_lanes,
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs, walk_chunk=self.walk_chunk)
+                    self.log2_n_projs, walk_chunk=self.walk_chunk,
+                    uniform_log2=sfs.uniform_log2_dim(
+                        self.template.log2_dims_array))
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'mxu':
