@@ -31,7 +31,14 @@ def main() -> None:
                     help='comma list of n_walks:update_slices cells')
     # Defended default (docs/QUALITY.md): exchange every 4 chunks won
     # the sycamore_fw 300 s arm (63.805 vs 64.62 without exchange).
-    ap.add_argument('--exchange-every', type=int, default=4)
+    # NOTE: the cadence applies to the short grid cells too, although it
+    # was validated only at the P=32/update_slices=2 operating point —
+    # pass 0 to reproduce the original (exchange-off) grid selection.
+    ap.add_argument('--exchange-every', type=int, default=4,
+                    help='Population exchange cadence; also applied to '
+                         'the short grid-selection cells (validated at '
+                         'P=32/upd=2 only; 0 restores the exchange-off '
+                         'selection protocol).')
     args = ap.parse_args()
 
     from benchmarks.quality import run_quality

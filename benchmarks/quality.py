@@ -20,12 +20,12 @@ import numpy as np
 def run_quality(name: str, seconds: float, seed: int = 0,
                 n_tpu_replicas: int | None = None,
                 n_cpu_replicas: int = 256,
-                exchange_every: int = 0,
+                exchange_every: int | None = None,
                 engine: str = 'auto',
-                n_walks: int = 8,
+                n_walks: int | None = None,
                 walk_chunk: int = 0,
                 tpu_beta_max: float | None = None,
-                update_slices: int = 10,
+                update_slices: int | None = None,
                 tempering: bool = False) -> dict:
     import jax.numpy as jnp
 
@@ -71,13 +71,20 @@ def run_quality(name: str, seconds: float, seed: int = 0,
     beta_max = 60.0
 
     # --- TPU: replica batch, chunked until the budget expires -------------
+    # Large-net default B=16: the defended walker operating point
+    # (docs/QUALITY.md round-2 device arms).
     if n_tpu_replicas is None:
         n_tpu_replicas = 1024 if n_nodes * \
-            template.inds_array.shape[1] <= 32768 else 64
+            template.inds_array.shape[1] <= 32768 else 16
     ctrees = [tree(r) for r in range(n_tpu_replicas)]
     runner = ReplicaRunner(ctrees, list(range(n_tpu_replicas)),
                            cmodel=SimpleCostModel(), engine=engine,
                            n_walks=n_walks, walk_chunk=walk_chunk)
+    if exchange_every is None:
+        # Defended cadence (docs/QUALITY.md: the 300 s flagship wins
+        # use exchange every 4 chunks); device engines only.
+        from tnco_tpu.parallel.replicas import _LANE_MAJOR
+        exchange_every = 4 if runner.engine in _LANE_MAJOR else 0
     if tpu_beta_max is None:
         tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
                         else beta_max)
@@ -98,6 +105,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps)
     runner.moves_done = 0
+    tpu_curve = []  # [cumulative proposals, best log2 so far] per chunk
     t0 = time.perf_counter()
     n_calls = 0
     while True:
@@ -124,6 +132,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                                                     exchange_best)
             if runner.engine in _LANE_MAJOR:
                 runner.states = exchange_best(runner.states)
+        tpu_curve.append([int(runner.moves_done),
+                          float(np.min(runner.log2_min_totals()))])
     tpu_time = time.perf_counter() - t0
     tpu_best = float(np.min(runner.log2_min_totals()))
     tpu_moves = runner.moves_done
@@ -132,6 +142,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
     cpu_best = None
     cpu_moves = 0
     cpu_time = 0.0
+    cpu_curve = []
     if native.available() and n_cpu_replicas > 0:
         nodes = np.stack(
             [tree(r).nodes_array.copy() for r in range(n_cpu_replicas)])
@@ -161,6 +172,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                 n_threads=0, return_final=True)
             bests = np.minimum(bests, best)
             cpu_moves += moves
+            cpu_curve.append([int(cpu_moves), float(bests.min())])
         cpu_time = time.perf_counter() - t0
         cpu_best = float(bests.min())
 
@@ -173,22 +185,24 @@ def run_quality(name: str, seconds: float, seed: int = 0,
         'tpu_best_log2_flops': tpu_best,
         'tpu_moves': tpu_moves,
         'tpu_time_s': tpu_time,
+        'tpu_curve': tpu_curve,
         'tempering_swap_rate': (None if ladder is None else
                                 ladder.swap_rate),
         'cpu_replicas': n_cpu_replicas,
         'cpu_best_log2_flops': cpu_best,
         'cpu_moves': cpu_moves,
         'cpu_time_s': cpu_time,
+        'cpu_curve': cpu_curve,
     }
 
 
 def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                     seconds, seed, n_tpu_replicas, n_cpu_replicas,
-                    engine: str = 'auto', n_walks: int = 8,
+                    engine: str = 'auto', n_walks: int | None = None,
                     walk_chunk: int = 0,
-                    exchange_every: int = 0,
+                    exchange_every: int | None = None,
                     tpu_beta_max: float | None = None,
-                    update_slices: int = 10,
+                    update_slices: int | None = None,
                     tempering: bool = False) -> dict:
     """Finite-width protocol: width-capped SA + slices, same budget rule."""
     import jax.numpy as jnp
@@ -218,13 +232,24 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     beta_max = 60.0
     cmodel = SimpleCostModel(max_width=max_width)
 
+    # Large-net default B=64: the defended walks operating point
+    # (docs/QUALITY.md round-2 device arms: B=64/P=32/update_slices=2).
     if n_tpu_replicas is None:
         n_tpu_replicas = 256 if n_nodes * \
-            template.inds_array.shape[1] <= 32768 else 32
+            template.inds_array.shape[1] <= 32768 else 64
     ctrees = [tree(r) for r in range(n_tpu_replicas)]
     runner = ReplicaRunnerFW(ctrees, list(range(n_tpu_replicas)),
                              cmodel=cmodel, engine=engine,
                              n_walks=n_walks, walk_chunk=walk_chunk)
+    from tnco_tpu.parallel.replicas import _LANE_MAJOR
+    if exchange_every is None:
+        exchange_every = 4 if runner.engine in _LANE_MAJOR else 0
+    if update_slices is None:
+        # Walk-family engines count the cadence in iterations (the
+        # defended point is 2); sweep-count engines keep the
+        # reference's per-sweep cadence of 10.
+        update_slices = 2 if runner.engine in ('multiwalk', 'mxu',
+                                               'walker', 'walks') else 10
     if tpu_beta_max is None:
         tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
                         else beta_max)
@@ -238,6 +263,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                chunk_size=chunk_sweeps, update_slices=update_slices)
     runner.moves_done = 0
+    tpu_curve = []
     t0 = time.perf_counter()
     n_calls = 0
     while True:
@@ -263,6 +289,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                                                     exchange_best_fw)
             if runner.engine in _LANE_MAJOR:
                 runner.states = exchange_best_fw(runner.states)
+        tpu_curve.append([int(runner.moves_done),
+                          float(np.min(runner.log2_min_totals()))])
     tpu_time = time.perf_counter() - t0
     tpu_best = float(np.min(runner.log2_min_totals()))
     tpu_moves = runner.moves_done
@@ -270,6 +298,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     cpu_best = None
     cpu_moves = 0
     cpu_time = 0.0
+    cpu_curve = []
     if native.available() and n_cpu_replicas > 0:
         from random import Random
 
@@ -307,6 +336,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                 n_threads=0, return_final=True)
             bests = np.minimum(bests, best)
             cpu_moves += moves
+            cpu_curve.append([int(cpu_moves), float(bests.min())])
         cpu_time = time.perf_counter() - t0
         cpu_best = float(bests.min())
 
@@ -320,12 +350,14 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         'tpu_best_log2_flops': tpu_best,
         'tpu_moves': tpu_moves,
         'tpu_time_s': tpu_time,
+        'tpu_curve': tpu_curve,
         'tempering_swap_rate': (None if ladder is None else
                                 ladder.swap_rate),
         'cpu_replicas': n_cpu_replicas,
         'cpu_best_log2_flops': cpu_best,
         'cpu_moves': cpu_moves,
         'cpu_time_s': cpu_time,
+        'cpu_curve': cpu_curve,
     }
 
 
@@ -343,16 +375,19 @@ def main() -> None:
     parser.add_argument('--tpu-replicas', type=int, default=None)
     parser.add_argument('--cpu-replicas', type=int, default=256,
                         help='0 skips the CPU arm entirely.')
-    parser.add_argument('--exchange-every', type=int, default=0,
-                        help='Population exchange every N chunks '
-                             '(0 = independent runs).')
+    parser.add_argument('--exchange-every', type=int, default=None,
+                        help='Population exchange every N chunks (0 = '
+                             'independent runs; default: 4 on device '
+                             'engines — the defended flagship cadence '
+                             '— else 0).')
     parser.add_argument('--engine', default='auto',
                         help="'auto' | 'batched' | 'vmapped' | 'native' "
                              "| 'multiwalk' | 'mxu' | 'walker' | 'sweep' "
                              "| 'walks'.")
-    parser.add_argument('--n-walks', type=int, default=8,
+    parser.add_argument('--n-walks', type=int, default=None,
                         help='Concurrent walks per replica (multiwalk, '
-                             'mxu, walker and walks engines).')
+                             'mxu, walker and walks engines; default: '
+                             'the per-engine defended operating point).')
     parser.add_argument('--walk-chunk', type=int, default=0,
                         help='Walk group size (multiwalk and mxu '
                              'engines; 0 = all at once).')
@@ -362,9 +397,10 @@ def main() -> None:
     parser.add_argument('--tempering', action='store_true',
                         help='TPU arm: parallel-tempering ladder '
                              'instead of the annealed schedule.')
-    parser.add_argument('--update-slices', type=int, default=10,
+    parser.add_argument('--update-slices', type=int, default=None,
                         help='TPU-arm reslice cadence in sweeps/'
-                             'iterations (FW configs).')
+                             'iterations (FW configs; default: 2 on '
+                             'walk-family engines, else 10).')
     args = parser.parse_args()
     res = run_quality(args.config, args.seconds, args.seed,
                       args.tpu_replicas, args.cpu_replicas,

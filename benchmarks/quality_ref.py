@@ -69,6 +69,11 @@ def run_reference_arm(name: str, seconds: float, seed: int = 0,
     prob = MetropolisHastings(0.0, cost_type=cost_type)
     sweeps = 0
     is_fw = max_width is not None
+    # [cumulative sweeps (x n_replicas implied), best log2 so far] per
+    # round-robin pass — the proposal-normalized parity curve's x axis
+    # is sweeps * proposals-per-sweep (calibrated off the native arm,
+    # same algorithm; see docs/QUALITY.md).
+    curve = []
     t0 = time.perf_counter()
     while True:
         frac = (time.perf_counter() - t0) / seconds
@@ -84,6 +89,8 @@ def run_reference_arm(name: str, seconds: float, seed: int = 0,
             sweeps += chunk_sweeps
             if (time.perf_counter() - t0) / seconds >= 1.0:
                 break
+        curve.append([sweeps,
+                      float(min(o.log2_min_total_cost for o in opts))])
     ref_time = time.perf_counter() - t0
 
     best = min(opt.log2_min_total_cost for opt in opts)
@@ -103,6 +110,7 @@ def run_reference_arm(name: str, seconds: float, seed: int = 0,
         'ref_best_log2_flops': float(best),
         'ref_sweeps': sweeps,
         'ref_time_s': ref_time,
+        'ref_curve': curve,
         'setup_s': setup_s,
         'cost_type': cost_type,
     }
