@@ -271,3 +271,53 @@ def test_walks_sharded_runner_fw(rng, random_seed):
     idx = int(np.argmin(lm))
     assert np.isfinite(lm[idx])
     assert runner.min_ctree(idx).is_valid(check_shared_inds=True)
+
+
+def test_walks_fw_fast_reslice_bit_identical(rng, random_seed):
+    """With uniform power-of-two dims, run_walks_fw takes the
+    plane-layout fast path (sorted-space slicer reading the packed
+    state in place + lcc rebuilt from the incrementally-maintained
+    union planes).  It must be bit-identical to the reference path
+    (``uniform_log2=None``): the popcount widths, the slicer selection
+    and the union-plane lcc are all exact-integer computations."""
+    from tnco_tpu.kernels.sa_fullsweep import uniform_log2_dim
+
+    n_walks = 4
+    max_width = 3.0
+    ts_inds, output_inds, dims = generate_random_tensors(
+        rng, n_hyper_edges=1, n_output_inds=2)
+    dims = {k: 2 for k in dims}  # uniform power-of-two dims
+    order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
+    ctrees = []
+    for r in range(4):
+        paths = get_random_contraction_path(ts_inds, output_inds,
+                                            merge_paths=False,
+                                            seed=random_seed + r)
+        (path,) = [p for p in paths if p]
+        ctrees.append(
+            ContractionTree(path, ts_inds, dims, output_inds=output_inds,
+                            check_shared_inds=True, inds_order=order))
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfigFW(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    skip = jnp.zeros(n_lanes, dtype=jnp.uint32)
+    ul = uniform_log2_dim(template.log2_dims_array)
+    assert ul is not None and float(ul) == 1.0
+    batch = sfb.init_batch_fw(ctrees, list(range(4)), max_width,
+                              np.asarray(log2d),
+                              skip_lanes=np.asarray(skip))
+    pos = jnp.full((n_walks, 4), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 40, dtype=jnp.float32)
+    upd = jnp.asarray(np.arange(40) % 4 == 0)
+    # The reslice path only runs with a nonzero slice set.
+    assert np.asarray(batch.slices).any()
+
+    ref, mref = sw.run_walks_fw(batch, betas, upd, max_width, log2d_w32,
+                                skip, cfg, pos, claim='sequential')
+    got, mgot = sw.run_walks_fw(batch, betas, upd, max_width, log2d_w32,
+                                skip, cfg, pos, claim='sequential',
+                                uniform_log2=ul)
+    assert int(mref['applied']) == int(mgot['applied'])
+    assert_batches_identical(ref, got)

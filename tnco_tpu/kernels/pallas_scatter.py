@@ -122,6 +122,27 @@ def _scatter_kernel(inv_ref, upd_ref, vals_ref, out_ref, *, q_pad):
     out_ref[0] = acc
 
 
+def _scatter_kernel_wide(inv_ref, upd_ref, vals_ref, out_ref, *, q_pad,
+                         n_pad):
+    """Whole-plane variant: grid over planes only, node blocks looped
+    in-kernel.  Many-plane callers (the walks engines' merged apply)
+    pay ~(planes) large DMAs instead of ~(planes x N/128) 32 KB ones —
+    the per-grid-step DMA setup dominated the tiled kernel at Sycamore
+    shapes (67 planes x 26 blocks ~ 1.7 k steps ~ 1 ms/call)."""
+    u = upd_ref[0]       # [b_pad, q_pad]
+    for nb in range(n_pad // _LANES):
+        sl = slice(nb * _LANES, (nb + 1) * _LANES)
+        invb = inv_ref[:, sl]
+        acc = vals_ref[0, :, sl]
+        for j in range(q_pad // _LANES):
+            blk = u[:, j * _LANES:(j + 1) * _LANES]
+            loc = jnp.clip(invb - j * _LANES, 0, _LANES - 1)
+            g = jnp.take_along_axis(blk, loc, axis=1)
+            hit = (invb >= j * _LANES) & (invb < (j + 1) * _LANES)
+            acc = jnp.where(hit, g, acc)
+        out_ref[0, :, sl] = acc
+
+
 def _scatter_xla(vals_gbn, inv_bn, upd_gbq):
     q = upd_gbq.shape[-1]
     safe = jnp.clip(inv_bn, 0, q - 1)
@@ -179,27 +200,51 @@ def scatter_rows_gbn(vals_gbn, ids_bq, upd_gbq, *, interpret=None,
 
     aliases = {2: 0} if planes is None and b_pad == b and n_pad == n \
         else {}
-    out = pl.pallas_call(
-        fts.partial(_scatter_kernel, q_pad=q_pad),
-        grid=(g, n_pad // _LANES),
-        in_specs=[
-            pl.BlockSpec((b_pad, _LANES), lambda gi, nb: (0, nb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_pad, q_pad), lambda gi, nb: (gi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_pad, _LANES),
-                         lambda gi, nb: (gi + lo, 0, nb),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, b_pad, _LANES),
-                               lambda gi, nb: (gi, 0, nb),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, b_pad, n_pad), jnp.int32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary', 'arbitrary')),
-        input_output_aliases=aliases,
-        interpret=interpret,
-    )(inv_p, upd_p, vals_p)
+    # Whole-plane blocks whenever VMEM allows (~2 in + 2 out double-
+    # buffered plane blocks + the shared inv block); otherwise the
+    # 128-lane tiled kernel.
+    if b_pad * n_pad * 4 * 5 <= 16 * 1024 * 1024:
+        out = pl.pallas_call(
+            fts.partial(_scatter_kernel_wide, q_pad=q_pad, n_pad=n_pad),
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((b_pad, n_pad), lambda gi: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_pad, q_pad), lambda gi: (gi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_pad, n_pad), lambda gi: (gi + lo, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, b_pad, n_pad), lambda gi: (gi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((g, b_pad, n_pad), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',)),
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(inv_p, upd_p, vals_p)
+    else:
+        out = pl.pallas_call(
+            fts.partial(_scatter_kernel, q_pad=q_pad),
+            grid=(g, n_pad // _LANES),
+            in_specs=[
+                pl.BlockSpec((b_pad, _LANES), lambda gi, nb: (0, nb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_pad, q_pad), lambda gi, nb: (gi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_pad, _LANES),
+                             lambda gi, nb: (gi + lo, 0, nb),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, b_pad, _LANES),
+                                   lambda gi, nb: (gi, 0, nb),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((g, b_pad, n_pad), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary', 'arbitrary')),
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(inv_p, upd_p, vals_p)
     out = out[:, :b, :n]
     if dtype != jnp.int32:
         out = jax.lax.bitcast_convert_type(out, dtype)

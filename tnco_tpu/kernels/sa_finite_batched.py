@@ -161,7 +161,8 @@ def _lcc_fw_b(c0, c1, inds, slices, log2d_w32, sparse_wb, log2_n_projs,
 
 
 def _greedy_slices_fast(inds, width, keys_jitter, max_width, log2d_w32,
-                        skip_wb, uniform_log2, window=128):
+                        skip_wb, uniform_log2, window=128, vals=None,
+                        vals_planes=None):
     """Sorted-space greedy slicer for UNIFORM power-of-two dims.
 
     Output-identical to the reference path in ``_greedy_slices_b`` (and
@@ -191,7 +192,16 @@ def _greedy_slices_fast(inds, width, keys_jitter, max_width, log2d_w32,
     max over-node count instead of padded rounds.  Reference semantics:
     include/tnco/optimize/finite_width/greedy/utils.hpp:24-125.
     """
-    n, w, b = inds.shape
+    # ``vals``/``vals_planes``: plane-layout callers (the walks engine)
+    # pass their packed ``[F, B, N]`` state + the index-plane range
+    # directly so the row gathers read it in place — ``inds`` may then
+    # be None (only its shape is needed; values are identical since the
+    # planes ARE the index words).
+    if vals is not None:
+        lo, hi = vals_planes
+        n, w, b = vals.shape[2], hi - lo, vals.shape[1]
+    else:
+        n, w, b = inds.shape
     n_bits = w * 32
     nbp = max(128, -(-n_bits // 128) * 128)
     dtype = log2d_w32.dtype
@@ -202,15 +212,45 @@ def _greedy_slices_fast(inds, width, keys_jitter, max_width, log2d_w32,
 
     from tnco_tpu.kernels.pallas_gather import gather_bn, gather_gbn
 
-    # --- entry: score order (verbatim from the reference path) ---
-    big = (width > max_width + _WIDTH_EPS).astype(dtype)  # [n, b]
-    n_big = jnp.concatenate([
-        jnp.einsum(
-            'nb,njb->jb',
-            big,
-            ((inds[:, word, None, :] >> shifts[None, :, None]) &
-             jnp.uint32(1)).astype(dtype)) for word in range(w)
-    ], axis=0)  # [n_bits, b]
+    # --- entry: score order ---
+    # Entry over-node ids, ascending per replica (id processing order).
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    over0 = width > max_width + _WIDTH_EPS
+    ids_sorted = jnp.sort(
+        jnp.where(over0, iota_n[:, None], jnp.int32(n)), axis=0)
+    max_count = jnp.max(jnp.sum(over0.astype(jnp.int32), axis=0))
+
+    if vals is not None:
+        def gather_rows(ids_bk):
+            return gather_gbn(vals, ids_bk, planes=vals_planes)
+    else:
+        inds_wbn = jnp.transpose(inds, (1, 2, 0))           # [w, b, n]
+
+        def gather_rows(ids_bk):
+            return gather_gbn(inds_wbn, ids_bk)
+
+    # n_big[j, b] = #over-width nodes whose index set contains bit j.
+    # The reference formulation is an all-nodes einsum against an
+    # [n, 32, b] float bit expansion per word (GBs of traffic at
+    # Sycamore scale for a handful of over rows); summing the bits of
+    # only the gathered over rows is the same exact integer count.
+    # Windowed over the same id list the selection loop walks; pad ids
+    # (-1) gather all-zero rows and contribute nothing.
+    def nbig_body(carry):
+        acc, offset = carry
+        ids_w = jax.lax.dynamic_slice(ids_sorted, (offset, 0),
+                                      (window, b))
+        ids_bk = jnp.where(ids_w < n, ids_w, -1).T           # [b, K]
+        rows = gather_rows(ids_bk)                           # [w, b, K]
+        bits = ((rows[:, :, :, None] >> shifts) &
+                jnp.uint32(1)).astype(jnp.int32)
+        return acc + jnp.sum(bits, axis=2), offset + jnp.int32(window)
+
+    acc0 = jnp.zeros((w, b, 32), jnp.int32)
+    acc, _ = jax.lax.while_loop(lambda c: c[1] < max_count, nbig_body,
+                                (acc0, jnp.int32(0)))
+    n_big = jnp.transpose(acc, (0, 2, 1)).reshape(n_bits, b) \
+        .astype(dtype)                                       # [n_bits, b]
     jitter = jax.vmap(
         lambda k: jax.random.uniform(k, (n_bits,), dtype=dtype))(
             keys_jitter).T  # [n_bits, b]
@@ -235,14 +275,6 @@ def _greedy_slices_fast(inds, width, keys_jitter, max_width, log2d_w32,
         jnp.ones((b, n_bits), jnp.int8),
         ((0, 0), (0, nbp - n_bits)))
 
-    # Entry over-node ids, ascending per replica (id processing order).
-    iota_n = jnp.arange(n, dtype=jnp.int32)
-    over0 = width > max_width + _WIDTH_EPS
-    ids_sorted = jnp.sort(
-        jnp.where(over0, iota_n[:, None], jnp.int32(n)), axis=0)
-    max_count = jnp.max(jnp.sum(over0.astype(jnp.int32), axis=0))
-
-    inds_wbn = jnp.transpose(inds, (1, 2, 0))               # [w, b, n]
     i128 = jnp.arange(128)
     stl128 = (i128[:, None] < i128[None, :]).astype(jnp.bfloat16)
     max_w = jnp.asarray(max_width, dtype)
@@ -270,7 +302,7 @@ def _greedy_slices_fast(inds, width, keys_jitter, max_width, log2d_w32,
         ids_w = jax.lax.dynamic_slice(ids_sorted, (offset, 0),
                                       (window, b))
         ids_bk = jnp.where(ids_w < n, ids_w, -1).T           # [b, window]
-        g1 = gather_gbn(inds_wbn, ids_bk)                    # [w, b, K]
+        g1 = gather_rows(ids_bk)                             # [w, b, K]
         rows_wb = jnp.transpose(g1, (2, 1, 0))               # [K, b, w]
         word_srt = gather_gbn(rows_wb, word_q)               # [K, b, nbp]
         bits_srt = ((word_srt >> bit_q[None]) &

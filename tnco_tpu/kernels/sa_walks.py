@@ -122,31 +122,35 @@ def _pack_w(c0, c1, par, inds, lcc, width=None):
     return jnp.concatenate(planes, axis=0)
 
 
-def _par_plane(w, nk, fw):
-    return w + 2 + nk + (nk if fw else 0)
+def _par_plane(w, nk, fw, u=0):
+    """``u`` is the union-plane count (``w`` when the FW fast-reslice
+    path maintains U = inds[c0]|inds[c1] planes between the index
+    planes and c0, else 0)."""
+    return w + u + 2 + nk + (nk if fw else 0)
 
 
-def _unpack_w(S, w, dtype, n, fw=False):
+def _unpack_w(S, w, dtype, n, fw=False, u=0):
     nk = _nk(dtype)
     inds = jnp.transpose(S[:w, :, :n], (2, 0, 1))           # [N, W, B]
-    c0 = _i32(S[w, :, :n]).T
-    c1 = _i32(S[w + 1, :, :n]).T
-    lcc = _join_f(S[w + 2:w + 2 + nk, :, :n], dtype).T
-    par = _i32(S[_par_plane(w, nk, fw), :, :n]).T
+    c0 = _i32(S[w + u, :, :n]).T
+    c1 = _i32(S[w + u + 1, :, :n]).T
+    lcc = _join_f(S[w + u + 2:w + u + 2 + nk, :, :n], dtype).T
+    par = _i32(S[_par_plane(w, nk, fw, u), :, :n]).T
     if not fw:
         return c0, c1, par, inds, lcc
-    width = _join_f(S[w + 2 + nk:w + 2 + 2 * nk, :, :n], dtype).T
+    width = _join_f(S[w + u + 2 + nk:w + u + 2 + 2 * nk, :, :n],
+                    dtype).T
     return c0, c1, par, inds, lcc, width
 
 
-def _lt_from_S(S, w, nk, nl, dtype):
-    lcc_bn = _join_f(S[w + 2:w + 2 + nk], dtype)            # [B, N]
+def _lt_from_S(S, w, nk, nl, dtype, u=0):
+    lcc_bn = _join_f(S[w + u + 2:w + u + 2 + nk], dtype)    # [B, N]
     return costs_ops.log2_total_from_lcc(lcc_bn.T, nl)
 
 
 def _propose_walks(S, pos, leaf, rand_bit, cfg: SweepConfig, log2d_w32,
                    uniform_log2, dtype, sparse_w, log2_n_projs,
-                   interpret, slices_wb=None, with_width=False):
+                   interpret, slices_wb=None, with_width=False, u=0):
     """Row pulls + proposal math at the ``[B, P]`` walk positions.
 
     Three dependent pull phases, each a plane-RANGE gather over the
@@ -161,7 +165,7 @@ def _propose_walks(S, pos, leaf, rand_bit, cfg: SweepConfig, log2d_w32,
     w = cfg.n_lanes
     nk = _nk(dtype)
     p = pos.shape[1]
-    par_plane = _par_plane(w, nk, with_width)
+    par_plane = _par_plane(w, nk, with_width, u)
 
     # Restart finished walks at the parent of a fresh leaf (multiwalk
     # semantics: a walk at the root, or never started, restarts).
@@ -174,7 +178,7 @@ def _propose_walks(S, pos, leaf, rand_bit, cfg: SweepConfig, log2d_w32,
 
     b = pos
     rb = gather_gbn(S, b, interpret=interpret,
-                    planes=(w, par_plane + 1))
+                    planes=(w + u, par_plane + 1))
     c0b = _i32(rb[0])
     c1b = _i32(rb[1])
     l_b = _join_f(rb[2:2 + nk], dtype)
@@ -184,7 +188,8 @@ def _propose_walks(S, pos, leaf, rand_bit, cfg: SweepConfig, log2d_w32,
     if with_width:
         ev['w_b'] = _join_f(rb[2 + nk:2 + 2 * nk], dtype)
 
-    ra = gather_gbn(S, a, interpret=interpret, planes=(w, par_plane))
+    ra = gather_gbn(S, a, interpret=interpret,
+                    planes=(w + u, par_plane))
     c0a = _i32(ra[0])
     c1a = _i32(ra[1])
     ev['l_a'] = _join_f(ra[2:2 + nk], dtype)
@@ -211,6 +216,11 @@ def _propose_walks(S, pos, leaf, rand_bit, cfg: SweepConfig, log2d_w32,
     t0 = take0[None]
     inds_d = jnp.where(t0, inds0, inds1)
     inds_e = jnp.where(t0, inds1, inds0)
+    if with_width:
+        # The FW apply maintains the union planes (U = child-row OR)
+        # from these: U[B] = inds_d | inds_c, U[A] = new_inds_b | inds_e.
+        ev['inds_c'] = inds_c
+        ev['inds_d'] = inds_d
 
     hyp_a = inds_a & inds_b & inds_c
     hyp_b = inds_b & inds0 & inds1
@@ -294,20 +304,26 @@ def _claim_sequential(accept, ev):
 
 
 def _apply_walks(S, ev, kept, cfg: SweepConfig, dtype, interpret,
-                 with_width=False):
+                 with_width=False, u=0):
     """Scatter the 4 touched rows of every kept walk.
 
-    TWO plane-range scatter calls: the merged group (inds, c0, c1, lcc
-    and the FW width) at the {B, A} ids — the A rows rewrite their own
-    unchanged index sets/widths, which is free since the planes stream
-    anyway and keeps the call count minimal — and the par plane at the
-    {C, E} ids.  Float rows are written in the multi-walk engine's
-    ADDITIVE form (``old + (new - old)``) so trajectories stay
-    bit-identical to it.
+    TWO plane-range scatter calls: the merged group (inds, the FW
+    union planes, c0, c1, lcc and the FW width) at the {B, A} ids —
+    the A rows rewrite their own unchanged index sets/widths, which is
+    free since the planes stream anyway and keeps the call count
+    minimal — and the par plane at the {C, E} ids.  Float rows are
+    written in the multi-walk engine's ADDITIVE form
+    (``old + (new - old)``) so trajectories stay bit-identical to it.
+
+    ``u``: union-plane count.  U[i] = inds[c0[i]] | inds[c1[i]] sits
+    between the index planes and c0 so it joins the merged {B, A}
+    scatter: only the B and A rows change — B's new children are
+    {D, C}, A's are {B(new), E} — and everything needed is already in
+    ``ev``, so the reslice never has to re-gather child rows.
     """
     w = cfg.n_lanes
     nk = _nk(dtype)
-    par_plane = _par_plane(w, nk, with_width)
+    par_plane = _par_plane(w, nk, with_width, u)
 
     def masked(ids):
         return jnp.where(kept, ids, NULL)
@@ -322,10 +338,16 @@ def _apply_walks(S, ev, kept, cfg: SweepConfig, dtype, interpret,
     new_l_b = ev['l_b'] + (ev['ln_b'] - ev['l_b'])
     new_l_a = ev['l_a'] + (ev['ln_a'] - ev['l_a'])
 
-    # Merged group: inds + c0 + c1 + lcc (+ width) at {B, A}.
+    # Merged group: inds (+ union) + c0 + c1 + lcc (+ width) at {B, A}.
     ids_ba = jnp.concatenate([b_k, a_k], axis=1)
     planes1 = [
         jnp.concatenate([ev['new_inds_b'], ev['inds_a']], axis=2),
+    ]
+    if u:
+        planes1.append(jnp.concatenate(
+            [ev['inds_d'] | ev['inds_c'],
+             ev['new_inds_b'] | ev['inds_e']], axis=2))
+    planes1 += [
         _u32(jnp.concatenate([new_c0b, new_c0a], axis=1))[None],
         _u32(jnp.concatenate([new_c1b, new_c1a], axis=1))[None],
         _split_f(jnp.concatenate([new_l_b, new_l_a], axis=1)),
@@ -350,7 +372,7 @@ def _apply_walks(S, ev, kept, cfg: SweepConfig, dtype, interpret,
 
 def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
                 uniform_log2, sparse_w, log2_n_projs, interpret):
-    (S, S_min, min_lt, keys, pos, moves, applied) = carry
+    (S, lt, S_min, min_lt, keys, pos, moves, applied) = carry
     w = cfg.n_lanes
     nl = cfg.n_leaves
     dtype = log2d_w32.dtype
@@ -360,7 +382,9 @@ def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
     keys, leaf, rand_bit, u, _ = _draws(keys, nl, p, dtype, 4)
     leaf, rand_bit, u = leaf.T, rand_bit.T, u.T             # [B, P]
 
-    lt = _lt_from_S(S, w, nk, nl, dtype)
+    # ``lt`` rides in the carry: it is the pinned total of S as left by
+    # the previous iteration — the exact value the old entry recompute
+    # produced (bitwise; same computation at the same program point).
     pos, ev = _propose_walks(S, pos, leaf, rand_bit, cfg, log2d_w32,
                              uniform_log2, dtype, sparse_w,
                              log2_n_projs, interpret)
@@ -380,7 +404,7 @@ def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
         jnp.any(improved),
         lambda args: jnp.where(improved[None, :, None], *args),
         lambda args: args[1], (S, S_min))
-    return (S, S_min, min_lt, keys, pos, moves, applied)
+    return (S, lt_new, S_min, min_lt, keys, pos, moves, applied)
 
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'uniform_log2',
@@ -411,12 +435,12 @@ def run_walks(batch: SABatch, betas, log2d_w32, cfg: SweepConfig, pos,
                            uniform_log2, sparse_w, log2_n_projs,
                            interpret), None
 
-    carry = (S, S_min, batch.min_log2_total, batch.keys, pos.T,
+    carry = (S, _lt_from_S(S, w, nk, nl, dtype), S_min,
+             batch.min_log2_total, batch.keys, pos.T,
              jnp.int32(0), jnp.int32(0))
     carry, _ = jax.lax.scan(step, carry, betas)
-    (S, S_min, min_lt, keys, pos_bp, moves, applied) = carry
+    (S, lt, S_min, min_lt, keys, pos_bp, moves, applied) = carry
 
-    lt = _lt_from_S(S, w, nk, nl, dtype)
     improved = lt < min_lt
     min_lt = jnp.where(improved, lt, min_lt)
     S_min = jnp.where(improved[None, :, None], S, S_min)
@@ -434,12 +458,15 @@ def run_walks(batch: SABatch, betas, log2d_w32, cfg: SweepConfig, pos,
 
 def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
                    skip_w, cfg: SweepConfig, claim, uniform_log2,
-                   sparse_w, log2_n_projs, interpret):
+                   sparse_w, log2_n_projs, interpret, fast_slicer=False):
+    # fast_slicer implies the state carries u = n_lanes union planes
+    # between the index planes and c0 (see _apply_walks).
     from tnco_tpu.kernels.sa_finite import _WIDTH_EPS
     from tnco_tpu.kernels.sa_finite_batched import (_greedy_slices_b,
-                                                    _lcc_fw_b)
+                                                    _greedy_slices_fast,
+                                                    _lcc_fw_b, _pc_width)
 
-    (S, slices, S_min, min_slices, min_lt, keys, pos, moves,
+    (S, lt, slices, S_min, min_slices, min_lt, keys, pos, moves,
      applied) = carry
     w = cfg.n_lanes
     nl = cfg.n_leaves
@@ -450,11 +477,14 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
     keys, leaf, rand_bit, u, (k_reslice,) = _draws(keys, nl, p, dtype, 5)
     leaf, rand_bit, u = leaf.T, rand_bit.T, u.T
 
-    lt = _lt_from_S(S, w, nk, nl, dtype)
+    up = w if fast_slicer else 0      # union-plane count in S
+    # ``lt`` rides in the carry (see _iter_walks): the pinned total of
+    # S as left by the previous iteration, bitwise what the old entry
+    # recompute produced.
     pos, ev = _propose_walks(S, pos, leaf, rand_bit, cfg, log2d_w32,
                              uniform_log2, dtype, sparse_w,
                              log2_n_projs, interpret,
-                             slices_wb=slices, with_width=True)
+                             slices_wb=slices, with_width=True, u=up)
     ev['new_width_b'] = _width_bn(ev['new_inds_b'], log2d_w32,
                                   uniform_log2, dtype, sparse_w=sparse_w,
                                   log2_n_projs=log2_n_projs)
@@ -465,7 +495,8 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
     accept = _accept_walks(ev, lt, u, beta, cfg) & fits
     keep = (_claim_sequential if claim == 'sequential' else
             _claim_pairwise)(accept, ev)
-    S = _apply_walks(S, ev, keep, cfg, dtype, interpret, with_width=True)
+    S = _apply_walks(S, ev, keep, cfg, dtype, interpret,
+                     with_width=True, u=up)
 
     pos = ev['a']
     moves = moves + jnp.int32(p * pos.shape[0])
@@ -474,34 +505,61 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
     sp_w1 = None if sparse_w is None else sparse_w[:, None]
 
     def do_reslice(args):
-        slices_, S_ = args
+        slices_, S_, lt_post = args
         # The slicer + slice-aware lcc rebuild run on the PADDED node
         # axis: pad rows are inert (c0 NULL -> leaf -> lcc exactly
         # -inf, width 0), so totals stay bit-identical to the unpadded
         # engines.
-        c0, c1, par, inds, lcc, width = _unpack_w(
-            S_, w, dtype, S_.shape[2], fw=True)
-        new_slices = _greedy_slices_b(
-            c0, inds, width, k_reslice, max_width, log2d_w32,
-            skip_w[:, None], sp_w1, log2_n_projs,
-            uniform_log2=uniform_log2)
-        new_lcc = _lcc_fw_b(c0, c1, inds, new_slices, log2d_w32,
-                            sp_w1, log2_n_projs,
-                            uniform_log2=uniform_log2)
-        old_lt = _lt_from_S(S_, w, nk, nl, dtype)
-        new_lt = costs_ops.log2_total_from_lcc(new_lcc, nl)
-        better = new_lt < old_lt
+        if fast_slicer:
+            # Plane-layout path: the sorted-space slicer reads the
+            # index planes in place, and the lcc rebuild is one
+            # popcount pass over the incrementally-maintained union
+            # planes — no unpack transposes, no Q=N child gathers.
+            # Values are bit-identical to the reference path below
+            # (same slicer selection, same _pc_width op on the same
+            # union bits).
+            width_nb = _join_f(
+                S_[w + up + 2 + nk:w + up + 2 + 2 * nk], dtype).T
+            new_slices = _greedy_slices_fast(
+                None, width_nb, k_reslice, max_width, log2d_w32,
+                skip_w[:, None], uniform_log2,
+                vals=S_, vals_planes=(0, w))
+            internal = _i32(S_[w + up]) != NULL          # [B, N]
+            union = S_[w:w + up] | new_slices[:, :, None]
+            lcc_bn = _pc_width(union, uniform_log2, dtype, sparse_w,
+                               log2_n_projs, word_axis=0)
+            new_lcc_bn = jnp.where(internal, lcc_bn,
+                                   -jnp.inf).astype(dtype)
+            new_lt = costs_ops.log2_total_from_lcc(new_lcc_bn.T, nl)
+        else:
+            c0, c1, par, inds, lcc, width = _unpack_w(
+                S_, w, dtype, S_.shape[2], fw=True, u=up)
+            new_slices = _greedy_slices_b(
+                c0, inds, width, k_reslice, max_width, log2d_w32,
+                skip_w[:, None], sp_w1, log2_n_projs,
+                uniform_log2=uniform_log2)
+            new_lcc_bn = _lcc_fw_b(c0, c1, inds, new_slices, log2d_w32,
+                                   sp_w1, log2_n_projs,
+                                   uniform_log2=uniform_log2).T
+            new_lt = costs_ops.log2_total_from_lcc(new_lcc_bn.T, nl)
+        # ``lt_post`` is the pinned total of S_ (post-apply), computed
+        # once by the caller — bitwise what the old in-branch recompute
+        # produced.  Per-replica merge: better rows take new_lcc whose
+        # pinned total IS new_lt, others keep lcc_cur whose total IS
+        # lt_post, so the merged total needs no recompute either.
+        better = new_lt < lt_post
         slices_out = jnp.where(better[None, :], new_slices, slices_)
-        lcc_cur = _join_f(S_[w + 2:w + 2 + nk], dtype)
-        lcc_out = jnp.where(better[:, None], new_lcc.T, lcc_cur)
-        S_out = S_.at[w + 2:w + 2 + nk].set(_split_f(lcc_out))
-        return slices_out, S_out
+        lcc_cur = _join_f(S_[w + up + 2:w + up + 2 + nk], dtype)
+        lcc_out = jnp.where(better[:, None], new_lcc_bn, lcc_cur)
+        S_out = S_.at[w + up + 2:w + up + 2 + nk].set(_split_f(lcc_out))
+        return slices_out, S_out, jnp.where(better, new_lt, lt_post)
 
+    lt_post = _lt_from_S(S, w, nk, nl, dtype, u=up)
     has_slices = jnp.any(slices != 0)
-    slices, S = jax.lax.cond(update_slices & has_slices, do_reslice,
-                             lambda x: x, (slices, S))
+    slices, S, lt_new = jax.lax.cond(update_slices & has_slices,
+                                     do_reslice, lambda x: x,
+                                     (slices, S, lt_post))
 
-    lt_new = _lt_from_S(S, w, nk, nl, dtype)
     improved = lt_new < min_lt
     min_lt = jnp.where(improved, lt_new, min_lt)
 
@@ -512,8 +570,8 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
 
     S_min, min_slices = jax.lax.cond(
         jnp.any(improved), snap, lambda x: x, (S_min, min_slices))
-    return (S, slices, S_min, min_slices, min_lt, keys, pos, moves,
-            applied)
+    return (S, lt_new, slices, S_min, min_slices, min_lt, keys, pos,
+            moves, applied)
 
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'uniform_log2',
@@ -544,28 +602,49 @@ def run_walks_fw(batch, betas, update_slices_mask, max_width, log2d_w32,
     S_min = _pack_w(batch.min_c0, batch.min_c1, batch.min_par,
                     batch.min_inds, batch.lcc, width=batch.width)
 
+    # Uniform power-of-two dims + no sparse indices: the reslice runs
+    # the plane-layout sorted-space slicer and rebuilds lcc from union
+    # planes (U[i] = inds[c0]|inds[c1], maintained by the apply
+    # scatter).  Gate matches _greedy_slices_b's fast-path condition.
+    fast_slicer = (uniform_log2 is not None and sparse_wb is None
+                   and float(uniform_log2).is_integer())
+    u = w if fast_slicer else 0
+    if fast_slicer:
+        c0_pad = _i32(S[w])                              # [B, N_pad]
+        c1_pad = _i32(S[w + 1])
+        u0 = gather_gbn(S, c0_pad, interpret=interpret, planes=(0, w))
+        u1 = gather_gbn(S, c1_pad, interpret=interpret, planes=(0, w))
+        U = u0 | u1                                      # [w, B, N_pad]
+        # U sits between the index planes and c0 so the merged {B, A}
+        # apply scatter covers it in one contiguous range.
+        S = jnp.concatenate([S[:w], U, S[w:]], axis=0)
+        # S_min's union planes are never read (the min state is not
+        # resliced); they ride along only to keep the snap shapes equal.
+        S_min = jnp.concatenate([S_min[:w], U, S_min[w:]], axis=0)
+
     def step(carry, x):
         beta, upd = x
         return _iter_walks_fw(carry, beta, upd, max_width, log2d_w32,
                               skip_w, cfg, claim, uniform_log2,
-                              sparse_w, log2_n_projs, interpret), None
+                              sparse_w, log2_n_projs, interpret,
+                              fast_slicer=fast_slicer), None
 
-    carry = (S, batch.slices, S_min, batch.min_slices,
-             batch.min_log2_total, batch.keys, pos.T, jnp.int32(0),
-             jnp.int32(0))
+    carry = (S, _lt_from_S(S, w, nk, nl, dtype, u=u), batch.slices,
+             S_min, batch.min_slices, batch.min_log2_total, batch.keys,
+             pos.T, jnp.int32(0), jnp.int32(0))
     carry, _ = jax.lax.scan(step, carry, (betas, update_slices_mask))
-    (S, slices, S_min, min_slices, min_lt, keys, pos_bp, moves,
+    (S, lt, slices, S_min, min_slices, min_lt, keys, pos_bp, moves,
      applied) = carry
 
-    lt = _lt_from_S(S, w, nk, nl, dtype)
     improved = lt < min_lt
     min_lt = jnp.where(improved, lt, min_lt)
     S_min = jnp.where(improved[None, :, None], S, S_min)
     min_slices = jnp.where(improved[None, :], slices, min_slices)
     n = batch.c0.shape[0]
-    c0, c1, par, inds, lcc, width = _unpack_w(S, w, dtype, n, fw=True)
+    c0, c1, par, inds, lcc, width = _unpack_w(S, w, dtype, n, fw=True,
+                                              u=u)
     mc0, mc1, mpar, minds, _ml, _mw = _unpack_w(S_min, w, dtype, n,
-                                                fw=True)
+                                                fw=True, u=u)
     hyper = compute_hyper_b(c0, c1, inds)
     out = SABatchFW(c0, c1, par, inds, hyper, lcc, width, slices, lt,
                     min_lt, mc0, mc1, mpar, minds, min_slices, keys)
