@@ -82,3 +82,39 @@ def test_scatter_null_only_is_identity(random_seed):
     got = ps.scatter_rows_gbn(jnp.asarray(vals), jnp.asarray(ids),
                               jnp.asarray(upd), interpret=True)
     np.testing.assert_array_equal(np.asarray(got), vals)
+
+
+@pytest.mark.parametrize('dtype', ['int32', 'uint32'])
+def test_scatter_inplace_matches_oracle(random_seed, dtype):
+    """scatter_rows_inplace == oracle applied to only the plane range,
+    with all other planes untouched (XLA fallback path off-TPU; the
+    donated-buffer Mosaic path runs on real TPUs)."""
+    r = np.random.default_rng(random_seed + 3)
+    g, b = int(r.integers(3, 8)), int(r.integers(3, 20))
+    n, q = int(r.integers(5, 400)), int(r.integers(1, 300))
+    lo = int(r.integers(0, g))
+    hi = int(r.integers(lo + 1, g + 1))
+    vals = r.integers(0, 2**31, (g, b, n)).astype(dtype)
+    upd = r.integers(0, 2**31, (hi - lo, b, q)).astype(dtype)
+    ids = _unique_ids(r, b, n, q)
+    want = vals.copy()
+    want[lo:hi] = _oracle(vals[lo:hi], ids, upd)
+    got = ps.scatter_rows_inplace(jnp.asarray(vals), jnp.asarray(ids),
+                                  jnp.asarray(upd), planes=(lo, hi))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_scatter_inplace_kernel_interpret(random_seed):
+    """The Mosaic in-place kernel logic (interpret mode) at pre-padded
+    shapes with the FULL plane range (every output block written — the
+    unwritten-plane carry-through relies on the real donated buffer and
+    is exercised on TPU by the engine suites)."""
+    r = np.random.default_rng(random_seed + 4)
+    g, b, n, q = 6, 8, 256, 96
+    vals = r.integers(0, 2**31, (g, b, n)).astype(np.int32)
+    upd = r.integers(0, 2**31, (g, b, q)).astype(np.int32)
+    ids = _unique_ids(r, b, n, q)
+    want = _oracle(vals, ids, upd)
+    got = ps.scatter_rows_inplace(jnp.asarray(vals), jnp.asarray(ids),
+                                  jnp.asarray(upd), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)

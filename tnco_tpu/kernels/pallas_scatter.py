@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['inv_ids', 'scatter_rows_gbn', 'scatter_supported']
+__all__ = ['inv_ids', 'scatter_rows_gbn', 'scatter_rows_inplace',
+           'scatter_supported']
 
 _LANES = 128
 _MAX_Q = 2048  # unroll bound for the inversion kernel
@@ -248,4 +249,107 @@ def scatter_rows_gbn(vals_gbn, ids_bq, upd_gbq, *, interpret=None,
     out = out[:, :b, :n]
     if dtype != jnp.int32:
         out = jax.lax.bitcast_convert_type(out, dtype)
+    return out
+
+
+def _inplace_kernel(inv_ref, upd_ref, vals_ref, out_ref, *, q_pad,
+                    n_pad, gb):
+    """Multi-plane whole-plane scatter (see ``_scatter_kernel_wide``);
+    ``gb`` planes per grid step amortize the revolving-buffer waits.
+    The node loop is OUTER so the inversion-derived ``loc``/``hit``
+    (plane-invariant) are computed once per node block, not per
+    plane."""
+    u = upd_ref[...]     # [gb, b_pad, q_pad]
+    for nb in range(n_pad // _LANES):
+        sl = slice(nb * _LANES, (nb + 1) * _LANES)
+        invb = inv_ref[:, sl]
+        locs, hits = [], []
+        for j in range(q_pad // _LANES):
+            locs.append(jnp.clip(invb - j * _LANES, 0, _LANES - 1))
+            hits.append((invb >= j * _LANES) & (invb < (j + 1) * _LANES))
+        for gi in range(gb):
+            acc = vals_ref[gi, :, sl]
+            for j in range(q_pad // _LANES):
+                blk = u[gi, :, j * _LANES:(j + 1) * _LANES]
+                g = jnp.take_along_axis(blk, locs[j], axis=1)
+                acc = jnp.where(hits[j], g, acc)
+            out_ref[gi, :, sl] = acc
+
+
+@fts.partial(jax.jit, static_argnames=('interpret', 'planes'))
+def scatter_rows_inplace(vals_gbn, ids_bq, upd_gbq, *, interpret=None,
+                         planes=None):
+    """Row scatter into a plane range, returning the FULL state.
+
+    ``out = vals`` with ``out[lo + g, b, ids[b, q]] = upd[g, b, q]``
+    for the ``planes=(lo, hi)`` range (default: all planes).  Same id
+    contract as :func:`scatter_rows_gbn`.
+
+    On TPU the whole ``vals`` buffer is DONATED to the kernel
+    (``input_output_aliases``): planes outside the range are never
+    touched (the grid does not visit them, and the aliased buffer
+    retains their contents), so the caller pays zero copies — unlike
+    composing ``scatter_rows_gbn`` with ``vals.at[lo:hi].set(...)``.
+    Measured at the walks-FW apply shapes (132 planes of ``[64, 3328]``
+    i32, Q=256): 0.95 -> 0.64 ms with the alias + 4-plane grid blocks.
+
+    Requires ``vals`` pre-padded (``B`` a multiple of 8, ``N`` a
+    multiple of 128) on the TPU path — the engines' packed states are.
+    """
+    if planes is None:
+        planes = (0, vals_gbn.shape[0])
+    lo, hi = planes
+    g, b, n = hi - lo, vals_gbn.shape[1], vals_gbn.shape[2]
+    _, q = ids_bq.shape
+    padded = b % 8 == 0 and n % _LANES == 0
+    if interpret is None:
+        if (jax.devices()[0].platform != 'tpu'
+                or not scatter_supported(b, q) or not padded):
+            inv = inv_ids(ids_bq, n, interpret=None)
+            return vals_gbn.at[lo:hi].set(
+                _scatter_xla(vals_gbn[lo:hi], inv, upd_gbq))
+        interpret = False
+
+    inv = inv_ids(ids_bq, n, interpret=interpret)
+    # The kernel only moves 32-bit words (gather + select), so it runs
+    # in the caller's dtype directly: a bitcast of the full state here
+    # would break XLA's buffer donation and cost a ~0.4 ms copy per
+    # call at Sycamore shapes.
+    dtype = vals_gbn.dtype
+    assert dtype.itemsize == 4 and upd_gbq.dtype == dtype, \
+        (dtype, upd_gbq.dtype)
+    q_pad = _pad_to(q, _LANES)
+    upd_p = jnp.pad(upd_gbq, ((0, 0), (0, 0), (0, q_pad - q)))
+
+    # Largest plane block with lo/g alignment under a ~14 MB VMEM
+    # budget (2 in + 2 out double-buffered blocks + inv + upd).
+    gb = 1
+    for cand in (4, 2):
+        if (g % cand == 0 and lo % cand == 0
+                and (2 * cand + 2) * b * n * 4 + b * (n + q_pad) * 4
+                <= 14 * 1024 * 1024):
+            gb = cand
+            break
+
+    out = pl.pallas_call(
+        fts.partial(_inplace_kernel, q_pad=q_pad, n_pad=n, gb=gb),
+        grid=(g // gb,),
+        in_specs=[
+            pl.BlockSpec((b, n), lambda gi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, b, q_pad), lambda gi: (gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, b, n), lambda gi, _lo=lo // gb: (gi + _lo,
+                                                               0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, b, n),
+                               lambda gi, _lo=lo // gb: (gi + _lo, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(vals_gbn.shape, dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(inv, upd_p, vals_gbn)
     return out

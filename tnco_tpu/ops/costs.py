@@ -14,8 +14,8 @@ import jax.numpy as jnp
 from tnco_tpu.ops import bitops
 
 __all__ = [
-    'ccost_log2', 'log2_total_from_lcc', 'new_total_log2',
-    'delta_log2_local', 'mh_log2_accept'
+    'ccost_log2', 'log2_total_from_lcc', 'log2_total_from_lcc_last',
+    'new_total_log2', 'delta_log2_local', 'mh_log2_accept'
 ]
 
 # Floor for the scaled linear sum: if the true new total underflows this, the
@@ -80,6 +80,26 @@ def log2_total_from_lcc(lcc, n_leaves: int):
         return jnp.full(internal.shape[1:], -jnp.inf, dtype=lcc.dtype)
     m = jnp.max(internal, axis=0)
     s = pairwise_sum(jnp.exp2(internal - m[None]))
+    return m + jnp.log2(s)
+
+
+def log2_total_from_lcc_last(lcc, n_leaves: int):
+    """:func:`log2_total_from_lcc` with the node axis LAST.
+
+    Value-identical to ``log2_total_from_lcc(lcc.T, n_leaves)``: the
+    internal-node slice, max shift and zero padding select the same
+    elements, and :func:`bitops.pairwise_sum_last` pairs index ``i``
+    with ``i + h`` exactly as :func:`pairwise_sum` does after the
+    transpose — the same per-element f32 operation tree, so the pinned
+    cross-engine totals are preserved without materializing an
+    ``[N, B]`` transpose (which costs ~0.3 ms/iteration at Sycamore
+    shapes in the walks engines' hot loop).
+    """
+    internal = lcc[..., n_leaves:]
+    if internal.shape[-1] == 0:
+        return jnp.full(internal.shape[:-1], -jnp.inf, dtype=lcc.dtype)
+    m = jnp.max(internal, axis=-1)
+    s = bitops.pairwise_sum_last(jnp.exp2(internal - m[..., None]))
     return m + jnp.log2(s)
 
 
