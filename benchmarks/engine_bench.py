@@ -26,8 +26,7 @@ def main() -> None:
         jax.config.update('jax_platforms', platform)
     ap = argparse.ArgumentParser()
     ap.add_argument('--engine', default='walker',
-                    help="'walker' | 'multiwalk' | 'mxu' | 'sweep' | "
-                         "'walks'")
+                    help="'walker' | 'multiwalk' | 'sweep' | 'walks'")
     ap.add_argument('--claim', default='sequential',
                     help="walks engine conflict filter: 'sequential' | "
                          "'pairwise'")
@@ -110,11 +109,6 @@ def main() -> None:
                 b, betas, log2d_w32, cfg, pos_, claim=args.claim,
                 uniform_log2=sfs.uniform_log2_dim(
                     template.log2_dims_array))
-        if args.engine == 'mxu':
-            from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
-            return mxu.run_multiwalk_mxu(b, betas, log2d_w32, cfg,
-                                         args.n_walks, pos_,
-                                         walk_chunk=args.walk_chunk)
         from tnco_tpu.kernels import sa_multiwalk as smw
         return smw.run_multiwalk(b, betas, log2d_w32, cfg, args.n_walks,
                                  pos_, walk_chunk=args.walk_chunk)

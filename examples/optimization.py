@@ -44,14 +44,6 @@ tn, results = opt.optimize(rows, betas=(0, 50), n_steps=400, n_runs=64,
                            fuse=False)
 print(f'multiwalk best cost: {results[0].cost} ops')
 
-# Very large networks: 'mxu' is the same multi-walk engine with every
-# row gather/write done as a one-hot matmul on the MXU (bit-identical
-# trajectories, ~5x faster at Sycamore scale; docs/DESIGN.md).
-opt = Optimizer(method='sa', seed=42, engine='mxu', n_walks=16)
-tn, results = opt.optimize(rows, betas=(0, 50), n_steps=400, n_runs=64,
-                           fuse=False)
-print(f'mxu best cost: {results[0].cost} ops')
-
 # 'walks' is the chained multi-walk engine on the pull/gather layout —
 # the large-network production engine (per-iteration cost independent
 # of n_walks; bit-identical trajectories to 'multiwalk').

@@ -171,7 +171,7 @@ def test_optimize_engine_n_walks_end_to_end():
                            n_runs=4, fuse=False)
     assert int(res[0].cost) == 10
 
-    opt = Optimizer(method='sa', seed=42, engine='mxu', n_walks=4)
+    opt = Optimizer(method='sa', seed=42, engine='walks', n_walks=4)
     tn, res = opt.optimize(README_TN, betas=(0, 50), n_steps=60,
                            n_runs=4, fuse=False)
     assert int(res[0].cost) == 10

@@ -145,97 +145,6 @@ def test_multiwalk_fw_chunked_bit_identical(rng, random_seed):
     assert_batches_identical(ref, got)
 
 
-def test_mxu_pack_roundtrip(rng, random_seed):
-    """Piece-plane packing is lossless for ids, lanes and f32 costs."""
-    from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
-
-    ctrees, *_ = _setup(rng, random_seed, n_replicas=3)
-    template = ctrees[0]
-    n_lanes = template.inds_array.shape[1]
-    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
-    batch = sb.init_batch(ctrees, list(range(3)), np.asarray(log2d))
-    R = mxu.pack_state(batch.c0, batch.c1, batch.par, batch.lcc,
-                       batch.inds)
-    c0, c1, par, lcc, inds = mxu.unpack_state(R)
-    np.testing.assert_array_equal(np.asarray(c0), np.asarray(batch.c0))
-    np.testing.assert_array_equal(np.asarray(c1), np.asarray(batch.c1))
-    np.testing.assert_array_equal(np.asarray(par), np.asarray(batch.par))
-    np.testing.assert_array_equal(np.asarray(inds),
-                                  np.asarray(batch.inds))
-    np.testing.assert_array_equal(np.asarray(lcc), np.asarray(batch.lcc))
-
-
-@pytest.mark.parametrize('n_walks', [4, 8])
-def test_mxu_bit_identical(n_walks, rng, random_seed):
-    """The MXU (one-hot GEMM) engine reproduces the masked multi-walk
-    engine's trajectories bit for bit."""
-    from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
-
-    ctrees, *_ = _setup(rng, random_seed, n_replicas=4)
-    template = ctrees[0]
-    n_lanes = template.inds_array.shape[1]
-    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
-    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
-    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
-    batch = sb.init_batch(ctrees, list(range(4)), np.asarray(log2d))
-    pos = jnp.full((n_walks, 4), -1, dtype=jnp.int32)
-    betas = jnp.linspace(0.0, 10.0, 40, dtype=jnp.float32)
-
-    ref, mref = smw.run_multiwalk(batch, betas, log2d_w32, cfg, n_walks,
-                                  pos)
-    got, mgot = mxu.run_multiwalk_mxu(batch, betas, log2d_w32, cfg,
-                                      n_walks, pos)
-    assert int(mref['applied']) == int(mgot['applied'])
-    np.testing.assert_array_equal(np.asarray(mref['pos']),
-                                  np.asarray(mgot['pos']))
-    assert_batches_identical(ref, got)
-
-    # walk_chunk changes no values (one-hot gathers are exact).
-    gotc, mgotc = mxu.run_multiwalk_mxu(batch, betas, log2d_w32, cfg,
-                                        n_walks, pos, walk_chunk=2)
-    assert int(mgot['applied']) == int(mgotc['applied'])
-    assert_batches_identical(got, gotc)
-
-
-def test_mxu_fw_bit_identical(rng, random_seed):
-    """Finite-width MXU engine == masked FW multi-walk engine, bit for
-    bit (width cap, shared slices, periodic reslice)."""
-    from tnco_tpu.kernels import sa_finite_batched as sfb
-    from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
-    from tnco_tpu.kernels.sa_finite import SweepConfigFW
-
-    n_walks = 4
-    max_width = 3.0
-    ctrees, *_ = _setup(rng, random_seed, n_replicas=3)
-    template = ctrees[0]
-    n_lanes = template.inds_array.shape[1]
-    cfg = SweepConfigFW(n_leaves=template.n_leaves, n_lanes=n_lanes)
-    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
-    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
-    skip = jnp.zeros(n_lanes, dtype=jnp.uint32)
-    batch = sfb.init_batch_fw(ctrees, list(range(3)), max_width,
-                              np.asarray(log2d),
-                              skip_lanes=np.asarray(skip))
-    pos = jnp.full((n_walks, 3), -1, dtype=jnp.int32)
-    betas = jnp.linspace(0.0, 10.0, 30, dtype=jnp.float32)
-    upd = jnp.asarray(np.arange(30) % 10 == 0)
-
-    ref, mref = smw.run_multiwalk_fw(batch, betas, upd, max_width,
-                                     log2d_w32, skip, cfg, n_walks, pos)
-    got, mgot = mxu.run_multiwalk_fw_mxu(batch, betas, upd, max_width,
-                                         log2d_w32, skip, cfg, n_walks,
-                                         pos)
-    assert int(mref['applied']) == int(mgot['applied'])
-    assert_batches_identical(ref, got)
-
-    # walk_chunk changes no values (one-hot gathers are exact).
-    gotc, mgotc = mxu.run_multiwalk_fw_mxu(batch, betas, upd, max_width,
-                                           log2d_w32, skip, cfg, n_walks,
-                                           pos, walk_chunk=2)
-    assert int(mgot['applied']) == int(mgotc['applied'])
-    assert_batches_identical(got, gotc)
-
-
 def test_multiwalk_greedy_monotone(rng, random_seed):
     ctrees, *_ = _setup(rng, random_seed, n_replicas=4)
     template = ctrees[0]
@@ -267,27 +176,6 @@ def test_multiwalk_runner(rng, random_seed):
                         n_walks=4)
     out = run.run(np.linspace(0, 10, 48), chunk_size=16)
     assert out['moves'] == 48 * 4 * 5
-    best_i, best = run.best()
-    tree = run.min_ctree(best_i)
-    is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
-    assert best == pytest.approx(math.log2(tree.total_cost_exact()),
-                                 abs=1e-3)
-
-
-def test_mxu_runner(rng, random_seed):
-    from tnco_tpu.parallel.replicas import ReplicaRunner
-
-    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed,
-                                                n_replicas=5)
-    run = ReplicaRunner(ctrees, list(range(5)), engine='mxu', n_walks=4)
-    mw = ReplicaRunner(ctrees, list(range(5)), engine='multiwalk',
-                       n_walks=4)
-    out = run.run(np.linspace(0, 10, 48), chunk_size=16)
-    out_mw = mw.run(np.linspace(0, 10, 48), chunk_size=16)
-    assert out['moves'] == 48 * 4 * 5
-    # Bit-identical to the masked multi-walk engine through the runner
-    np.testing.assert_array_equal(run.log2_min_totals(),
-                                  mw.log2_min_totals())
     best_i, best = run.best()
     tree = run.min_ctree(best_i)
     is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
@@ -342,31 +230,6 @@ def test_multiwalk_fw_runner(rng, random_seed):
         assert got == pytest.approx(math.log2(total), abs=1e-3)
 
 
-def test_mxu_fw_runner(rng, random_seed):
-    """FW mxu engine through the public runner: bit-identical to the
-    masked FW multi-walk engine."""
-    from tnco_tpu.optimize.finite_width import SimpleCostModel
-    from tnco_tpu.parallel.replicas import ReplicaRunnerFW
-
-    max_width = 2.5
-    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed,
-                                                n_replicas=4)
-    runs = {}
-    for engine in ('mxu', 'multiwalk'):
-        run = ReplicaRunnerFW(ctrees, list(range(4)),
-                              cmodel=SimpleCostModel(max_width=max_width),
-                              engine=engine, n_walks=4)
-        run.run(np.linspace(0, 10, 64), chunk_size=32, update_slices=8)
-        runs[engine] = run
-    np.testing.assert_array_equal(runs['mxu'].log2_min_totals(),
-                                  runs['multiwalk'].log2_min_totals())
-    i = int(np.argmin(runs['mxu'].log2_min_totals()))
-    tree = runs['mxu'].min_ctree(i)
-    is_valid_contraction_tree(tree, ts_inds, output_inds, dims)
-    np.testing.assert_array_equal(runs['mxu'].min_slices_lanes(i),
-                                  runs['multiwalk'].min_slices_lanes(i))
-
-
 def test_multiwalk_sparse_cost_model(rng, random_seed):
     """Sparse-index cost model on the multiwalk engine: device min cost
     matches the label-space cost model's exact recompute."""
@@ -393,44 +256,6 @@ def test_multiwalk_sparse_cost_model(rng, random_seed):
                                      tins[node.children[1]], tins[p],
                                      tree.dims)
     assert best == pytest.approx(math.log2(total), abs=1e-3)
-
-
-def test_mxu_piece_planes_fuzz(rng, random_seed):
-    """pack_state/unpack_state round-trip exactness at stressed ranges:
-    node ids up to the 65534 cap, lcc spanning denormals to huge f32,
-    dense random lanes (the bf16 piece-plane invariant, beyond the
-    small-shape engine-equality tests)."""
-    import numpy as np
-
-    from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
-
-    nprng = np.random.default_rng(random_seed)
-    n = int(nprng.integers(2, 2000))
-    b = int(nprng.integers(1, 5))
-    w = int(nprng.integers(1, 8))
-    c0 = jnp.asarray(
-        nprng.integers(-1, 65534, (n, b), dtype=np.int64), jnp.int32)
-    c1 = jnp.asarray(
-        nprng.integers(-1, 65534, (n, b), dtype=np.int64), jnp.int32)
-    par = jnp.asarray(
-        nprng.integers(-1, 65534, (n, b), dtype=np.int64), jnp.int32)
-    mag = nprng.uniform(-126, 127, (n, b))
-    lcc = jnp.asarray(np.sign(nprng.standard_normal((n, b))) *
-                      np.exp2(mag), jnp.float32)
-    inds = jnp.asarray(
-        nprng.integers(0, 2**32, (n, w, b), dtype=np.uint64), jnp.uint32)
-    width = jnp.asarray(np.exp2(nprng.uniform(-20, 100, (n, b))),
-                        jnp.float32)
-
-    R = mxu.pack_state(c0, c1, par, lcc, inds)
-    oc0, oc1, opar, olcc, oinds = mxu.unpack_state(R)
-    for a, bb in ((c0, oc0), (c1, oc1), (par, opar), (lcc, olcc),
-                  (inds, oinds)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
-
-    Rw = mxu.pack_state(c0, c1, par, lcc, inds, width=width)
-    *outs, owidth = mxu.unpack_state(Rw, with_width=True)
-    np.testing.assert_array_equal(np.asarray(width), np.asarray(owidth))
 
 
 def _setup_uniform(rng, random_seed, n_replicas=4, dim=2):

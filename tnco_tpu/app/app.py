@@ -475,10 +475,10 @@ class BaseOptimizer:
     seed: int | None = None
     verbose: int = 0
     # tnco-tpu extension: replica-batch engine selection
-    # ('auto' | 'batched' | 'vmapped' | 'native' | 'multiwalk' | 'mxu'
-    #  | 'walker').
+    # ('auto' | 'batched' | 'vmapped' | 'native' | 'multiwalk'
+    #  | 'walker' | 'sweep' | 'walks').
     engine: str = 'auto'
-    # Concurrent walks per replica (multiwalk/mxu engines).
+    # Concurrent walks per replica (multiwalk/walker/walks engines).
     n_walks: int = 8
 
     def optimize(self, *args: Any, **kwargs: Any) -> Any:

@@ -57,11 +57,11 @@ def _build_parser() -> argparse.ArgumentParser:
     opt.add_argument('--cost-type', default='float64')
     opt.add_argument('--n-walks', type=int, default=8,
                      help='Concurrent walks per replica '
-                          '(multiwalk/mxu/walker engines).')
+                          '(multiwalk/walker/walks engines).')
     opt.add_argument('--engine', default='auto',
                      help="Replica-batch engine: 'auto' | 'batched' | "
-                          "'vmapped' | 'native' | 'multiwalk' | 'mxu' "
-                          "| 'walker' | 'sweep'.")
+                          "'vmapped' | 'native' | 'multiwalk' "
+                          "| 'walker' | 'sweep' | 'walks'.")
     opt.add_argument('--output-format', default='json')
     opt.add_argument('--output-filename', default=None)
     opt.add_argument('--output-compression', default='auto')

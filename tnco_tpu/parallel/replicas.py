@@ -52,8 +52,7 @@ def make_mesh(devices=None, axis_name: str = 'r', *, shape=None,
 # Engines whose device state is the lane-major SABatch/SABatchFW layout
 # (replica axis LAST); 'vmapped' keeps replica-major pytrees instead.
 # Lane-major engines share the exchange_best machinery too.
-_LANE_MAJOR = ('batched', 'multiwalk', 'mxu', 'walker', 'sweep',
-               'walks')
+_LANE_MAJOR = ('batched', 'multiwalk', 'walker', 'sweep', 'walks')
 
 
 def replica_sharding(mesh, axis_name=None):
@@ -184,11 +183,6 @@ class ReplicaRunner:
         groups of that size (bit-identical results; bounds the fused
         temporaries that stall XLA compilation on very large networks).
 
-        'mxu' is the multi-walk engine with one-hot GEMM gathers and
-        placements (kernels/sa_multiwalk_mxu.py): bit-identical
-        trajectories to 'multiwalk', much faster on very large networks
-        (Sycamore-scale) where the masked broadcasts dominate.
-
         'walks' is the chained multi-walk engine rebuilt on the
         pull/gather machinery (kernels/sa_walks.py): multiwalk
         semantics (P chained leaf-to-root walks per replica) with
@@ -246,7 +240,7 @@ class ReplicaRunner:
             else:
                 engine = 'vmapped'
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
-                          'mxu', 'walker', 'sweep', 'walks'):
+                          'walker', 'sweep', 'walks'):
             raise ValueError(f"Unknown engine: {engine!r}")
         n_walks = _resolve_walks(engine, n_walks)
         if prob_kind is None:
@@ -267,6 +261,7 @@ class ReplicaRunner:
             self.n_replicas = len(ctrees)
             self.sweeps_done = 0
             self.moves_done = 0
+            self.applied_done = None
             self.mesh = mesh
             self.states = None
             return
@@ -295,12 +290,14 @@ class ReplicaRunner:
         self.states = batch
         self._mw_pos = (jnp.full((self.n_walks, len(ctrees)), -1,
                                  jnp.int32)
-                        if engine in ('multiwalk', 'mxu', 'walker',
-                                      'walks')
+                        if engine in ('multiwalk', 'walker', 'walks')
                         else None)
         self.n_replicas = len(ctrees)
         self.sweeps_done = 0
         self.moves_done = 0
+        # Applied-proposal counter (None until an engine reports it;
+        # the walk-family and sweep kernels all do).
+        self.applied_done = None
 
     def _init_native(self, ctrees, seeds) -> None:
         """Host-side replica arrays for the native CPU engine."""
@@ -353,6 +350,7 @@ class ReplicaRunner:
             'log2_min_total': self._nat_best.copy(),
             'sweeps': self.sweeps_done,
             'moves': self.moves_done,
+            'applied': self.applied_done,
             'runtime_s': time.perf_counter() - start,
         }
 
@@ -428,14 +426,6 @@ class ReplicaRunner:
                         self.template.log2_dims_array))
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
-            elif self.engine == 'mxu':
-                from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
-                self.states, metrics = mxu.run_multiwalk_mxu(
-                    self.states, jnp.asarray(chunk), self.log2d_w32,
-                    self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs, walk_chunk=self.walk_chunk)
-                self._mw_pos = metrics['pos']
-                last_min = self.states.min_log2_total
             elif self.engine == 'walker':
                 from tnco_tpu.kernels import pallas_walker as pwk
                 self.states, metrics = pwk.run_walker(
@@ -478,6 +468,9 @@ class ReplicaRunner:
                 last_min = metrics['log2_min_total'][:, -1]
             self.sweeps_done += chunk_size
             self.moves_done += int(np.sum(metrics['moves']))
+            if 'applied' in metrics:
+                self.applied_done = ((self.applied_done or 0) +
+                                     int(np.sum(metrics['applied'])))
             pos += chunk_size
             n_chunks += 1
             if (exchange_every and
@@ -499,6 +492,7 @@ class ReplicaRunner:
             'log2_min_total': np.asarray(self.states.min_log2_total),
             'sweeps': self.sweeps_done,
             'moves': self.moves_done,
+            'applied': self.applied_done,
             'runtime_s': time.perf_counter() - start,
         }
 
@@ -621,7 +615,7 @@ class ReplicaRunnerFW:
             else:
                 engine = 'vmapped'
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
-                          'mxu', 'walker', 'sweep', 'walks'):
+                          'walker', 'sweep', 'walks'):
             raise ValueError(f"Unknown engine: {engine!r}")
         n_walks = _resolve_walks(engine, n_walks)
         if prob_kind is None:
@@ -635,17 +629,10 @@ class ReplicaRunnerFW:
             disable_shared_inds=disable_shared_inds,
             prob_kind=prob_kind,
             max_new_slices=int(max_number_new_slices))
-        if engine in ('multiwalk', 'mxu', 'walker', 'sweep',
+        if engine in ('multiwalk', 'walker', 'sweep',
                       'walks') and max_number_new_slices:
             raise ValueError(f"engine={engine!r} does not support "
                              "max_number_new_slices.")
-        if (engine == 'mxu' and not walk_chunk and
-                len(ctrees) * n_walks > 8192):
-            from warnings import warn
-            warn("engine='mxu' (finite width) at B*P > 8192 without "
-                 "walk_chunk has crashed the TPU worker at Sycamore "
-                 "scale; pass walk_chunk (e.g. 8) or stay within "
-                 "B<=64/P<=64 (docs/ROADMAP.md).", stacklevel=2)
         self.engine = engine
         self.n_walks = int(n_walks)
         self.walk_chunk = int(walk_chunk)
@@ -655,6 +642,7 @@ class ReplicaRunnerFW:
             self.n_replicas = len(ctrees)
             self.sweeps_done = 0
             self.moves_done = 0
+            self.applied_done = None
             self.mesh = mesh
             self.states = None
             return
@@ -675,8 +663,7 @@ class ReplicaRunnerFW:
             batch = _to_vmapped_fw(batch)
         self._mw_pos = (jnp.full((self.n_walks, len(ctrees)), -1,
                                  jnp.int32)
-                        if engine in ('multiwalk', 'mxu', 'walker',
-                                      'walks')
+                        if engine in ('multiwalk', 'walker', 'walks')
                         else None)
         self.mesh = mesh
         if mesh is not None:
@@ -703,6 +690,9 @@ class ReplicaRunnerFW:
         self.n_replicas = len(ctrees)
         self.sweeps_done = 0
         self.moves_done = 0
+        # Applied-proposal counter (None until an engine reports it;
+        # the walk-family and sweep kernels all do).
+        self.applied_done = None
 
     def _init_native_fw(self, ctrees, seeds) -> None:
         self._nat_nodes = np.stack(
@@ -774,6 +764,7 @@ class ReplicaRunnerFW:
             'log2_min_total': self._nat_best.copy(),
             'sweeps': self.sweeps_done,
             'moves': self.moves_done,
+            'applied': self.applied_done,
             'runtime_s': time.perf_counter() - start,
         }
 
@@ -840,15 +831,6 @@ class ReplicaRunnerFW:
                         self.template.log2_dims_array))
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
-            elif self.engine == 'mxu':
-                from tnco_tpu.kernels import sa_multiwalk_mxu as mxu
-                self.states, metrics = mxu.run_multiwalk_fw_mxu(
-                    self.states, jnp.asarray(chunk), jnp.asarray(mchunk),
-                    self.max_width, self.log2d_w32, self.skip_lanes,
-                    self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs, walk_chunk=self.walk_chunk)
-                self._mw_pos = metrics['pos']
-                last_min = self.states.min_log2_total
             elif self.engine == 'walker':
                 from tnco_tpu.kernels import pallas_walker as pwk
                 self.states, metrics = pwk.run_walker_fw(
@@ -896,6 +878,9 @@ class ReplicaRunnerFW:
                 last_min = metrics['log2_min_total'][:, -1]
             self.sweeps_done += chunk_size
             self.moves_done += int(np.sum(metrics['moves']))
+            if 'applied' in metrics:
+                self.applied_done = ((self.applied_done or 0) +
+                                     int(np.sum(metrics['applied'])))
             pos += chunk_size
             n_chunks += 1
             if (exchange_every and
@@ -917,6 +902,7 @@ class ReplicaRunnerFW:
             'log2_min_total': np.asarray(self.states.min_log2_total),
             'sweeps': self.sweeps_done,
             'moves': self.moves_done,
+            'applied': self.applied_done,
             'runtime_s': time.perf_counter() - start,
         }
 
