@@ -286,24 +286,59 @@ def _claim_pairwise(accept, ev):
     return accept & ~blocked
 
 
+_CLAIM_BLOCK = 16
+
+
 def _claim_sequential(accept, ev):
     """The multi-walk engine's claim scan (lower index wins against
     lower-index KEPT walks) in the ``[B, P]`` layout — bit-identical
-    kept sets to ``sa_multiwalk._claim_disjoint``."""
+    kept sets to ``sa_multiwalk._claim_disjoint``.
+
+    The naive form is a P-step ``fori_loop`` re-deriving each walk's
+    conflict row from the 5 node ids per step — P sequential kernel
+    dispatches.  Here the symmetric conflict matrix
+    ``M[b, p, q] = any_{k,l} nodes5[k,b,p] == nodes5[l,b,q]`` is built
+    ONCE (25 fused [B,P,P] compares), and the scan runs over blocks of
+    ``_CLAIM_BLOCK`` walks: the cross-block test is one masked
+    [B, K, P] reduction against already-kept walks, and the within-
+    block dependency chain is unrolled at trace time on the [B, K, K]
+    tile — the same comparisons in the same order as the naive scan
+    (boolean logic, so bit-identical kept sets), at P/K sequential
+    steps instead of P.  Measured on Sycamore (N=3241) at B=64/P=128:
+    IM 4.16e6 vs 3.59e6 proposals/s (1.97 vs 2.28 ms/iter, +16%); FW
+    is a wash (3.19 vs 3.15 ms/iter — the FW iteration is dominated
+    by the width/slice machinery, not the claim scan)."""
     nodes5 = jnp.stack([ev[k] for k in ('a', 'b', 'c', 'd', 'e')])
-    p = accept.shape[-1]
-    walk_idx = jnp.arange(p)
+    b, p = accept.shape
+    confl = jnp.zeros((b, p, p), bool)
+    for k in range(5):
+        for l in range(5):
+            confl = confl | (nodes5[k][:, :, None] ==
+                             nodes5[l][:, None, :])
 
-    def claim(pi, keep):
-        rows = jax.lax.dynamic_slice_in_dim(nodes5, pi, 1, axis=2)
-        eq = rows[:, None] == nodes5[None]                  # [5,5,B,P]
-        confl = jnp.any(eq, axis=(0, 1))                    # [B, P]
-        blocked = jnp.any(keep & confl & (walk_idx < pi)[None], axis=1)
-        acc = jax.lax.dynamic_slice_in_dim(accept, pi, 1, axis=1)[:, 0]
+    kblk = _CLAIM_BLOCK
+    while p % kblk:
+        kblk //= 2
+
+    def claim_block(nb, keep):
+        off = nb * kblk
+        mb = jax.lax.dynamic_slice_in_dim(confl, off, kblk, axis=1)
+        mbb = jax.lax.dynamic_slice_in_dim(mb, off, kblk, axis=2)
+        ab = jax.lax.dynamic_slice_in_dim(accept, off, kblk, axis=1)
+        # keep has zeros throughout this block until the write below,
+        # so the cross-block reduction only sees lower-index kept walks.
+        blocked0 = jnp.any(keep[:, None, :] & mb, axis=2)   # [B, K]
+        cols = []
+        for i in range(kblk):
+            blk = blocked0[:, i]
+            for j in range(i):
+                blk = blk | (cols[j] & mbb[:, i, j])
+            cols.append(ab[:, i] & ~blk)
         return jax.lax.dynamic_update_slice_in_dim(
-            keep, (acc & ~blocked)[:, None], pi, axis=1)
+            keep, jnp.stack(cols, axis=1), off, axis=1)
 
-    return jax.lax.fori_loop(0, p, claim, jnp.zeros_like(accept))
+    return jax.lax.fori_loop(0, p // kblk, claim_block,
+                             jnp.zeros_like(accept))
 
 
 def _apply_walks(S, ev, kept, cfg: SweepConfig, dtype, interpret,
