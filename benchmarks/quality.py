@@ -72,71 +72,82 @@ def run_quality(name: str, seconds: float, seed: int = 0,
 
     # --- TPU: replica batch, chunked until the budget expires -------------
     # Large-net default B=16: the defended walker operating point
-    # (docs/QUALITY.md round-2 device arms).
+    # (docs/QUALITY.md round-2 device arms).  ``n_tpu_replicas=0`` skips
+    # the device arm entirely (CPU/reference-only matrix cells).
     if n_tpu_replicas is None:
         n_tpu_replicas = 1024 if n_nodes * \
             template.inds_array.shape[1] <= 32768 else 16
-    ctrees = [tree(r) for r in range(n_tpu_replicas)]
-    runner = ReplicaRunner(ctrees, list(range(n_tpu_replicas)),
-                           cmodel=SimpleCostModel(), engine=engine,
-                           n_walks=n_walks, walk_chunk=walk_chunk)
-    if exchange_every is None:
-        # Defended cadence (docs/QUALITY.md: the 300 s flagship wins
-        # use exchange every 4 chunks); device engines only.
-        from tnco_tpu.parallel.replicas import _LANE_MAJOR
-        exchange_every = 4 if runner.engine in _LANE_MAJOR else 0
-    if tpu_beta_max is None:
-        tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
-                        else beta_max)
-    # Walk-family engines do one proposal per walk per beta — long
-    # chunks amortize the per-call tunnel RPC without skewing the
-    # elapsed-fraction beta schedule (the window is time-based).
-    chunk_sweeps = 256 if runner.engine in ('multiwalk', 'mxu',
-                                            'walker', 'walks') else 128
-    ladder = None
-    if tempering:
-        from tnco_tpu.parallel.tempering import TemperingLadder
-        if runner.states is None:
-            raise ValueError('--tempering needs a device engine')
-        ladder = TemperingLadder(n_tpu_replicas, beta_max=tpu_beta_max,
-                                 seed=seed)
-
-    # Warm-up compile outside the budget (not counted in tpu_moves)
-    runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
-               chunk_size=chunk_sweeps)
-    runner.moves_done = 0
+    tpu_engine = None
+    tpu_best = None
+    tpu_moves = 0
+    tpu_applied = None
+    tpu_time = 0.0
     tpu_curve = []  # [cumulative proposals, best log2 so far] per chunk
-    t0 = time.perf_counter()
-    n_calls = 0
-    while True:
-        frac0 = (time.perf_counter() - t0) / seconds
-        if frac0 >= 1.0:
-            break
-        if ladder is not None:
-            betas = ladder.betas_for(chunk_sweeps)
-        else:
-            # Estimated fraction covered by this chunk: assume it takes
-            # as long as the average so far (coarse, self-correcting).
-            betas = np.linspace(min(frac0, 1.0) * tpu_beta_max,
-                                min(frac0 + 0.05, 1.0) * tpu_beta_max,
-                                chunk_sweeps).astype(np.float32)
-        runner.run(betas, chunk_size=chunk_sweeps)
-        n_calls += 1
-        if ladder is not None:
-            ladder.swap(np.asarray(runner.states.log2_total))
-        # Each run call is a single device chunk, so in-run exchange
-        # cadences never fire; exchange between calls instead.
-        if (exchange_every and runner.states is not None and
-                n_calls % exchange_every == 0):
-            from tnco_tpu.parallel.replicas import (_LANE_MAJOR,
-                                                    exchange_best)
-            if runner.engine in _LANE_MAJOR:
-                runner.states = exchange_best(runner.states)
-        tpu_curve.append([int(runner.moves_done),
-                          float(np.min(runner.log2_min_totals()))])
-    tpu_time = time.perf_counter() - t0
-    tpu_best = float(np.min(runner.log2_min_totals()))
-    tpu_moves = runner.moves_done
+    ladder = None
+    if n_tpu_replicas:
+        ctrees = [tree(r) for r in range(n_tpu_replicas)]
+        runner = ReplicaRunner(ctrees, list(range(n_tpu_replicas)),
+                               cmodel=SimpleCostModel(), engine=engine,
+                               n_walks=n_walks, walk_chunk=walk_chunk)
+        tpu_engine = runner.engine
+        if exchange_every is None:
+            # Defended cadence (docs/QUALITY.md: the 300 s flagship wins
+            # use exchange every 4 chunks); device engines only.
+            from tnco_tpu.parallel.replicas import _LANE_MAJOR
+            exchange_every = 4 if runner.engine in _LANE_MAJOR else 0
+        if tpu_beta_max is None:
+            tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
+                            else beta_max)
+        # Walk-family engines do one proposal per walk per beta — long
+        # chunks amortize the per-call tunnel RPC without skewing the
+        # elapsed-fraction beta schedule (the window is time-based).
+        chunk_sweeps = 256 if runner.engine in ('multiwalk', 'walker',
+                                                'walks') else 128
+        if tempering:
+            from tnco_tpu.parallel.tempering import TemperingLadder
+            if runner.states is None:
+                raise ValueError('--tempering needs a device engine')
+            ladder = TemperingLadder(n_tpu_replicas,
+                                     beta_max=tpu_beta_max, seed=seed)
+
+        # Warm-up compile outside the budget (not counted in tpu_moves)
+        runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
+                   chunk_size=chunk_sweeps)
+        runner.moves_done = 0
+        runner.applied_done = None
+        t0 = time.perf_counter()
+        n_calls = 0
+        while True:
+            frac0 = (time.perf_counter() - t0) / seconds
+            if frac0 >= 1.0:
+                break
+            if ladder is not None:
+                betas = ladder.betas_for(chunk_sweeps)
+            else:
+                # Estimated fraction covered by this chunk: assume it
+                # takes as long as the average so far (coarse,
+                # self-correcting).
+                betas = np.linspace(min(frac0, 1.0) * tpu_beta_max,
+                                    min(frac0 + 0.05, 1.0) * tpu_beta_max,
+                                    chunk_sweeps).astype(np.float32)
+            runner.run(betas, chunk_size=chunk_sweeps)
+            n_calls += 1
+            if ladder is not None:
+                ladder.swap(np.asarray(runner.states.log2_total))
+            # Each run call is a single device chunk, so in-run exchange
+            # cadences never fire; exchange between calls instead.
+            if (exchange_every and runner.states is not None and
+                    n_calls % exchange_every == 0):
+                from tnco_tpu.parallel.replicas import (_LANE_MAJOR,
+                                                        exchange_best)
+                if runner.engine in _LANE_MAJOR:
+                    runner.states = exchange_best(runner.states)
+            tpu_curve.append([int(runner.moves_done),
+                              float(np.min(runner.log2_min_totals()))])
+        tpu_time = time.perf_counter() - t0
+        tpu_best = float(np.min(runner.log2_min_totals()))
+        tpu_moves = runner.moves_done
+        tpu_applied = runner.applied_done
 
     # --- CPU: native engine on all cores, chunked similarly ---------------
     cpu_best = None
@@ -180,10 +191,11 @@ def run_quality(name: str, seconds: float, seed: int = 0,
         'config': name,
         'n_nodes': n_nodes,
         'seconds': seconds,
-        'tpu_engine': runner.engine,
+        'tpu_engine': tpu_engine,
         'tpu_replicas': n_tpu_replicas,
         'tpu_best_log2_flops': tpu_best,
         'tpu_moves': tpu_moves,
+        'tpu_applied': tpu_applied,
         'tpu_time_s': tpu_time,
         'tpu_curve': tpu_curve,
         'tempering_swap_rate': (None if ladder is None else
@@ -234,66 +246,76 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
 
     # Large-net default B=64: the defended walks operating point
     # (docs/QUALITY.md round-2 device arms: B=64/P=32/update_slices=2).
+    # ``n_tpu_replicas=0`` skips the device arm (CPU/reference-only
+    # matrix cells).
     if n_tpu_replicas is None:
         n_tpu_replicas = 256 if n_nodes * \
             template.inds_array.shape[1] <= 32768 else 64
-    ctrees = [tree(r) for r in range(n_tpu_replicas)]
-    runner = ReplicaRunnerFW(ctrees, list(range(n_tpu_replicas)),
-                             cmodel=cmodel, engine=engine,
-                             n_walks=n_walks, walk_chunk=walk_chunk)
-    from tnco_tpu.parallel.replicas import _LANE_MAJOR
-    if exchange_every is None:
-        exchange_every = 4 if runner.engine in _LANE_MAJOR else 0
-    if update_slices is None:
-        # Walk-family engines count the cadence in iterations (the
-        # defended point is 2); sweep-count engines keep the
-        # reference's per-sweep cadence of 10.
-        update_slices = 2 if runner.engine in ('multiwalk', 'mxu',
-                                               'walker', 'walks') else 10
-    if tpu_beta_max is None:
-        tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
-                        else beta_max)
-    chunk_sweeps = 256 if runner.engine in ('multiwalk', 'mxu',
-                                            'walker', 'walks') else 64
-    ladder = None
-    if tempering:
-        from tnco_tpu.parallel.tempering import TemperingLadder
-        ladder = TemperingLadder(n_tpu_replicas, beta_max=tpu_beta_max,
-                                 seed=seed)
-    runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
-               chunk_size=chunk_sweeps, update_slices=update_slices)
-    runner.moves_done = 0
+    tpu_engine = None
+    tpu_best = None
+    tpu_moves = 0
+    tpu_applied = None
+    tpu_time = 0.0
     tpu_curve = []
-    t0 = time.perf_counter()
-    n_calls = 0
-    while True:
-        frac0 = (time.perf_counter() - t0) / seconds
-        if frac0 >= 1.0:
-            break
-        if ladder is not None:
-            betas = ladder.betas_for(chunk_sweeps)
-        else:
-            betas = np.linspace(min(frac0, 1.0) * tpu_beta_max,
-                                min(frac0 + 0.05, 1.0) * tpu_beta_max,
-                                chunk_sweeps).astype(np.float32)
-        runner.run(betas, chunk_size=chunk_sweeps,
-                   update_slices=update_slices)
-        n_calls += 1
-        if ladder is not None:
-            ladder.swap(np.asarray(runner.states.log2_total))
-        # See the IM arm: in-run exchange cadences never fire with
-        # single-chunk calls, so exchange between calls.
-        if (exchange_every and runner.states is not None and
-                n_calls % exchange_every == 0):
-            from tnco_tpu.parallel.replicas import (_LANE_MAJOR,
-                                                    exchange_best_fw)
-            if runner.engine in _LANE_MAJOR:
-                runner.states = exchange_best_fw(runner.states)
-        tpu_curve.append([int(runner.moves_done),
-                          float(np.min(runner.log2_min_totals()))])
-    tpu_time = time.perf_counter() - t0
-    tpu_best = float(np.min(runner.log2_min_totals()))
-    tpu_moves = runner.moves_done
+    ladder = None
+    if n_tpu_replicas:
+        ctrees = [tree(r) for r in range(n_tpu_replicas)]
+        runner = ReplicaRunnerFW(ctrees, list(range(n_tpu_replicas)),
+                                 cmodel=cmodel, engine=engine,
+                                 n_walks=n_walks, walk_chunk=walk_chunk)
+        from tnco_tpu.parallel.replicas import _LANE_MAJOR
+        tpu_engine = runner.engine
+        if exchange_every is None:
+            exchange_every = 4 if runner.engine in _LANE_MAJOR else 0
+        if update_slices is None:
+            # Walk-family engines count the cadence in iterations (the
+            # defended point is 2); sweep-count engines keep the
+            # reference's per-sweep cadence of 10.
+            update_slices = 2 if runner.engine in ('multiwalk', 'walker',
+                                                   'walks') else 10
+        if tpu_beta_max is None:
+            tpu_beta_max = (3000.0 if runner.cfg.prob_kind == 'mh_local'
+                            else beta_max)
+        chunk_sweeps = 256 if runner.engine in ('multiwalk', 'walker',
+                                                'walks') else 64
+        if tempering:
+            from tnco_tpu.parallel.tempering import TemperingLadder
+            ladder = TemperingLadder(n_tpu_replicas,
+                                     beta_max=tpu_beta_max, seed=seed)
+        runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
+                   chunk_size=chunk_sweeps, update_slices=update_slices)
+        runner.moves_done = 0
+        runner.applied_done = None
+        t0 = time.perf_counter()
+        n_calls = 0
+        while True:
+            frac0 = (time.perf_counter() - t0) / seconds
+            if frac0 >= 1.0:
+                break
+            if ladder is not None:
+                betas = ladder.betas_for(chunk_sweeps)
+            else:
+                betas = np.linspace(min(frac0, 1.0) * tpu_beta_max,
+                                    min(frac0 + 0.05, 1.0) * tpu_beta_max,
+                                    chunk_sweeps).astype(np.float32)
+            runner.run(betas, chunk_size=chunk_sweeps,
+                       update_slices=update_slices)
+            n_calls += 1
+            if ladder is not None:
+                ladder.swap(np.asarray(runner.states.log2_total))
+            # See the IM arm: in-run exchange cadences never fire with
+            # single-chunk calls, so exchange between calls.
+            if (exchange_every and runner.states is not None and
+                    n_calls % exchange_every == 0):
+                from tnco_tpu.parallel.replicas import exchange_best_fw
+                if runner.engine in _LANE_MAJOR:
+                    runner.states = exchange_best_fw(runner.states)
+            tpu_curve.append([int(runner.moves_done),
+                              float(np.min(runner.log2_min_totals()))])
+        tpu_time = time.perf_counter() - t0
+        tpu_best = float(np.min(runner.log2_min_totals()))
+        tpu_moves = runner.moves_done
+        tpu_applied = runner.applied_done
 
     cpu_best = None
     cpu_moves = 0
@@ -345,10 +367,11 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         'max_width': max_width,
         'n_nodes': n_nodes,
         'seconds': seconds,
-        'tpu_engine': runner.engine,
+        'tpu_engine': tpu_engine,
         'tpu_replicas': n_tpu_replicas,
         'tpu_best_log2_flops': tpu_best,
         'tpu_moves': tpu_moves,
+        'tpu_applied': tpu_applied,
         'tpu_time_s': tpu_time,
         'tpu_curve': tpu_curve,
         'tempering_swap_rate': (None if ladder is None else
@@ -372,7 +395,8 @@ def main() -> None:
     parser.add_argument('--config', default='lattice')
     parser.add_argument('--seconds', type=float, default=30.0)
     parser.add_argument('--seed', type=int, default=0)
-    parser.add_argument('--tpu-replicas', type=int, default=None)
+    parser.add_argument('--tpu-replicas', type=int, default=None,
+                        help='0 skips the device arm entirely.')
     parser.add_argument('--cpu-replicas', type=int, default=256,
                         help='0 skips the CPU arm entirely.')
     parser.add_argument('--exchange-every', type=int, default=None,
@@ -382,15 +406,15 @@ def main() -> None:
                              '— else 0).')
     parser.add_argument('--engine', default='auto',
                         help="'auto' | 'batched' | 'vmapped' | 'native' "
-                             "| 'multiwalk' | 'mxu' | 'walker' | 'sweep' "
+                             "| 'multiwalk' | 'walker' | 'sweep' "
                              "| 'walks'.")
     parser.add_argument('--n-walks', type=int, default=None,
                         help='Concurrent walks per replica (multiwalk, '
-                             'mxu, walker and walks engines; default: '
+                             'walker and walks engines; default: '
                              'the per-engine defended operating point).')
     parser.add_argument('--walk-chunk', type=int, default=0,
-                        help='Walk group size (multiwalk and mxu '
-                             'engines; 0 = all at once).')
+                        help='Walk group size (multiwalk engine; '
+                             '0 = all at once).')
     parser.add_argument('--tpu-beta-max', type=float, default=None,
                         help='Override the TPU-arm beta_max (default: '
                              '60, or 3000 under mh_local).')
