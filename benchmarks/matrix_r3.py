@@ -12,6 +12,12 @@ Phases:
 Usage::
 
     python -m benchmarks.matrix_r3 --phase cpu,ref --out QUALITY_r3.jsonl
+    python -m benchmarks.matrix_r3 --cells dev:qaoa:0,cpu:qaoa:0 ...
+
+``--cells`` overrides the phase tables with an explicit priority-ordered
+list of ``phase:config:seed`` triples (per-cell kwargs still come from
+the phase tables) so a bounded session runs the most valuable cells
+first.
 """
 
 import argparse
@@ -38,10 +44,13 @@ def _cells(phase):
         ('ref', 'sycamore_fw', 3, {}),
     ]
     # Device arms: protocol defaults everywhere (engine='auto' must
-    # deliver the wins — VERDICT r2 item 2), EXCEPT the sycamore_fw
-    # cells pin the round-3 operating point explicitly until the
-    # defaults are flipped to it.
-    fw_op = {'n_tpu_replicas': 64, 'n_walks': 128, 'update_slices': 2}
+    # deliver the wins — VERDICT r2 item 2).  The sycamore_fw operating
+    # point stays the defended B=64/P=32/update_slices=2 (round-3 60 s
+    # re-probe at HEAD: P=32 63.556 vs P=128 63.817 — P=128 has 4.4x
+    # the proposals/s, 1.33e6 applied/s, but worse quality; P=32 is
+    # also what engine='auto' resolves to, so {} would be equivalent —
+    # kept explicit for the record).
+    fw_op = {'n_tpu_replicas': 64, 'n_walks': 32, 'update_slices': 2}
     dev = [
         ('dev', 'lattice', 0, {}),
         ('dev', 'regular3', 0, {}),
@@ -54,10 +63,19 @@ def _cells(phase):
         ('dev', 'sycamore_fw', 3, dict(fw_op)),
     ]
     table = {'cpu': cpu, 'ref': ref, 'dev': dev}
-    out = []
-    for ph in phase.split(','):
-        out += table[ph.strip()]
-    return out
+    return table
+
+
+def _kwargs_for(table, ph, config, seed):
+    for p, c, s, kw in table[ph]:
+        if c == config and s == seed:
+            return dict(kw)
+    # Cell not in the default tables: fall back to the phase's kwargs
+    # for the same config (any seed), else protocol defaults.
+    for p, c, s, kw in table[ph]:
+        if c == config:
+            return dict(kw)
+    return {}
 
 
 def main() -> None:
@@ -67,12 +85,28 @@ def main() -> None:
         jax.config.update('jax_platforms', platform)
     ap = argparse.ArgumentParser()
     ap.add_argument('--phase', default='cpu,ref')
+    ap.add_argument('--cells', default=None,
+                    help='priority-ordered phase:config:seed triples '
+                         '(overrides --phase; kwargs from the tables)')
     ap.add_argument('--seconds', type=float, default=300.0)
     ap.add_argument('--out', default='benchmarks/results/QUALITY_r3.jsonl')
     args = ap.parse_args()
     os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
 
-    for ph, config, seed, kw in _cells(args.phase):
+    table = _cells(args.phase)
+    if args.cells:
+        todo = []
+        for item in args.cells.split(','):
+            ph, config, seed = item.strip().split(':')
+            seed = int(seed)
+            todo.append((ph, config, seed,
+                         _kwargs_for(table, ph, config, seed)))
+    else:
+        todo = []
+        for ph in args.phase.split(','):
+            todo += table[ph.strip()]
+
+    for ph, config, seed, kw in todo:
         t0 = time.time()
         if ph == 'ref':
             from benchmarks.quality_ref import run_reference_arm
