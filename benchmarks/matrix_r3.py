@@ -26,7 +26,7 @@ import os
 import time
 
 
-def _cells(phase):
+def _tables():
     # (phase, config, seed, kwargs)
     cpu = [
         ('cpu', 'qaoa', 0, {'n_cpu_replicas': 256}),
@@ -93,7 +93,7 @@ def main() -> None:
     args = ap.parse_args()
     os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
 
-    table = _cells(args.phase)
+    table = _tables()
     if args.cells:
         todo = []
         for item in args.cells.split(','):

@@ -17,7 +17,8 @@ sweep count rather than interpolated.
 
 Usage::
 
-    python -m benchmarks.parity_curves [--in benchmarks/results/QUALITY_r3.jsonl]
+    python -m benchmarks.parity_curves \
+        [--in benchmarks/results/QUALITY_r3.jsonl]
 """
 
 import argparse
@@ -62,15 +63,26 @@ def main() -> None:
         hi = min(d_max, c_max)
         if hi <= lo:
             continue
-        budgets = sorted({int(lo * (hi / lo) ** (k / (args.points - 1)))
-                          for k in range(args.points)})
+        if args.points <= 1:
+            budgets = [hi]
+        else:
+            budgets = sorted(
+                {int(lo * (hi / lo) ** (k / (args.points - 1)))
+                 for k in range(args.points)})
         rows = []
         for b in budgets:
             rows.append({'proposals': b,
                          'device': _best_at(dev['tpu_curve'], b),
                          'cpu': _best_at(cpu['cpu_curve'], b)})
+        # Device proposal counts include conflict-discarded walks
+        # (~45% on the walks engine); emit the applied-move rate next
+        # to them so the speed_ratio can be read both ways.
+        applied = dev.get('tpu_applied')
         out = {'config': config, 'seed': seed,
                'device_proposals_per_s': d_max / dev['tpu_time_s'],
+               'device_applied_per_s': (
+                   None if applied is None
+                   else applied / dev['tpu_time_s']),
                'cpu_proposals_per_s': c_max / cpu['cpu_time_s'],
                'speed_ratio': (d_max / dev['tpu_time_s']) /
                               (c_max / cpu['cpu_time_s']),

@@ -454,3 +454,39 @@ def test_auto_routing(monkeypatch):
                             output_inds=(0, 3))
     r = ReplicaRunner([small], [0], cmodel=SimpleCostModel())
     assert r.engine == 'batched'
+
+
+def test_meshless_engines_guarded(monkeypatch):
+    """Engines without a sharded path refuse a mesh, and 'auto' + mesh
+    never selects one (VERDICT r3 item 2: walker+mesh used to shard the
+    batch and then hit Mosaic custom calls under plain jit)."""
+    from tnco_tpu.optimize.finite_width import (SimpleCostModel as
+                                                SimpleCostModelFW)
+    from tnco_tpu.parallel import replicas
+    from tnco_tpu.parallel.replicas import ReplicaRunnerFW
+
+    n_t = 900
+    ts_inds = [(i, i + 1) for i in range(n_t)]
+    output_inds = (0, n_t)
+    dims = {i: 2 for i in range(n_t + 1)}
+    path = [(0, 1)] * (n_t - 1)
+    trees = [ContractionTree(path, ts_inds, dims,
+                             output_inds=output_inds) for _ in range(8)]
+    mesh = make_mesh(jax.devices()[:8])
+
+    monkeypatch.setattr(replicas, '_accel_available', lambda: True)
+    # 'auto' + mesh routes the large IM network to the sharded walks
+    # engine instead of the (meshless) walker.
+    r = ReplicaRunner(trees, list(range(8)), cmodel=SimpleCostModel(),
+                      mesh=mesh)
+    assert r.engine == 'walks'
+
+    for engine in replicas._MESHLESS:
+        with pytest.raises(ValueError, match='multi-chip'):
+            ReplicaRunner(trees, list(range(8)),
+                          cmodel=SimpleCostModel(), mesh=mesh,
+                          engine=engine)
+        with pytest.raises(ValueError, match='multi-chip'):
+            ReplicaRunnerFW(trees, list(range(8)),
+                            cmodel=SimpleCostModelFW(max_width=30),
+                            mesh=mesh, engine=engine)

@@ -99,6 +99,103 @@ def test_walks_fw_bit_identical_to_multiwalk(rng, random_seed):
     assert_batches_identical(ref, got)
 
 
+@pytest.mark.parametrize('on_block', ['restart', 'dedup'])
+def test_walks_on_block_bit_identical(on_block, rng, random_seed):
+    """The convoy-breaking walk schedules ('restart'/'dedup') stay
+    bit-identical between the walks and multiwalk engines, and the
+    trees remain valid with exact min costs."""
+    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed)
+    template = ctrees[0]
+    b = len(ctrees)
+    n_walks = 6
+    cfg, _log2d, log2d_w32, batch = _im_batch(ctrees)
+    pos = jnp.full((n_walks, b), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 40, dtype=jnp.float32)
+
+    ref, mref = smw.run_multiwalk(batch, betas, log2d_w32, cfg, n_walks,
+                                  pos, on_block=on_block)
+    got, mgot = sw.run_walks(batch, betas, log2d_w32, cfg, pos,
+                             claim='sequential', on_block=on_block)
+    assert int(mref['applied']) == int(mgot['applied'])
+    np.testing.assert_array_equal(np.asarray(mref['pos']),
+                                  np.asarray(mgot['pos']))
+    assert_batches_identical(ref, got)
+
+    for i in range(b):
+        mnodes = np.stack([
+            np.asarray(got.min_c0[:, i]),
+            np.asarray(got.min_c1[:, i]),
+            np.asarray(got.min_par[:, i])
+        ], axis=1)
+        mtree = template.replace_arrays(mnodes,
+                                        np.asarray(got.min_inds[..., i]))
+        is_valid_contraction_tree(mtree, ts_inds, output_inds, dims)
+        exact = math.log2(mtree.total_cost_exact())
+        assert float(got.min_log2_total[i]) == pytest.approx(exact,
+                                                             abs=1e-3)
+
+
+def test_walks_on_block_restart_noop_single_walk(rng, random_seed):
+    """P=1 has no conflicts, so 'restart' cannot change the trajectory
+    (it only reroutes conflict-discarded walks)."""
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=3)
+    cfg, _log2d, log2d_w32, batch = _im_batch(ctrees)
+    pos = jnp.full((1, 3), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 30, dtype=jnp.float32)
+    a, ma = sw.run_walks(batch, betas, log2d_w32, cfg, pos,
+                         on_block='advance')
+    b, mb = sw.run_walks(batch, betas, log2d_w32, cfg, pos,
+                         on_block='restart')
+    assert int(ma['applied']) == int(mb['applied'])
+    np.testing.assert_array_equal(np.asarray(ma['pos']),
+                                  np.asarray(mb['pos']))
+    assert_batches_identical(a, b)
+
+
+def test_walks_fw_on_block_bit_identical(rng, random_seed):
+    """FW variant: 'dedup' stays bit-identical across engines and keeps
+    the width cap."""
+    from tnco_tpu.kernels.sa_finite import _WIDTH_EPS
+
+    n_walks = 6
+    max_width = 3.0
+    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed,
+                                                n_replicas=4)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfigFW(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    skip = jnp.zeros(n_lanes, dtype=jnp.uint32)
+    batch = sfb.init_batch_fw(ctrees, list(range(4)), max_width,
+                              np.asarray(log2d),
+                              skip_lanes=np.asarray(skip))
+    pos = jnp.full((n_walks, 4), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 30, dtype=jnp.float32)
+    upd = jnp.asarray(np.arange(30) % 10 == 0)
+
+    ref, mref = smw.run_multiwalk_fw(batch, betas, upd, max_width,
+                                     log2d_w32, skip, cfg, n_walks, pos,
+                                     on_block='dedup')
+    got, mgot = sw.run_walks_fw(batch, betas, upd, max_width, log2d_w32,
+                                skip, cfg, pos, claim='sequential',
+                                on_block='dedup')
+    assert int(mref['applied']) == int(mgot['applied'])
+    assert_batches_identical(ref, got)
+
+    log2d_arr = np.asarray(log2d)
+    for i in range(4):
+        inds = np.asarray(got.inds[..., i])
+        slices = np.asarray(got.slices[:, i])
+        sliced = inds & ~slices[None, :]
+        widths = np.zeros(inds.shape[0])
+        for w in range(n_lanes):
+            for s in range(32):
+                mask = (sliced[:, w] >> s) & 1
+                widths += mask * log2d_arr[w * 32 + s]
+        assert (widths <= max_width + _WIDTH_EPS + 1e-5).all()
+
+
 @pytest.mark.parametrize('n_walks', [1, 6])
 def test_walks_pairwise_validity_and_audits(n_walks, rng, random_seed):
     """Default pairwise claim: trees stay valid, caches exact, min cost

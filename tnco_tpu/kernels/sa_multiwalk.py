@@ -164,6 +164,48 @@ def _accept(cfg, u, beta, l_new, lt, ev):
     return acc & (ev['b'] != NULL) & (ev['a'] != NULL)
 
 
+_ON_BLOCK = ('advance', 'restart', 'dedup')
+
+
+def _advance_walks(pos_a, accept, keep, on_block):
+    """Next walk positions (``[P, B]``, walk axis FIRST) after claims.
+
+    ``'advance'``: every walk climbs to A (the historical rule; a
+    rejected proposal still moves up, like the sequential sweep).
+    ``'restart'``: walks whose ACCEPTED proposal was discarded by the
+    claim filter restart at a fresh leaf instead — otherwise two walks
+    that collide both advance to the same parent and collide again at
+    every level until the root ("convoy"; on deep width-capped trees
+    leaf-to-root paths share long suffixes, so a convoy wastes one
+    walk's whole remaining climb: measured 9-16% exact-duplicate
+    positions at P=32 on width-capped Sycamore vs ~0.5% for
+    independent walks, benchmarks/convoy_probe.py).  Metropolis-
+    rejected walks still advance (native-engine parity: a rejected
+    proposal advances in native/core.cpp sweep() too).
+    ``'dedup'``: 'restart' + any walk positioned exactly on a
+    lower-index live walk's node restarts too — also breaks convoys
+    formed through rejected proposals, which 'restart' cannot see.
+
+    Shared by the masked multi-walk engine and (via a transpose
+    adapter) the pull/gather walks engine, so the two stay
+    bit-identical under every ``on_block`` value.
+    """
+    if on_block not in _ON_BLOCK:
+        raise ValueError(f"on_block must be one of {_ON_BLOCK}, "
+                         f"got {on_block!r}.")
+    if on_block == 'advance':
+        return pos_a
+    pos = jnp.where(accept & ~keep, NULL, pos_a)
+    if on_block == 'dedup':
+        p = pos.shape[0]
+        lower = (jnp.arange(p)[None, :] <
+                 jnp.arange(p)[:, None])                 # [q, p]: p < q
+        same = pos[:, None, :] == pos[None, :, :]        # [q, p, B]
+        dup = jnp.any(same & lower[:, :, None], axis=1) & (pos != NULL)
+        pos = jnp.where(dup, NULL, pos)
+    return pos
+
+
 def _claim_disjoint(accept, ev):
     """Priority conflict filter: lower walk index wins; a proposal is
     applied only if none of its 5 nodes collides with an earlier applied
@@ -270,7 +312,7 @@ def _draws(keys, n, p, dtype, n_keys):
 
 def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
                     walk_chunk, iota_n, sparse_wb, log2_n_projs,
-                    uniform_log2=None):
+                    uniform_log2=None, on_block='advance'):
     (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1, min_par, min_inds,
      keys, pos, moves, applied) = carry
     n_leaves = cfg.n_leaves
@@ -304,9 +346,10 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
     c0, c1, par, inds, lcc, _ = _apply_kept(c0, c1, par, inds, lcc, keep,
                                             ev, iota_n, walk_chunk)
 
-    # Advance every walk (kept or not — a rejected proposal still moves
-    # up, exactly like the sequential sweep).
-    pos = ev['a']
+    # Walk scheduling after claims ('advance': every walk moves up,
+    # kept or not, exactly like the sequential sweep; see
+    # _advance_walks for the convoy-breaking options).
+    pos = _advance_walks(ev['a'], accept, keep, on_block)
     moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32),
                              dtype=jnp.int32)
     applied = applied + jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
@@ -333,10 +376,11 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
 
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk',
-                                         'uniform_log2'))
+                                         'uniform_log2', 'on_block'))
 def run_multiwalk(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
                   n_walks: int, pos, sparse_wb=None, log2_n_projs=None,
-                  walk_chunk: int = 0, uniform_log2=None):
+                  walk_chunk: int = 0, uniform_log2=None,
+                  on_block='advance'):
     """Runs one multi-walk iteration per beta (P proposals per replica
     per iteration).  ``walk_chunk`` in (0, P) evaluates/applies walks in
     groups of that size (bit-identical; bounds compile-time temporaries
@@ -347,7 +391,7 @@ def run_multiwalk(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
     def step(carry, beta):
         carry = _iter_multiwalk(carry, beta, log2d_w32, cfg, n_walks,
                                 walk_chunk, iota_n, sparse_wb,
-                                log2_n_projs, uniform_log2)
+                                log2_n_projs, uniform_log2, on_block)
         return carry, None
 
     carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,
@@ -374,7 +418,8 @@ def run_multiwalk(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
 
 def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
                        skip_wb, cfg, n_walks, walk_chunk, iota_n,
-                       sparse_wb, log2_n_projs, uniform_log2=None):
+                       sparse_wb, log2_n_projs, uniform_log2=None,
+                       on_block='advance'):
     """Finite-width multi-walk iteration: width-capped proposals against
     a shared per-lane slice set (+ optional greedy reslice-if-better,
     mirroring the lockstep FW engine's post-sweep cadence)."""
@@ -419,7 +464,7 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
         c0, c1, par, inds, lcc, keep, ev, iota_n, walk_chunk,
         width_pre=width_pre)
 
-    pos = ev['a']
+    pos = _advance_walks(ev['a'], accept, keep, on_block)
     moves = moves + jnp.sum(jnp.ones_like(accept, jnp.int32),
                              dtype=jnp.int32)
     applied = applied + jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
@@ -466,11 +511,12 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
 
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk',
-                                         'uniform_log2'))
+                                         'uniform_log2', 'on_block'))
 def run_multiwalk_fw(batch, betas, update_slices_mask, max_width,
                      log2d_w32, skip_wb, cfg, n_walks: int, pos,
                      sparse_wb=None, log2_n_projs=None,
-                     walk_chunk: int = 0, uniform_log2=None):
+                     walk_chunk: int = 0, uniform_log2=None,
+                     on_block='advance'):
     """Finite-width multi-walk: one iteration per beta.
 
     ``batch`` is a :class:`tnco_tpu.kernels.sa_finite_batched.SABatchFW`;
@@ -487,7 +533,7 @@ def run_multiwalk_fw(batch, betas, update_slices_mask, max_width,
         carry = _iter_multiwalk_fw(carry, beta, upd, max_width, log2d_w32,
                                    skip_wb, cfg, n_walks, walk_chunk,
                                    iota_n, sparse_wb, log2_n_projs,
-                                   uniform_log2)
+                                   uniform_log2, on_block)
         return carry, None
 
     carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,

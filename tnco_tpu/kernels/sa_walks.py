@@ -289,6 +289,17 @@ def _claim_pairwise(accept, ev):
 _CLAIM_BLOCK = 16
 
 
+def _advance_walks(pos_a, accept, keep, on_block):
+    """``[B, P]`` adapter of :func:`sa_multiwalk._advance_walks` (walk
+    scheduling after claims — 'advance' | 'restart' | 'dedup'; see the
+    shared implementation for semantics).  Transposes are value-exact,
+    so the two engines stay bit-identical under every option."""
+    from tnco_tpu.kernels.sa_multiwalk import _advance_walks as _adv_pb
+    if on_block == 'advance':
+        return pos_a
+    return _adv_pb(pos_a.T, accept.T, keep.T, on_block).T
+
+
 def _claim_sequential(accept, ev):
     """The multi-walk engine's claim scan (lower index wins against
     lower-index KEPT walks) in the ``[B, P]`` layout — bit-identical
@@ -407,7 +418,8 @@ def _apply_walks(S, ev, kept, cfg: SweepConfig, dtype, interpret,
 
 
 def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
-                uniform_log2, sparse_w, log2_n_projs, interpret):
+                on_block, uniform_log2, sparse_w, log2_n_projs,
+                interpret):
     (S, lt, S_min, min_lt, keys, pos, moves, applied) = carry
     w = cfg.n_lanes
     nl = cfg.n_leaves
@@ -429,7 +441,7 @@ def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
             _claim_pairwise)(accept, ev)
     S = _apply_walks(S, ev, keep, cfg, dtype, interpret)
 
-    pos = ev['a']
+    pos = _advance_walks(ev['a'], accept, keep, on_block)
     moves = moves + jnp.int32(p * pos.shape[0])
     applied = applied + jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
 
@@ -443,11 +455,12 @@ def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
     return (S, lt_new, S_min, min_lt, keys, pos, moves, applied)
 
 
-@fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'uniform_log2',
-                                       'interpret'))
+@fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'on_block',
+                                       'uniform_log2', 'interpret'))
 def run_walks(batch: SABatch, betas, log2d_w32, cfg: SweepConfig, pos,
               sparse_wb=None, log2_n_projs=None, *,
-              claim='sequential', uniform_log2=None, interpret=None):
+              claim='sequential', on_block='advance', uniform_log2=None,
+              interpret=None):
     """One chained multi-walk iteration per beta (P proposals per
     replica per iteration; P is ``pos.shape[0]``).
 
@@ -468,8 +481,8 @@ def run_walks(batch: SABatch, betas, log2d_w32, cfg: SweepConfig, pos,
 
     def step(carry, beta):
         return _iter_walks(carry, beta, log2d_w32, cfg, claim,
-                           uniform_log2, sparse_w, log2_n_projs,
-                           interpret), None
+                           on_block, uniform_log2, sparse_w,
+                           log2_n_projs, interpret), None
 
     carry = (S, _lt_from_S(S, w, nk, nl, dtype), S_min,
              batch.min_log2_total, batch.keys, pos.T,
@@ -493,8 +506,9 @@ def run_walks(batch: SABatch, betas, log2d_w32, cfg: SweepConfig, pos,
 
 
 def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
-                   skip_w, cfg: SweepConfig, claim, uniform_log2,
-                   sparse_w, log2_n_projs, interpret, fast_slicer=False):
+                   skip_w, cfg: SweepConfig, claim, on_block,
+                   uniform_log2, sparse_w, log2_n_projs, interpret,
+                   fast_slicer=False):
     # fast_slicer implies the state carries u = n_lanes union planes
     # between the index planes and c0 (see _apply_walks).
     from tnco_tpu.kernels.sa_finite import _WIDTH_EPS
@@ -534,7 +548,7 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
     S = _apply_walks(S, ev, keep, cfg, dtype, interpret,
                      with_width=True, u=up)
 
-    pos = ev['a']
+    pos = _advance_walks(ev['a'], accept, keep, on_block)
     moves = moves + jnp.int32(p * pos.shape[0])
     applied = applied + jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
 
@@ -610,12 +624,12 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
             moves, applied)
 
 
-@fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'uniform_log2',
-                                       'interpret'))
+@fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'on_block',
+                                       'uniform_log2', 'interpret'))
 def run_walks_fw(batch, betas, update_slices_mask, max_width, log2d_w32,
                  skip_wb, cfg: SweepConfig, pos, sparse_wb=None,
                  log2_n_projs=None, *, claim='sequential',
-                 uniform_log2=None, interpret=None):
+                 on_block='advance', uniform_log2=None, interpret=None):
     """Finite-width chained multi-walk rounds (one per beta).
 
     Width-capped proposals against the shared slice lanes + the
@@ -661,9 +675,9 @@ def run_walks_fw(batch, betas, update_slices_mask, max_width, log2d_w32,
     def step(carry, x):
         beta, upd = x
         return _iter_walks_fw(carry, beta, upd, max_width, log2d_w32,
-                              skip_w, cfg, claim, uniform_log2,
-                              sparse_w, log2_n_projs, interpret,
-                              fast_slicer=fast_slicer), None
+                              skip_w, cfg, claim, on_block,
+                              uniform_log2, sparse_w, log2_n_projs,
+                              interpret, fast_slicer=fast_slicer), None
 
     carry = (S, _lt_from_S(S, w, nk, nl, dtype, u=u), batch.slices,
              S_min, batch.min_slices, batch.min_log2_total, batch.keys,
@@ -707,12 +721,12 @@ def _batch_specs(batch, axes):
 
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'mesh', 'log2_n_projs',
-                                       'claim', 'uniform_log2',
-                                       'interpret'))
+                                       'claim', 'on_block',
+                                       'uniform_log2', 'interpret'))
 def run_walks_sharded(batch, betas, log2d_w32, cfg: SweepConfig, pos,
                       mesh, sparse_wb=None, log2_n_projs=None, *,
-                      claim='sequential', uniform_log2=None,
-                      interpret=None, fw_args=None):
+                      claim='sequential', on_block='advance',
+                      uniform_log2=None, interpret=None, fw_args=None):
     """Replica-sharded chained walks over a ``jax.sharding.Mesh``.
 
     ``shard_map`` gives every device its local replica shard and runs
@@ -749,6 +763,7 @@ def run_walks_sharded(batch, betas, log2d_w32, cfg: SweepConfig, pos,
         if not fw:
             out, m = run_walks(b, betas_, log2d_, cfg, pos_, sp,
                                log2_n_projs, claim=claim,
+                               on_block=on_block,
                                uniform_log2=uniform_log2,
                                interpret=interpret)
         else:
@@ -756,6 +771,7 @@ def run_walks_sharded(batch, betas, log2d_w32, cfg: SweepConfig, pos,
             out, m = run_walks_fw(b, betas_, upd, max_width, log2d_,
                                   skip_wb_, cfg, pos_, sp,
                                   log2_n_projs, claim=claim,
+                                  on_block=on_block,
                                   uniform_log2=uniform_log2,
                                   interpret=interpret)
         m = dict(m)

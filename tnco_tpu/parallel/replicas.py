@@ -54,6 +54,13 @@ def make_mesh(devices=None, axis_name: str = 'r', *, shape=None,
 # Lane-major engines share the exchange_best machinery too.
 _LANE_MAJOR = ('batched', 'multiwalk', 'walker', 'sweep', 'walks')
 
+# Engines with no multi-chip execution path: their Pallas (Mosaic)
+# kernels run under plain jit, which GSPMD cannot partition over a
+# mesh (see sa_walks.run_walks_sharded for the supported shard_map
+# pattern).  The runners refuse a mesh for these instead of silently
+# producing a program that fails (or worse, mispartitions) on pods.
+_MESHLESS = ('walker', 'sweep')
+
 
 def replica_sharding(mesh, axis_name=None):
     """NamedSharding that splits the replica axis over ALL mesh axes."""
@@ -132,6 +139,21 @@ def _resolve_walks(engine: str, n_walks) -> int:
     return 32 if engine == 'walks' else 8
 
 
+def _resolve_on_block(on_block, engine: str) -> str:
+    """Walk scheduling on conflict discard (multiwalk/walks engines)."""
+    from tnco_tpu.kernels.sa_multiwalk import _ON_BLOCK
+    if on_block is None:
+        return 'advance'
+    if on_block not in _ON_BLOCK:
+        raise ValueError(f"on_block must be one of {_ON_BLOCK}, "
+                         f"got {on_block!r}.")
+    if on_block != 'advance' and engine not in ('multiwalk', 'walks'):
+        raise ValueError(f"on_block={on_block!r} is only supported by "
+                         "the 'multiwalk' and 'walks' engines "
+                         f"(engine={engine!r}).")
+    return on_block
+
+
 class ReplicaRunner:
     """Runs a batch of SA replicas (one connected component) on device.
 
@@ -162,9 +184,16 @@ class ReplicaRunner:
                  engine: str = 'auto',
                  n_walks: int | None = None,
                  walk_chunk: int = 0,
+                 on_block: str | None = None,
                  dtype=jnp.float32) -> None:
         """``engine``: 'auto' | 'batched' | 'vmapped' | 'native' |
         'multiwalk'.
+
+        ``on_block``: walk scheduling when an accepted proposal is
+        discarded by the conflict filter ('advance' | 'restart' |
+        'dedup'; multiwalk/walks engines — see
+        :func:`tnco_tpu.kernels.sa_multiwalk._advance_walks`).  None
+        picks the engine default ('advance').
 
         The lane-major masked-dense engine does O(N*W) work per move,
         fully vectorized over lanes — a big win for small/medium trees.
@@ -230,8 +259,11 @@ class ReplicaRunner:
                 # Large networks on a device: the Pallas row-major
                 # walker is the device IM winner on the corrected
                 # quality protocol (docs/QUALITY.md: Sycamore 300 s
-                # 62.71 vs fixed CPU 63.31 / reference 63.17).
-                engine = 'walker'
+                # 62.71 vs fixed CPU 63.31 / reference 63.17).  On a
+                # mesh, the chained 'walks' engine (same walk
+                # semantics, shard_map path) runs instead — see the
+                # _MESHLESS guard below.
+                engine = 'walker' if mesh is None else 'walks'
             elif (native.available() and self.sparse_lanes is None and
                   not disable_shared_inds and prob_kind in (None, 'mh')):
                 # No accelerator: the multithreaded CPU engine's
@@ -242,6 +274,13 @@ class ReplicaRunner:
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
                           'walker', 'sweep', 'walks'):
             raise ValueError(f"Unknown engine: {engine!r}")
+        if mesh is not None and engine in _MESHLESS:
+            raise ValueError(
+                f"engine={engine!r} has no multi-chip execution path "
+                "(its Pallas kernels run under plain jit, which GSPMD "
+                "cannot partition over a mesh).  Use engine='walks' "
+                "(shard_map path, same chained-walk semantics) or drop "
+                "the mesh.")
         n_walks = _resolve_walks(engine, n_walks)
         if prob_kind is None:
             prob_kind = 'mh_local' if engine == 'sweep' else 'mh'
@@ -255,6 +294,7 @@ class ReplicaRunner:
         self.engine = engine
         self.n_walks = int(n_walks)
         self.walk_chunk = int(walk_chunk)
+        self.on_block = _resolve_on_block(on_block, engine)
 
         if engine == 'native':
             self._init_native(ctrees, seeds)
@@ -423,7 +463,8 @@ class ReplicaRunner:
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
                     self.log2_n_projs, walk_chunk=self.walk_chunk,
                     uniform_log2=sfs.uniform_log2_dim(
-                        self.template.log2_dims_array))
+                        self.template.log2_dims_array),
+                    on_block=self.on_block)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'walker':
@@ -445,12 +486,13 @@ class ReplicaRunner:
                         self.states, jnp.asarray(chunk), self.log2d_w32,
                         self.cfg, self._mw_pos, self.mesh,
                         self.sparse_wb, self.log2_n_projs,
-                        uniform_log2=ul)
+                        uniform_log2=ul, on_block=self.on_block)
                 else:
                     self.states, metrics = swk.run_walks(
                         self.states, jnp.asarray(chunk), self.log2d_w32,
                         self.cfg, self._mw_pos, self.sparse_wb,
-                        self.log2_n_projs, uniform_log2=ul)
+                        self.log2_n_projs, uniform_log2=ul,
+                        on_block=self.on_block)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'sweep':
@@ -570,6 +612,7 @@ class ReplicaRunnerFW:
                  engine: str = 'auto',
                  n_walks: int | None = None,
                  walk_chunk: int = 0,
+                 on_block: str | None = None,
                  dtype=jnp.float32) -> None:
         ctrees = list(ctrees)
         seeds = list(seeds)
@@ -617,6 +660,13 @@ class ReplicaRunnerFW:
         if engine not in ('batched', 'vmapped', 'native', 'multiwalk',
                           'walker', 'sweep', 'walks'):
             raise ValueError(f"Unknown engine: {engine!r}")
+        if mesh is not None and engine in _MESHLESS:
+            raise ValueError(
+                f"engine={engine!r} has no multi-chip execution path "
+                "(its Pallas kernels run under plain jit, which GSPMD "
+                "cannot partition over a mesh).  Use engine='walks' "
+                "(shard_map path, same chained-walk semantics) or drop "
+                "the mesh.")
         n_walks = _resolve_walks(engine, n_walks)
         if prob_kind is None:
             prob_kind = 'mh_local' if engine == 'sweep' else 'mh'
@@ -636,6 +686,7 @@ class ReplicaRunnerFW:
         self.engine = engine
         self.n_walks = int(n_walks)
         self.walk_chunk = int(walk_chunk)
+        self.on_block = _resolve_on_block(on_block, engine)
 
         if engine == 'native':
             self._init_native_fw(ctrees, seeds)
@@ -828,7 +879,8 @@ class ReplicaRunnerFW:
                     self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
                     self.log2_n_projs, walk_chunk=self.walk_chunk,
                     uniform_log2=sfs.uniform_log2_dim(
-                        self.template.log2_dims_array))
+                        self.template.log2_dims_array),
+                    on_block=self.on_block)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'walker':
@@ -851,14 +903,16 @@ class ReplicaRunnerFW:
                         self.states, jnp.asarray(chunk), self.log2d_w32,
                         self.cfg, self._mw_pos, self.mesh,
                         self.sparse_wb, self.log2_n_projs,
-                        uniform_log2=ul, fw_args=fw_args)
+                        uniform_log2=ul, fw_args=fw_args,
+                        on_block=self.on_block)
                 else:
                     self.states, metrics = swk.run_walks_fw(
                         self.states, jnp.asarray(chunk),
                         jnp.asarray(mchunk), self.max_width,
                         self.log2d_w32, self.skip_lanes, self.cfg,
                         self._mw_pos, self.sparse_wb,
-                        self.log2_n_projs, uniform_log2=ul)
+                        self.log2_n_projs, uniform_log2=ul,
+                        on_block=self.on_block)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'sweep':
