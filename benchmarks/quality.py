@@ -26,6 +26,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                 walk_chunk: int = 0,
                 tpu_beta_max: float | None = None,
                 update_slices: int | None = None,
+                on_block: str | None = None,
                 tempering: bool = False) -> dict:
     import jax.numpy as jnp
 
@@ -44,6 +45,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                                exchange_every=exchange_every,
                                tpu_beta_max=tpu_beta_max,
                                update_slices=update_slices,
+                               on_block=on_block,
                                tempering=tempering)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
 
@@ -83,12 +85,15 @@ def run_quality(name: str, seconds: float, seed: int = 0,
     tpu_applied = None
     tpu_time = 0.0
     tpu_curve = []  # [cumulative proposals, best log2 so far] per chunk
+    tpu_setup = None
     ladder = None
     if n_tpu_replicas:
+        setup_t0 = time.perf_counter()
         ctrees = [tree(r) for r in range(n_tpu_replicas)]
         runner = ReplicaRunner(ctrees, list(range(n_tpu_replicas)),
                                cmodel=SimpleCostModel(), engine=engine,
-                               n_walks=n_walks, walk_chunk=walk_chunk)
+                               n_walks=n_walks, walk_chunk=walk_chunk,
+                               on_block=on_block)
         tpu_engine = runner.engine
         if exchange_every is None:
             # Defended cadence (docs/QUALITY.md: the 300 s flagship wins
@@ -110,11 +115,14 @@ def run_quality(name: str, seconds: float, seed: int = 0,
             ladder = TemperingLadder(n_tpu_replicas,
                                      beta_max=tpu_beta_max, seed=seed)
 
-        # Warm-up compile outside the budget (not counted in tpu_moves)
+        # Warm-up compile outside the budget (not counted in tpu_moves).
+        # ``tpu_setup_s`` reports this tree-build + compile + upload time
+        # so cells state the user-experience cost, not just the budget.
         runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                    chunk_size=chunk_sweeps)
         runner.moves_done = 0
         runner.applied_done = None
+        tpu_setup = time.perf_counter() - setup_t0
         t0 = time.perf_counter()
         n_calls = 0
         while True:
@@ -197,6 +205,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
         'tpu_moves': tpu_moves,
         'tpu_applied': tpu_applied,
         'tpu_time_s': tpu_time,
+        'tpu_setup_s': tpu_setup,
         'tpu_curve': tpu_curve,
         'tempering_swap_rate': (None if ladder is None else
                                 ladder.swap_rate),
@@ -215,6 +224,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                     exchange_every: int | None = None,
                     tpu_beta_max: float | None = None,
                     update_slices: int | None = None,
+                    on_block: str | None = None,
                     tempering: bool = False) -> dict:
     """Finite-width protocol: width-capped SA + slices, same budget rule."""
     import jax.numpy as jnp
@@ -257,12 +267,15 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     tpu_applied = None
     tpu_time = 0.0
     tpu_curve = []
+    tpu_setup = None
     ladder = None
     if n_tpu_replicas:
+        setup_t0 = time.perf_counter()
         ctrees = [tree(r) for r in range(n_tpu_replicas)]
         runner = ReplicaRunnerFW(ctrees, list(range(n_tpu_replicas)),
                                  cmodel=cmodel, engine=engine,
-                                 n_walks=n_walks, walk_chunk=walk_chunk)
+                                 n_walks=n_walks, walk_chunk=walk_chunk,
+                                 on_block=on_block)
         from tnco_tpu.parallel.replicas import _LANE_MAJOR
         tpu_engine = runner.engine
         if exchange_every is None:
@@ -282,10 +295,12 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
             from tnco_tpu.parallel.tempering import TemperingLadder
             ladder = TemperingLadder(n_tpu_replicas,
                                      beta_max=tpu_beta_max, seed=seed)
+        # Warm-up compile outside the budget; ``tpu_setup_s`` reports it.
         runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                    chunk_size=chunk_sweeps, update_slices=update_slices)
         runner.moves_done = 0
         runner.applied_done = None
+        tpu_setup = time.perf_counter() - setup_t0
         t0 = time.perf_counter()
         n_calls = 0
         while True:
@@ -373,6 +388,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         'tpu_moves': tpu_moves,
         'tpu_applied': tpu_applied,
         'tpu_time_s': tpu_time,
+        'tpu_setup_s': tpu_setup,
         'tpu_curve': tpu_curve,
         'tempering_swap_rate': (None if ladder is None else
                                 ladder.swap_rate),
@@ -425,6 +441,10 @@ def main() -> None:
                         help='TPU-arm reslice cadence in sweeps/'
                              'iterations (FW configs; default: 2 on '
                              'walk-family engines, else 10).')
+    parser.add_argument('--on-block', default=None,
+                        help="Walk scheduling on conflict discard "
+                             "('advance' | 'restart' | 'dedup'; "
+                             "multiwalk/walks engines).")
     args = parser.parse_args()
     res = run_quality(args.config, args.seconds, args.seed,
                       args.tpu_replicas, args.cpu_replicas,
@@ -433,6 +453,7 @@ def main() -> None:
                       walk_chunk=args.walk_chunk,
                       tpu_beta_max=args.tpu_beta_max,
                       update_slices=args.update_slices,
+                      on_block=args.on_block,
                       tempering=args.tempering)
     print(json.dumps(res, indent=1))
 

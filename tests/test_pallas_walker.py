@@ -116,6 +116,76 @@ def test_walker_fw_bit_identical(rng, random_seed):
     assert_batches_identical(ref, got)
 
 
+def test_walker_sharded_bit_identical(rng, random_seed):
+    """shard_map execution over the virtual mesh reproduces the
+    single-device walker trajectories bit for bit (replicas are
+    independent; VERDICT r3 item 2 — the IM flagship engine needs a
+    pod path)."""
+    from tnco_tpu.parallel.replicas import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip('needs >= 4 devices')
+    mesh = make_mesh(jax.devices()[:4])
+    trees = _setup(rng, random_seed, n_replicas=8)
+    template = trees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfig(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    batch = sb.init_batch(trees, list(range(8)), np.asarray(log2d))
+    pos = jnp.full((3, 8), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 8.0, 20, dtype=jnp.float32)
+
+    ref, mref = pw.run_walker(batch, betas, log2d_w32, cfg, 3, pos,
+                              interpret=True)
+    got, mgot = pw.run_walker_sharded(batch, betas, log2d_w32, cfg, 3,
+                                      pos, mesh, interpret=True)
+    assert int(mref['moves']) == int(mgot['moves'])
+    assert int(mref['applied']) == int(mgot['applied'])
+    np.testing.assert_array_equal(np.asarray(mref['pos']),
+                                  np.asarray(mgot['pos']))
+    assert_batches_identical(ref, got)
+
+
+def test_walker_fw_sharded_bit_identical(rng, random_seed):
+    """FW sharded walker (segments + reslices inside shard_map) ==
+    the single-device FW walker, bitwise."""
+    from tnco_tpu.kernels import sa_finite_batched as sfb
+    from tnco_tpu.kernels.sa_finite import SweepConfigFW
+    from tnco_tpu.parallel.replicas import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip('needs >= 4 devices')
+    mesh = make_mesh(jax.devices()[:4])
+    trees = _setup(rng, random_seed, n_replicas=8)
+    template = trees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfigFW(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    skip = jnp.zeros(n_lanes, dtype=jnp.uint32)
+    max_width = 3.0
+    batch = sfb.init_batch_fw(trees, list(range(8)), max_width,
+                              np.asarray(log2d),
+                              skip_lanes=np.asarray(skip))
+    p = 4
+    pos = jnp.full((p, 8), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 8.0, 20, dtype=jnp.float32)
+    upd = np.arange(20) % 10 == 0
+
+    ref, mref = pw.run_walker_fw(batch, betas, upd, max_width,
+                                 log2d_w32, skip, cfg, p, pos,
+                                 interpret=True)
+    got, mgot = pw.run_walker_sharded(batch, betas, log2d_w32, cfg, p,
+                                      pos, mesh, interpret=True,
+                                      fw_args=(upd, max_width, skip))
+    assert int(mref['moves']) == int(mgot['moves'])
+    assert int(mref['applied']) == int(mgot['applied'])
+    np.testing.assert_array_equal(np.asarray(mref['pos']),
+                                  np.asarray(mgot['pos']))
+    assert_batches_identical(ref, got)
+
+
 def test_walker_rows_roundtrip_fuzz(rng, random_seed):
     """_pack_rows/_unpack_rows exactness incl. the FW width lane and
     slices row at stressed value ranges."""

@@ -459,7 +459,8 @@ def test_auto_routing(monkeypatch):
 def test_meshless_engines_guarded(monkeypatch):
     """Engines without a sharded path refuse a mesh, and 'auto' + mesh
     never selects one (VERDICT r3 item 2: walker+mesh used to shard the
-    batch and then hit Mosaic custom calls under plain jit)."""
+    batch and then hit Mosaic custom calls under plain jit — walker now
+    has a shard_map path, so only 'sweep' remains meshless)."""
     from tnco_tpu.optimize.finite_width import (SimpleCostModel as
                                                 SimpleCostModelFW)
     from tnco_tpu.parallel import replicas
@@ -475,11 +476,11 @@ def test_meshless_engines_guarded(monkeypatch):
     mesh = make_mesh(jax.devices()[:8])
 
     monkeypatch.setattr(replicas, '_accel_available', lambda: True)
-    # 'auto' + mesh routes the large IM network to the sharded walks
-    # engine instead of the (meshless) walker.
+    # 'auto' + mesh keeps the large IM network on the device IM winner
+    # (walker), now through its shard_map path.
     r = ReplicaRunner(trees, list(range(8)), cmodel=SimpleCostModel(),
                       mesh=mesh)
-    assert r.engine == 'walks'
+    assert r.engine == 'walker'
 
     for engine in replicas._MESHLESS:
         with pytest.raises(ValueError, match='multi-chip'):

@@ -42,7 +42,7 @@ from tnco_tpu.kernels.sa_batched import (SABatch, _log2_total_b,
 from tnco_tpu.kernels.sa_infinite import SweepConfig
 from tnco_tpu.kernels.sa_multiwalk import NULL, _draws
 
-__all__ = ['run_walker', 'walker_supported']
+__all__ = ['run_walker', 'run_walker_sharded', 'walker_supported']
 
 _LANES = 128
 _C0, _C1, _PAR, _LCC, _INDS = 0, 1, 2, 3, 4
@@ -850,3 +850,86 @@ def _walker_fw_reslice(rows, min_rows, min_lt, k_res, max_width,
     min_lt = jnp.where(improved, lt_new, min_lt)
     min_rows = jnp.where(improved[:, None, None], rows, min_rows)
     return rows, min_rows, min_lt
+
+
+# --------------------------- multi-chip ---------------------------
+
+
+def run_walker_sharded(batch, betas, log2d_w32, cfg: SweepConfig,
+                       n_walks: int, pos, mesh, sparse_wb=None,
+                       log2_n_projs=None, *, interpret: bool | None = None,
+                       fw_args=None):
+    """Replica-sharded walker over a ``jax.sharding.Mesh``.
+
+    ``shard_map`` hands every device its local replica shard and runs
+    the Pallas kernel on per-device shapes — the supported pattern for
+    Mosaic custom calls on pods (plain ``jit`` over sharded inputs
+    would ask GSPMD to partition the custom call, which it cannot).
+    Replicas are independent, so per-replica trajectories are
+    bit-identical to the single-device engine (enforced on the virtual
+    CPU mesh by tests/test_walker.py).  ``moves``/``applied`` are
+    psum-reduced to replicated scalars.
+
+    ``fw_args=(update_slices_mask, max_width, skip_wb)`` switches to
+    the finite-width walker (``batch`` then is a ``SABatchFW``); the
+    mask must be HOST-known (it segments the kernel at reslice points,
+    see :func:`run_walker_fw`) and is treated as static.
+
+    Pod-scale execution per SURVEY.md §2.3: replicas over ICI/DCN mesh
+    axes, exchange collectives layered outside
+    (``parallel.replicas.exchange_best_sharded``).
+    """
+    if sparse_wb is not None:
+        raise NotImplementedError('walker engine: dense cost model only')
+    if interpret is None:
+        interpret = jax.devices()[0].platform != 'tpu'
+    if fw_args is None:
+        mask = None
+        max_width = None
+        skip_wb = jnp.zeros((), jnp.uint32)   # placeholder leaf
+    else:
+        mask, max_width, skip_wb = fw_args
+        mask = tuple(bool(x) for x in np.asarray(mask))
+        max_width = float(max_width)
+    return _run_walker_sharded(batch, betas, log2d_w32, cfg, n_walks,
+                               pos, mesh, jnp.asarray(skip_wb),
+                               log2_n_projs, mask, max_width,
+                               bool(interpret))
+
+
+@fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'mesh',
+                                       'log2_n_projs', 'mask',
+                                       'max_width', 'interpret'))
+def _run_walker_sharded(batch, betas, log2d_w32, cfg, n_walks, pos,
+                        mesh, skip_wb, log2_n_projs, mask, max_width,
+                        interpret):
+    from jax.sharding import PartitionSpec as P
+
+    from tnco_tpu.kernels.sa_walks import _batch_specs
+
+    axes = tuple(mesh.axis_names)
+    specs = _batch_specs(batch, axes)
+    pos_spec = P(None, axes)
+    rep = P()
+    fw = mask is not None
+
+    def body(b, pos_, betas_, log2d_, skip_):
+        if fw:
+            out, m = run_walker_fw(b, betas_, np.asarray(mask, bool),
+                                   max_width, log2d_, skip_, cfg,
+                                   n_walks, pos_, None, log2_n_projs,
+                                   interpret=interpret)
+        else:
+            out, m = _run_walker(b, betas_, log2d_, cfg, n_walks, pos_,
+                                 None, log2_n_projs, interpret)
+        m = dict(m)
+        m['moves'] = jax.lax.psum(m['moves'], axes)
+        m['applied'] = jax.lax.psum(m['applied'], axes)
+        return out, m
+
+    metric_specs = {'moves': rep, 'applied': rep, 'pos': pos_spec}
+    shmap = jax.shard_map(body, mesh=mesh,
+                          in_specs=(specs, pos_spec, rep, rep, rep),
+                          out_specs=(specs, metric_specs),
+                          check_vma=False)
+    return shmap(batch, pos, betas, log2d_w32, skip_wb)

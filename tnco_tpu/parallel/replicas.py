@@ -56,10 +56,11 @@ _LANE_MAJOR = ('batched', 'multiwalk', 'walker', 'sweep', 'walks')
 
 # Engines with no multi-chip execution path: their Pallas (Mosaic)
 # kernels run under plain jit, which GSPMD cannot partition over a
-# mesh (see sa_walks.run_walks_sharded for the supported shard_map
+# mesh (see sa_walks.run_walks_sharded and
+# pallas_walker.run_walker_sharded for the supported shard_map
 # pattern).  The runners refuse a mesh for these instead of silently
 # producing a program that fails (or worse, mispartitions) on pods.
-_MESHLESS = ('walker', 'sweep')
+_MESHLESS = ('sweep',)
 
 
 def replica_sharding(mesh, axis_name=None):
@@ -260,10 +261,9 @@ class ReplicaRunner:
                 # walker is the device IM winner on the corrected
                 # quality protocol (docs/QUALITY.md: Sycamore 300 s
                 # 62.71 vs fixed CPU 63.31 / reference 63.17).  On a
-                # mesh, the chained 'walks' engine (same walk
-                # semantics, shard_map path) runs instead — see the
-                # _MESHLESS guard below.
-                engine = 'walker' if mesh is None else 'walks'
+                # mesh it runs through run_walker_sharded (shard_map;
+                # bit-identical per-replica trajectories).
+                engine = 'walker'
             elif (native.available() and self.sparse_lanes is None and
                   not disable_shared_inds and prob_kind in (None, 'mh')):
                 # No accelerator: the multithreaded CPU engine's
@@ -469,10 +469,18 @@ class ReplicaRunner:
                 last_min = self.states.min_log2_total
             elif self.engine == 'walker':
                 from tnco_tpu.kernels import pallas_walker as pwk
-                self.states, metrics = pwk.run_walker(
-                    self.states, jnp.asarray(chunk), self.log2d_w32,
-                    self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs)
+                if self.mesh is not None:
+                    # shard_map: per-device Pallas kernel on local
+                    # replica shards (the Mosaic-on-pods pattern).
+                    self.states, metrics = pwk.run_walker_sharded(
+                        self.states, jnp.asarray(chunk), self.log2d_w32,
+                        self.cfg, self.n_walks, self._mw_pos, self.mesh,
+                        self.sparse_wb, self.log2_n_projs)
+                else:
+                    self.states, metrics = pwk.run_walker(
+                        self.states, jnp.asarray(chunk), self.log2d_w32,
+                        self.cfg, self.n_walks, self._mw_pos,
+                        self.sparse_wb, self.log2_n_projs)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'walks':
@@ -885,11 +893,21 @@ class ReplicaRunnerFW:
                 last_min = self.states.min_log2_total
             elif self.engine == 'walker':
                 from tnco_tpu.kernels import pallas_walker as pwk
-                self.states, metrics = pwk.run_walker_fw(
-                    self.states, jnp.asarray(chunk), np.asarray(mchunk),
-                    self.max_width, self.log2d_w32, self.skip_lanes,
-                    self.cfg, self.n_walks, self._mw_pos, self.sparse_wb,
-                    self.log2_n_projs)
+                if self.mesh is not None:
+                    fw_args = (np.asarray(mchunk), self.max_width,
+                               self.skip_lanes)
+                    self.states, metrics = pwk.run_walker_sharded(
+                        self.states, jnp.asarray(chunk), self.log2d_w32,
+                        self.cfg, self.n_walks, self._mw_pos, self.mesh,
+                        self.sparse_wb, self.log2_n_projs,
+                        fw_args=fw_args)
+                else:
+                    self.states, metrics = pwk.run_walker_fw(
+                        self.states, jnp.asarray(chunk),
+                        np.asarray(mchunk), self.max_width,
+                        self.log2d_w32, self.skip_lanes, self.cfg,
+                        self.n_walks, self._mw_pos, self.sparse_wb,
+                        self.log2_n_projs)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'walks':
