@@ -27,7 +27,12 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                 tpu_beta_max: float | None = None,
                 update_slices: int | None = None,
                 on_block: str | None = None,
+                run_seed_offset: int = 0,
                 tempering: bool = False) -> dict:
+    """``run_seed_offset`` offsets the per-replica PRNG seeds on BOTH
+    arms (device threefry keys and CPU mt19937 streams) without
+    changing the problem instance (the trees stay those of ``seed``) —
+    independent repetitions of a cell for median/min reporting."""
     import jax.numpy as jnp
 
     from benchmarks.run import build_config
@@ -46,6 +51,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                                tpu_beta_max=tpu_beta_max,
                                update_slices=update_slices,
                                on_block=on_block,
+                               run_seed_offset=run_seed_offset,
                                tempering=tempering)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
 
@@ -90,7 +96,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
     if n_tpu_replicas:
         setup_t0 = time.perf_counter()
         ctrees = [tree(r) for r in range(n_tpu_replicas)]
-        runner = ReplicaRunner(ctrees, list(range(n_tpu_replicas)),
+        run_ids = [run_seed_offset + r for r in range(n_tpu_replicas)]
+        runner = ReplicaRunner(ctrees, run_ids,
                                cmodel=SimpleCostModel(), engine=engine,
                                n_walks=n_walks, walk_chunk=walk_chunk,
                                on_block=on_block)
@@ -167,7 +174,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
             [tree(r).nodes_array.copy() for r in range(n_cpu_replicas)])
         inds = np.stack(
             [tree(r).inds_array.copy() for r in range(n_cpu_replicas)])
-        base_seeds = np.arange(n_cpu_replicas, dtype=np.uint64)
+        base_seeds = (np.arange(n_cpu_replicas, dtype=np.uint64)
+                      + np.uint64(run_seed_offset))
         chunk_sweeps_cpu = 64
         bests = np.full(n_cpu_replicas, np.inf)
         chunk_idx = 0
@@ -225,6 +233,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                     tpu_beta_max: float | None = None,
                     update_slices: int | None = None,
                     on_block: str | None = None,
+                    run_seed_offset: int = 0,
                     tempering: bool = False) -> dict:
     """Finite-width protocol: width-capped SA + slices, same budget rule."""
     import jax.numpy as jnp
@@ -272,7 +281,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     if n_tpu_replicas:
         setup_t0 = time.perf_counter()
         ctrees = [tree(r) for r in range(n_tpu_replicas)]
-        runner = ReplicaRunnerFW(ctrees, list(range(n_tpu_replicas)),
+        run_ids = [run_seed_offset + r for r in range(n_tpu_replicas)]
+        runner = ReplicaRunnerFW(ctrees, run_ids,
                                  cmodel=cmodel, engine=engine,
                                  n_walks=n_walks, walk_chunk=walk_chunk,
                                  on_block=on_block)
@@ -351,7 +361,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
             [tree(r).inds_array.copy() for r in range(n_cpu_replicas)])
         slices = np.stack(slices0)
         skip = np.zeros(template.inds_array.shape[1], dtype=np.uint32)
-        base_seeds = np.arange(n_cpu_replicas, dtype=np.uint64)
+        base_seeds = (np.arange(n_cpu_replicas, dtype=np.uint64)
+                      + np.uint64(run_seed_offset))
         chunk_cpu = 64
         bests = np.full(n_cpu_replicas, np.inf)
         chunk_idx = 0
@@ -445,6 +456,10 @@ def main() -> None:
                         help="Walk scheduling on conflict discard "
                              "('advance' | 'restart' | 'dedup'; "
                              "multiwalk/walks engines).")
+    parser.add_argument('--run-seed-offset', type=int, default=0,
+                        help='Offset the per-replica PRNG seeds on both '
+                             'arms (independent repetition of a cell; '
+                             'the problem instance is unchanged).')
     args = parser.parse_args()
     res = run_quality(args.config, args.seconds, args.seed,
                       args.tpu_replicas, args.cpu_replicas,
@@ -454,6 +469,7 @@ def main() -> None:
                       tpu_beta_max=args.tpu_beta_max,
                       update_slices=args.update_slices,
                       on_block=args.on_block,
+                      run_seed_offset=args.run_seed_offset,
                       tempering=args.tempering)
     print(json.dumps(res, indent=1))
 
