@@ -85,6 +85,17 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
     moves_per_sec = moves / elapsed
 
+    # On-TPU compiled-vs-interpret bit-identity for the Pallas kernels
+    # (VERDICT r3 item 6): CI runs them interpret-only on CPU, so the
+    # compiled Mosaic path is asserted here, inside the bench session.
+    pallas_identity = None
+    if platform == 'tpu':
+        try:
+            _pallas_identity_check(ctrees[:8], log2d, log2d_w32, cfg)
+            pallas_identity = 'ok'
+        except Exception as exc:  # keep the bench line even on failure
+            pallas_identity = f'FAIL: {type(exc).__name__}: {exc}'
+
     out = {
         'metric': 'sa_moves_per_sec_per_chip',
         'value': moves_per_sec,
@@ -99,7 +110,54 @@ def main() -> None:
     prev = _previous_round_value()
     if prev:
         out['vs_prev_round'] = moves_per_sec / prev
+    if pallas_identity is not None:
+        out['pallas_identity'] = pallas_identity
     print(json.dumps(out))
+
+
+def _pallas_identity_check(ctrees, log2d, log2d_w32, cfg) -> None:
+    """Assert the compiled Mosaic kernels match the Pallas interpreter
+    bit-for-bit on a small batch: the walker engine end-to-end plus the
+    gather/scatter primitives (state bitwise, totals at ~2 ulp — the
+    established cross-program invariant, testing/utils.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tnco_tpu.kernels import pallas_gather as pg
+    from tnco_tpu.kernels import pallas_scatter as ps
+    from tnco_tpu.kernels import pallas_walker as pw
+    from tnco_tpu.kernels import sa_batched as sb
+    from tnco_tpu.testing.utils import assert_batches_identical
+
+    b = len(ctrees)
+    batch = sb.init_batch(ctrees, list(range(b)), np.asarray(log2d))
+    betas = jnp.linspace(0.0, 30.0, 32, dtype=jnp.float32)
+    pos = jnp.full((4, b), -1, dtype=jnp.int32)
+    ref, _ = pw.run_walker(batch, betas, log2d_w32, cfg, 4, pos,
+                           interpret=True)
+    got, _ = pw.run_walker(batch, betas, log2d_w32, cfg, 4, pos,
+                           interpret=False)
+    assert_batches_identical(ref, got)
+
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.integers(-2**31, 2**31, (2, 8, 256),
+                                    dtype=np.int64).astype(np.int32))
+    ids = jnp.asarray(rng.integers(0, 256, (8, 128),
+                                   dtype=np.int64).astype(np.int32))
+    g_ref = pg.gather_gbn(vals, ids, interpret=True)
+    g_got = pg.gather_gbn(vals, ids, interpret=False)
+    np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_got),
+                                  err_msg='gather_gbn')
+
+    # Unique in-range ids per replica row (the scatter contract).
+    sids = jnp.asarray(np.stack([
+        rng.permutation(256)[:128] for _ in range(8)]).astype(np.int32))
+    upd = jnp.asarray(rng.integers(-2**31, 2**31, (2, 8, 128),
+                                   dtype=np.int64).astype(np.int32))
+    s_ref = ps.scatter_rows_gbn(vals, sids, upd, interpret=True)
+    s_got = ps.scatter_rows_gbn(vals, sids, upd, interpret=False)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_got),
+                                  err_msg='scatter_rows_gbn')
 
 
 def _previous_round_value() -> float | None:
