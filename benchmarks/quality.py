@@ -27,6 +27,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                 tpu_beta_max: float | None = None,
                 update_slices: int | None = None,
                 on_block: str | None = None,
+                accept_rule: str | None = None,
                 run_seed_offset: int = 0,
                 tempering: bool = False) -> dict:
     """``run_seed_offset`` offsets the per-replica PRNG seeds on BOTH
@@ -51,6 +52,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                                tpu_beta_max=tpu_beta_max,
                                update_slices=update_slices,
                                on_block=on_block,
+                               accept_rule=accept_rule,
                                run_seed_offset=run_seed_offset,
                                tempering=tempering)
     order = tuple(dict.fromkeys(x for xs in ts_inds for x in xs))
@@ -100,7 +102,8 @@ def run_quality(name: str, seconds: float, seed: int = 0,
         runner = ReplicaRunner(ctrees, run_ids,
                                cmodel=SimpleCostModel(), engine=engine,
                                n_walks=n_walks, walk_chunk=walk_chunk,
-                               on_block=on_block)
+                               on_block=on_block,
+                               accept_rule=accept_rule)
         tpu_engine = runner.engine
         if exchange_every is None:
             # Defended cadence (docs/QUALITY.md: the 300 s flagship wins
@@ -233,6 +236,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                     tpu_beta_max: float | None = None,
                     update_slices: int | None = None,
                     on_block: str | None = None,
+                    accept_rule: str | None = None,
                     run_seed_offset: int = 0,
                     tempering: bool = False) -> dict:
     """Finite-width protocol: width-capped SA + slices, same budget rule."""
@@ -285,7 +289,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         runner = ReplicaRunnerFW(ctrees, run_ids,
                                  cmodel=cmodel, engine=engine,
                                  n_walks=n_walks, walk_chunk=walk_chunk,
-                                 on_block=on_block)
+                                 on_block=on_block,
+                                 accept_rule=accept_rule)
         from tnco_tpu.parallel.replicas import _LANE_MAJOR
         tpu_engine = runner.engine
         if exchange_every is None:
@@ -456,6 +461,10 @@ def main() -> None:
                         help="Walk scheduling on conflict discard "
                              "('advance' | 'restart' | 'dedup'; "
                              "multiwalk/walks engines).")
+    parser.add_argument('--accept-rule', default=None,
+                        help="Walk-engine acceptance rule ('round' | "
+                             "'chained'; chained tests each walk "
+                             "against the running total).")
     parser.add_argument('--run-seed-offset', type=int, default=0,
                         help='Offset the per-replica PRNG seeds on both '
                              'arms (independent repetition of a cell; '
@@ -469,6 +478,7 @@ def main() -> None:
                       tpu_beta_max=args.tpu_beta_max,
                       update_slices=args.update_slices,
                       on_block=args.on_block,
+                      accept_rule=args.accept_rule,
                       run_seed_offset=args.run_seed_offset,
                       tempering=args.tempering)
     print(json.dumps(res, indent=1))

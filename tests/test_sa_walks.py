@@ -418,3 +418,117 @@ def test_walks_fw_fast_reslice_bit_identical(rng, random_seed):
                                 uniform_log2=ul)
     assert int(mref['applied']) == int(mgot['applied'])
     assert_batches_identical(ref, got)
+
+
+@pytest.mark.parametrize('n_walks', [1, 6])
+def test_walks_chained_accept_bit_identical(n_walks, rng, random_seed):
+    """accept_rule='chained' (running-total Metropolis inside the claim
+    scan) stays bit-identical between the walks and multiwalk engines,
+    and the min trees remain valid with exact costs."""
+    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed)
+    template = ctrees[0]
+    b = len(ctrees)
+    cfg, _log2d, log2d_w32, batch = _im_batch(ctrees)
+    pos = jnp.full((n_walks, b), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 40, dtype=jnp.float32)
+
+    ref, mref = smw.run_multiwalk(batch, betas, log2d_w32, cfg, n_walks,
+                                  pos, accept_rule='chained')
+    got, mgot = sw.run_walks(batch, betas, log2d_w32, cfg, pos,
+                             claim='sequential', accept_rule='chained')
+    assert int(mref['applied']) == int(mgot['applied'])
+    np.testing.assert_array_equal(np.asarray(mref['pos']),
+                                  np.asarray(mgot['pos']))
+    assert_batches_identical(ref, got)
+
+    for i in range(b):
+        mnodes = np.stack([
+            np.asarray(got.min_c0[:, i]),
+            np.asarray(got.min_c1[:, i]),
+            np.asarray(got.min_par[:, i])
+        ], axis=1)
+        mtree = template.replace_arrays(mnodes,
+                                        np.asarray(got.min_inds[..., i]))
+        is_valid_contraction_tree(mtree, ts_inds, output_inds, dims)
+        exact = math.log2(mtree.total_cost_exact())
+        assert float(got.min_log2_total[i]) == pytest.approx(exact,
+                                                             abs=1e-3)
+
+
+def test_walks_chained_single_walk_matches_round(rng, random_seed):
+    """P=1: the running total IS the pre-round total (no earlier walks
+    in the chain), so 'chained' and 'round' must apply the same moves
+    and land on the same trees."""
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=3)
+    cfg, _log2d, log2d_w32, batch = _im_batch(ctrees)
+    pos = jnp.full((1, 3), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 30, dtype=jnp.float32)
+    a, ma = sw.run_walks(batch, betas, log2d_w32, cfg, pos,
+                         accept_rule='round')
+    b, mb = sw.run_walks(batch, betas, log2d_w32, cfg, pos,
+                         accept_rule='chained')
+    assert int(ma['applied']) == int(mb['applied'])
+    np.testing.assert_array_equal(np.asarray(a.c0), np.asarray(b.c0))
+    np.testing.assert_array_equal(np.asarray(a.par), np.asarray(b.par))
+    np.testing.assert_array_equal(np.asarray(a.inds), np.asarray(b.inds))
+
+
+def test_walks_fw_chained_accept_bit_identical(rng, random_seed):
+    """FW variant: 'chained' stays bit-identical across engines and
+    keeps the width cap."""
+    from tnco_tpu.kernels.sa_finite import _WIDTH_EPS
+
+    n_walks = 6
+    max_width = 3.0
+    ctrees, ts_inds, output_inds, dims = _setup(rng, random_seed,
+                                                n_replicas=4)
+    template = ctrees[0]
+    n_lanes = template.inds_array.shape[1]
+    cfg = SweepConfigFW(n_leaves=template.n_leaves, n_lanes=n_lanes)
+    log2d = bitops.pad_log2_dims(template.log2_dims_array, n_lanes)
+    log2d_w32 = jnp.asarray(log2d).reshape(n_lanes, 32)
+    skip = jnp.zeros(n_lanes, dtype=jnp.uint32)
+    batch = sfb.init_batch_fw(ctrees, list(range(4)), max_width,
+                              np.asarray(log2d),
+                              skip_lanes=np.asarray(skip))
+    pos = jnp.full((n_walks, 4), -1, dtype=jnp.int32)
+    betas = jnp.linspace(0.0, 10.0, 30, dtype=jnp.float32)
+    upd = jnp.asarray(np.arange(30) % 10 == 0)
+
+    ref, mref = smw.run_multiwalk_fw(batch, betas, upd, max_width,
+                                     log2d_w32, skip, cfg, n_walks, pos,
+                                     accept_rule='chained')
+    got, mgot = sw.run_walks_fw(batch, betas, upd, max_width, log2d_w32,
+                                skip, cfg, pos, claim='sequential',
+                                accept_rule='chained')
+    assert int(mref['applied']) == int(mgot['applied'])
+    assert_batches_identical(ref, got)
+
+    log2d_arr = np.asarray(log2d)
+    for i in range(4):
+        inds = np.asarray(got.inds[..., i])
+        slices = np.asarray(got.slices[:, i])
+        sliced = inds & ~slices[None, :]
+        widths = np.zeros(inds.shape[0])
+        for w in range(n_lanes):
+            for s in range(32):
+                mask = (sliced[:, w] >> s) & 1
+                widths += mask * log2d_arr[w * 32 + s]
+        assert (widths <= max_width + _WIDTH_EPS + 1e-5).all()
+
+
+def test_walks_chained_runner_plumbing(rng, random_seed):
+    """accept_rule reaches the engines through the runners, and the
+    guard refuses it on engines without the chained scan."""
+    from tnco_tpu.optimize.infinite_memory import SimpleCostModel
+    from tnco_tpu.parallel.replicas import ReplicaRunner
+
+    ctrees, *_ = _setup(rng, random_seed, n_replicas=4)
+    runner = ReplicaRunner(ctrees, list(range(4)), engine='walks',
+                           n_walks=4, accept_rule='chained')
+    runner.run(np.linspace(0.0, 5.0, 16, dtype=np.float32),
+               chunk_size=16)
+    assert np.isfinite(runner.log2_min_totals()).all()
+    with pytest.raises(ValueError, match='accept_rule'):
+        ReplicaRunner(ctrees, list(range(4)), engine='batched',
+                      accept_rule='chained')

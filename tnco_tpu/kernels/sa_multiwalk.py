@@ -206,6 +206,79 @@ def _advance_walks(pos_a, accept, keep, on_block):
     return pos
 
 
+def _chained_accept_step(cfg, lt_run, beta, u_i, l_a, l_b, ln_a, ln_b):
+    """One walk's Metropolis decision against the RUNNING total.
+
+    Shared by both chained-acceptance claim scans (masked layout below,
+    pull/gather layout in sa_walks) so the per-element float op tree is
+    identical and the engines stay bit-identical under
+    ``accept_rule='chained'``."""
+    l_new = costs_ops.new_total_log2(lt_run, l_a, l_b, ln_a, ln_b)
+    if cfg.prob_kind == 'mh':
+        acc = jnp.log2(u_i) <= -beta * (l_new - lt_run)
+    else:  # 'greedy' (lt-independent rules never reach here)
+        acc = l_new <= lt_run
+    return acc, l_new
+
+
+def _chains_lt(cfg) -> bool:
+    """Whether the acceptance rule depends on the total — i.e. whether
+    ``accept_rule='chained'`` differs from 'round' at all.  For
+    lt-independent rules (mh_local, always-accept) the chained scan
+    would be a no-op, so callers fall back to the round path (which is
+    also the cheaper program)."""
+    return cfg.prob_kind in ('mh', 'greedy')
+
+
+def _claim_chained(cfg, u, beta, lt, valid, ev):
+    """Sequential-chain acceptance + claims in one priority scan.
+
+    The round-mode engines accept every walk against the SAME pre-round
+    total ``lt``: with k kept moves per iteration each decision is stale
+    by up to the sum of the other k-1 deltas, a bias that grows with P
+    (the round-2 sweep-engine calibration defect in miniature).  Here
+    walk i's Metropolis test uses the running total of walks < i that
+    were KEPT, so a round of pairwise-disjoint applied moves is
+    *exactly* a sequential Metropolis chain: disjointness guarantees
+    walk i's gathered rows (l_a, l_b, ln_a, ln_b, index sets) are
+    unchanged by earlier kept walks, and the linear-domain delta is
+    state-independent, so folding it into ``lt_run`` reproduces the
+    one-move-at-a-time semantics bit-for-bit up to the shared
+    ``new_total_log2`` op tree.
+
+    Returns ``(accept, keep)`` ([P, B]); ``accept`` records each walk's
+    decision at its own chain point (used by the walk schedules)."""
+    nodes5 = jnp.stack([ev[k] for k in ('a', 'b', 'c', 'd', 'e')])
+    p = valid.shape[0]
+    walk_idx = jnp.arange(p)
+
+    def step(pi, carry):
+        keep, accept, lt_run = carry
+        rows = jax.lax.dynamic_index_in_dim(nodes5, pi, axis=1,
+                                            keepdims=False)  # [5, B]
+        eq = rows[:, None, None, :] == nodes5[None]  # [5, 5, P, B]
+        confl = jnp.any(eq, axis=(0, 1))  # [P, B]
+        blocked = jnp.any(keep & confl & (walk_idx < pi)[:, None], axis=0)
+
+        def take(x):
+            return jax.lax.dynamic_index_in_dim(x, pi, keepdims=False)
+
+        acc, l_new = _chained_accept_step(
+            cfg, lt_run, beta, take(u), take(ev['l_a']), take(ev['l_b']),
+            take(ev['ln_a']), take(ev['ln_b']))
+        acc = acc & take(valid)
+        kp = acc & ~blocked
+        lt_run = jnp.where(kp, l_new, lt_run)
+        keep = jax.lax.dynamic_update_index_in_dim(keep, kp, pi, axis=0)
+        accept = jax.lax.dynamic_update_index_in_dim(accept, acc, pi,
+                                                     axis=0)
+        return keep, accept, lt_run
+
+    zeros = jnp.zeros_like(valid)
+    keep, accept, _ = jax.lax.fori_loop(0, p, step, (zeros, zeros, lt))
+    return accept, keep
+
+
 def _claim_disjoint(accept, ev):
     """Priority conflict filter: lower walk index wins; a proposal is
     applied only if none of its 5 nodes collides with an earlier applied
@@ -312,7 +385,8 @@ def _draws(keys, n, p, dtype, n_keys):
 
 def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
                     walk_chunk, iota_n, sparse_wb, log2_n_projs,
-                    uniform_log2=None, on_block='advance'):
+                    uniform_log2=None, on_block='advance',
+                    accept_rule='round'):
     (c0, c1, par, inds, lcc, min_lt, min_c0, min_c1, min_par, min_inds,
      keys, pos, moves, applied) = carry
     n_leaves = cfg.n_leaves
@@ -339,10 +413,15 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
         return ev
 
     ev = _eval_chunked(body, pos, leaf, rand_bit, walk_chunk)
-    l_new = costs_ops.new_total_log2(lt[None, :], ev['l_a'], ev['l_b'],
-                                     ev['ln_a'], ev['ln_b'])
-    accept = _accept(cfg, u, beta, l_new, lt, ev)
-    keep = _claim_disjoint(accept, ev)
+    if accept_rule == 'chained' and _chains_lt(cfg):
+        valid = (ev['b'] != NULL) & (ev['a'] != NULL)
+        accept, keep = _claim_chained(cfg, u, beta, lt, valid, ev)
+    else:
+        l_new = costs_ops.new_total_log2(lt[None, :], ev['l_a'],
+                                         ev['l_b'], ev['ln_a'],
+                                         ev['ln_b'])
+        accept = _accept(cfg, u, beta, l_new, lt, ev)
+        keep = _claim_disjoint(accept, ev)
     c0, c1, par, inds, lcc, _ = _apply_kept(c0, c1, par, inds, lcc, keep,
                                             ev, iota_n, walk_chunk)
 
@@ -376,22 +455,26 @@ def _iter_multiwalk(carry, beta, log2d_w32, cfg: SweepConfig, n_walks,
 
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk',
-                                         'uniform_log2', 'on_block'))
+                                         'uniform_log2', 'on_block',
+                                         'accept_rule'))
 def run_multiwalk(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
                   n_walks: int, pos, sparse_wb=None, log2_n_projs=None,
                   walk_chunk: int = 0, uniform_log2=None,
-                  on_block='advance'):
+                  on_block='advance', accept_rule='round'):
     """Runs one multi-walk iteration per beta (P proposals per replica
     per iteration).  ``walk_chunk`` in (0, P) evaluates/applies walks in
     groups of that size (bit-identical; bounds compile-time temporaries
-    on large networks)."""
+    on large networks).  ``accept_rule='chained'`` folds the Metropolis
+    test into the claim scan against a running total (see
+    :func:`_claim_chained`)."""
     n = batch.c0.shape[0]
     iota_n = jnp.arange(n, dtype=jnp.int32)[:, None]
 
     def step(carry, beta):
         carry = _iter_multiwalk(carry, beta, log2d_w32, cfg, n_walks,
                                 walk_chunk, iota_n, sparse_wb,
-                                log2_n_projs, uniform_log2, on_block)
+                                log2_n_projs, uniform_log2, on_block,
+                                accept_rule)
         return carry, None
 
     carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,
@@ -419,7 +502,7 @@ def run_multiwalk(batch: SABatch, betas, log2d_w32, cfg: SweepConfig,
 def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
                        skip_wb, cfg, n_walks, walk_chunk, iota_n,
                        sparse_wb, log2_n_projs, uniform_log2=None,
-                       on_block='advance'):
+                       on_block='advance', accept_rule='round'):
     """Finite-width multi-walk iteration: width-capped proposals against
     a shared per-lane slice set (+ optional greedy reslice-if-better,
     mirroring the lockstep FW engine's post-sweep cadence)."""
@@ -456,10 +539,15 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
         return ev
 
     ev = _eval_chunked(body, pos, leaf, rand_bit, walk_chunk)
-    l_new = costs_ops.new_total_log2(lt[None, :], ev['l_a'], ev['l_b'],
-                                     ev['ln_a'], ev['ln_b'])
-    accept = _accept(cfg, u, beta, l_new, lt, ev) & ev['fits']
-    keep = _claim_disjoint(accept, ev)
+    if accept_rule == 'chained' and _chains_lt(cfg):
+        valid = (ev['b'] != NULL) & (ev['a'] != NULL) & ev['fits']
+        accept, keep = _claim_chained(cfg, u, beta, lt, valid, ev)
+    else:
+        l_new = costs_ops.new_total_log2(lt[None, :], ev['l_a'],
+                                         ev['l_b'], ev['ln_a'],
+                                         ev['ln_b'])
+        accept = _accept(cfg, u, beta, l_new, lt, ev) & ev['fits']
+        keep = _claim_disjoint(accept, ev)
     c0, c1, par, inds, lcc, width_pre = _apply_kept(
         c0, c1, par, inds, lcc, keep, ev, iota_n, walk_chunk,
         width_pre=width_pre)
@@ -511,12 +599,13 @@ def _iter_multiwalk_fw(carry, beta, update_slices, max_width, log2d_w32,
 
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'n_walks', 'walk_chunk',
-                                         'uniform_log2', 'on_block'))
+                                         'uniform_log2', 'on_block',
+                                         'accept_rule'))
 def run_multiwalk_fw(batch, betas, update_slices_mask, max_width,
                      log2d_w32, skip_wb, cfg, n_walks: int, pos,
                      sparse_wb=None, log2_n_projs=None,
                      walk_chunk: int = 0, uniform_log2=None,
-                     on_block='advance'):
+                     on_block='advance', accept_rule='round'):
     """Finite-width multi-walk: one iteration per beta.
 
     ``batch`` is a :class:`tnco_tpu.kernels.sa_finite_batched.SABatchFW`;
@@ -533,7 +622,7 @@ def run_multiwalk_fw(batch, betas, update_slices_mask, max_width,
         carry = _iter_multiwalk_fw(carry, beta, upd, max_width, log2d_w32,
                                    skip_wb, cfg, n_walks, walk_chunk,
                                    iota_n, sparse_wb, log2_n_projs,
-                                   uniform_log2, on_block)
+                                   uniform_log2, on_block, accept_rule)
         return carry, None
 
     carry = (batch.c0, batch.c1, batch.par, batch.inds, batch.lcc,

@@ -65,7 +65,7 @@ from tnco_tpu.kernels.sa_fullsweep import (_i32, _join_f, _nk, _split_f,
                                            _u32, _width_bn)
 from tnco_tpu.kernels.sa_batched import SABatch, compute_hyper_b
 from tnco_tpu.kernels.sa_infinite import SweepConfig
-from tnco_tpu.kernels.sa_multiwalk import _draws
+from tnco_tpu.kernels.sa_multiwalk import _chains_lt, _draws
 from tnco_tpu.ops import costs as costs_ops
 
 __all__ = ['run_walks', 'run_walks_fw', 'run_walks_sharded']
@@ -352,6 +352,74 @@ def _claim_sequential(accept, ev):
                              jnp.zeros_like(accept))
 
 
+def _claim_sequential_chained(cfg, u, beta, lt, valid, ev):
+    """Chained-acceptance claim scan in the ``[B, P]`` layout.
+
+    Same semantics as :func:`sa_multiwalk._claim_chained` (walk i's
+    Metropolis test runs against the running total of kept walks < i —
+    a round becomes an exact sequential Metropolis chain) with the
+    blocked structure of :func:`_claim_sequential`: the conflict matrix
+    is built once, the cross-block blocked test is one masked
+    reduction, and the within-block chain is unrolled at trace time.
+    The per-walk float step is the SHARED
+    :func:`sa_multiwalk._chained_accept_step`, so kept sets and the
+    ``lt_run`` sequence are bit-identical to the masked engine's scan.
+
+    Returns ``(accept, keep)`` ([B, P])."""
+    from tnco_tpu.kernels.sa_multiwalk import _chained_accept_step
+
+    nodes5 = jnp.stack([ev[k] for k in ('a', 'b', 'c', 'd', 'e')])
+    b, p = valid.shape
+    confl = jnp.zeros((b, p, p), bool)
+    for k in range(5):
+        for l in range(5):
+            confl = confl | (nodes5[k][:, :, None] ==
+                             nodes5[l][:, None, :])
+
+    kblk = _CLAIM_BLOCK
+    while p % kblk:
+        kblk //= 2
+
+    beta_b = jnp.asarray(beta)  # scalar or [B] (tempering ladder)
+
+    def claim_block(nb, carry):
+        keep, accept, lt_run = carry
+        off = nb * kblk
+        mb = jax.lax.dynamic_slice_in_dim(confl, off, kblk, axis=1)
+        mbb = jax.lax.dynamic_slice_in_dim(mb, off, kblk, axis=2)
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, off, kblk, axis=1)
+
+        vb, ub = sl(valid), sl(u)
+        la, lb_ = sl(ev['l_a']), sl(ev['l_b'])
+        lna, lnb = sl(ev['ln_a']), sl(ev['ln_b'])
+        blocked0 = jnp.any(keep[:, None, :] & mb, axis=2)   # [B, K]
+        cols, acc_cols = [], []
+        for i in range(kblk):
+            blk = blocked0[:, i]
+            for j in range(i):
+                blk = blk | (cols[j] & mbb[:, i, j])
+            acc, l_new = _chained_accept_step(
+                cfg, lt_run, beta_b, ub[:, i], la[:, i], lb_[:, i],
+                lna[:, i], lnb[:, i])
+            acc = acc & vb[:, i]
+            kp = acc & ~blk
+            lt_run = jnp.where(kp, l_new, lt_run)
+            cols.append(kp)
+            acc_cols.append(acc)
+        keep = jax.lax.dynamic_update_slice_in_dim(
+            keep, jnp.stack(cols, axis=1), off, axis=1)
+        accept = jax.lax.dynamic_update_slice_in_dim(
+            accept, jnp.stack(acc_cols, axis=1), off, axis=1)
+        return keep, accept, lt_run
+
+    zeros = jnp.zeros_like(valid)
+    keep, accept, _ = jax.lax.fori_loop(0, p // kblk, claim_block,
+                                        (zeros, zeros, lt))
+    return accept, keep
+
+
 def _apply_walks(S, ev, kept, cfg: SweepConfig, dtype, interpret,
                  with_width=False, u=0):
     """Scatter the 4 touched rows of every kept walk.
@@ -418,8 +486,8 @@ def _apply_walks(S, ev, kept, cfg: SweepConfig, dtype, interpret,
 
 
 def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
-                on_block, uniform_log2, sparse_w, log2_n_projs,
-                interpret):
+                on_block, accept_rule, uniform_log2, sparse_w,
+                log2_n_projs, interpret):
     (S, lt, S_min, min_lt, keys, pos, moves, applied) = carry
     w = cfg.n_lanes
     nl = cfg.n_leaves
@@ -436,9 +504,14 @@ def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
     pos, ev = _propose_walks(S, pos, leaf, rand_bit, cfg, log2d_w32,
                              uniform_log2, dtype, sparse_w,
                              log2_n_projs, interpret)
-    accept = _accept_walks(ev, lt, u, beta, cfg)
-    keep = (_claim_sequential if claim == 'sequential' else
-            _claim_pairwise)(accept, ev)
+    if accept_rule == 'chained' and _chains_lt(cfg):
+        valid = (ev['b'] != NULL) & (ev['a'] != NULL)
+        accept, keep = _claim_sequential_chained(cfg, u, beta, lt,
+                                                 valid, ev)
+    else:
+        accept = _accept_walks(ev, lt, u, beta, cfg)
+        keep = (_claim_sequential if claim == 'sequential' else
+                _claim_pairwise)(accept, ev)
     S = _apply_walks(S, ev, keep, cfg, dtype, interpret)
 
     pos = _advance_walks(ev['a'], accept, keep, on_block)
@@ -456,10 +529,12 @@ def _iter_walks(carry, beta, log2d_w32, cfg: SweepConfig, claim,
 
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'on_block',
-                                       'uniform_log2', 'interpret'))
+                                       'accept_rule', 'uniform_log2',
+                                       'interpret'))
 def run_walks(batch: SABatch, betas, log2d_w32, cfg: SweepConfig, pos,
               sparse_wb=None, log2_n_projs=None, *,
-              claim='sequential', on_block='advance', uniform_log2=None,
+              claim='sequential', on_block='advance',
+              accept_rule='round', uniform_log2=None,
               interpret=None):
     """One chained multi-walk iteration per beta (P proposals per
     replica per iteration; P is ``pos.shape[0]``).
@@ -481,8 +556,8 @@ def run_walks(batch: SABatch, betas, log2d_w32, cfg: SweepConfig, pos,
 
     def step(carry, beta):
         return _iter_walks(carry, beta, log2d_w32, cfg, claim,
-                           on_block, uniform_log2, sparse_w,
-                           log2_n_projs, interpret), None
+                           on_block, accept_rule, uniform_log2,
+                           sparse_w, log2_n_projs, interpret), None
 
     carry = (S, _lt_from_S(S, w, nk, nl, dtype), S_min,
              batch.min_log2_total, batch.keys, pos.T,
@@ -507,8 +582,8 @@ def run_walks(batch: SABatch, betas, log2d_w32, cfg: SweepConfig, pos,
 
 def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
                    skip_w, cfg: SweepConfig, claim, on_block,
-                   uniform_log2, sparse_w, log2_n_projs, interpret,
-                   fast_slicer=False):
+                   accept_rule, uniform_log2, sparse_w, log2_n_projs,
+                   interpret, fast_slicer=False):
     # fast_slicer implies the state carries u = n_lanes union planes
     # between the index planes and c0 (see _apply_walks).
     from tnco_tpu.kernels.sa_finite import _WIDTH_EPS
@@ -542,9 +617,14 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
         ev['new_inds_b'] & ~slices[:, :, None], log2d_w32, uniform_log2,
         dtype, sparse_w=sparse_w, log2_n_projs=log2_n_projs)
     fits = new_sliced_width <= max_width + _WIDTH_EPS
-    accept = _accept_walks(ev, lt, u, beta, cfg) & fits
-    keep = (_claim_sequential if claim == 'sequential' else
-            _claim_pairwise)(accept, ev)
+    if accept_rule == 'chained' and _chains_lt(cfg):
+        valid = (ev['b'] != NULL) & (ev['a'] != NULL) & fits
+        accept, keep = _claim_sequential_chained(cfg, u, beta, lt,
+                                                 valid, ev)
+    else:
+        accept = _accept_walks(ev, lt, u, beta, cfg) & fits
+        keep = (_claim_sequential if claim == 'sequential' else
+                _claim_pairwise)(accept, ev)
     S = _apply_walks(S, ev, keep, cfg, dtype, interpret,
                      with_width=True, u=up)
 
@@ -625,11 +705,13 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
 
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'on_block',
-                                       'uniform_log2', 'interpret'))
+                                       'accept_rule', 'uniform_log2',
+                                       'interpret'))
 def run_walks_fw(batch, betas, update_slices_mask, max_width, log2d_w32,
                  skip_wb, cfg: SweepConfig, pos, sparse_wb=None,
                  log2_n_projs=None, *, claim='sequential',
-                 on_block='advance', uniform_log2=None, interpret=None):
+                 on_block='advance', accept_rule='round',
+                 uniform_log2=None, interpret=None):
     """Finite-width chained multi-walk rounds (one per beta).
 
     Width-capped proposals against the shared slice lanes + the
@@ -675,7 +757,7 @@ def run_walks_fw(batch, betas, update_slices_mask, max_width, log2d_w32,
     def step(carry, x):
         beta, upd = x
         return _iter_walks_fw(carry, beta, upd, max_width, log2d_w32,
-                              skip_w, cfg, claim, on_block,
+                              skip_w, cfg, claim, on_block, accept_rule,
                               uniform_log2, sparse_w, log2_n_projs,
                               interpret, fast_slicer=fast_slicer), None
 
@@ -721,11 +803,12 @@ def _batch_specs(batch, axes):
 
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'mesh', 'log2_n_projs',
-                                       'claim', 'on_block',
+                                       'claim', 'on_block', 'accept_rule',
                                        'uniform_log2', 'interpret'))
 def run_walks_sharded(batch, betas, log2d_w32, cfg: SweepConfig, pos,
                       mesh, sparse_wb=None, log2_n_projs=None, *,
                       claim='sequential', on_block='advance',
+                      accept_rule='round',
                       uniform_log2=None, interpret=None, fw_args=None):
     """Replica-sharded chained walks over a ``jax.sharding.Mesh``.
 
@@ -764,6 +847,7 @@ def run_walks_sharded(batch, betas, log2d_w32, cfg: SweepConfig, pos,
             out, m = run_walks(b, betas_, log2d_, cfg, pos_, sp,
                                log2_n_projs, claim=claim,
                                on_block=on_block,
+                               accept_rule=accept_rule,
                                uniform_log2=uniform_log2,
                                interpret=interpret)
         else:
@@ -772,6 +856,7 @@ def run_walks_sharded(batch, betas, log2d_w32, cfg: SweepConfig, pos,
                                   skip_wb_, cfg, pos_, sp,
                                   log2_n_projs, claim=claim,
                                   on_block=on_block,
+                                  accept_rule=accept_rule,
                                   uniform_log2=uniform_log2,
                                   interpret=interpret)
         m = dict(m)

@@ -155,6 +155,24 @@ def _resolve_on_block(on_block, engine: str) -> str:
     return on_block
 
 
+def _resolve_accept_rule(accept_rule, engine: str) -> str:
+    """Acceptance rule for the walk-family engines: 'round' (every walk
+    tests against the pre-round total) or 'chained' (each walk tests
+    against the running total of earlier kept walks — a round becomes
+    an exact sequential Metropolis chain, see
+    sa_multiwalk._claim_chained)."""
+    if accept_rule is None:
+        return 'round'
+    if accept_rule not in ('round', 'chained'):
+        raise ValueError("accept_rule must be 'round' or 'chained', "
+                         f"got {accept_rule!r}.")
+    if accept_rule != 'round' and engine not in ('multiwalk', 'walks'):
+        raise ValueError(f"accept_rule={accept_rule!r} is only supported "
+                         "by the 'multiwalk' and 'walks' engines "
+                         f"(engine={engine!r}).")
+    return accept_rule
+
+
 class ReplicaRunner:
     """Runs a batch of SA replicas (one connected component) on device.
 
@@ -186,6 +204,7 @@ class ReplicaRunner:
                  n_walks: int | None = None,
                  walk_chunk: int = 0,
                  on_block: str | None = None,
+                 accept_rule: str | None = None,
                  dtype=jnp.float32) -> None:
         """``engine``: 'auto' | 'batched' | 'vmapped' | 'native' |
         'multiwalk'.
@@ -295,6 +314,7 @@ class ReplicaRunner:
         self.n_walks = int(n_walks)
         self.walk_chunk = int(walk_chunk)
         self.on_block = _resolve_on_block(on_block, engine)
+        self.accept_rule = _resolve_accept_rule(accept_rule, engine)
 
         if engine == 'native':
             self._init_native(ctrees, seeds)
@@ -464,7 +484,8 @@ class ReplicaRunner:
                     self.log2_n_projs, walk_chunk=self.walk_chunk,
                     uniform_log2=sfs.uniform_log2_dim(
                         self.template.log2_dims_array),
-                    on_block=self.on_block)
+                    on_block=self.on_block,
+                    accept_rule=self.accept_rule)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'walker':
@@ -494,13 +515,15 @@ class ReplicaRunner:
                         self.states, jnp.asarray(chunk), self.log2d_w32,
                         self.cfg, self._mw_pos, self.mesh,
                         self.sparse_wb, self.log2_n_projs,
-                        uniform_log2=ul, on_block=self.on_block)
+                        uniform_log2=ul, on_block=self.on_block,
+                        accept_rule=self.accept_rule)
                 else:
                     self.states, metrics = swk.run_walks(
                         self.states, jnp.asarray(chunk), self.log2d_w32,
                         self.cfg, self._mw_pos, self.sparse_wb,
                         self.log2_n_projs, uniform_log2=ul,
-                        on_block=self.on_block)
+                        on_block=self.on_block,
+                        accept_rule=self.accept_rule)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'sweep':
@@ -621,6 +644,7 @@ class ReplicaRunnerFW:
                  n_walks: int | None = None,
                  walk_chunk: int = 0,
                  on_block: str | None = None,
+                 accept_rule: str | None = None,
                  dtype=jnp.float32) -> None:
         ctrees = list(ctrees)
         seeds = list(seeds)
@@ -695,6 +719,7 @@ class ReplicaRunnerFW:
         self.n_walks = int(n_walks)
         self.walk_chunk = int(walk_chunk)
         self.on_block = _resolve_on_block(on_block, engine)
+        self.accept_rule = _resolve_accept_rule(accept_rule, engine)
 
         if engine == 'native':
             self._init_native_fw(ctrees, seeds)
@@ -888,7 +913,8 @@ class ReplicaRunnerFW:
                     self.log2_n_projs, walk_chunk=self.walk_chunk,
                     uniform_log2=sfs.uniform_log2_dim(
                         self.template.log2_dims_array),
-                    on_block=self.on_block)
+                    on_block=self.on_block,
+                    accept_rule=self.accept_rule)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'walker':
@@ -922,7 +948,8 @@ class ReplicaRunnerFW:
                         self.cfg, self._mw_pos, self.mesh,
                         self.sparse_wb, self.log2_n_projs,
                         uniform_log2=ul, fw_args=fw_args,
-                        on_block=self.on_block)
+                        on_block=self.on_block,
+                        accept_rule=self.accept_rule)
                 else:
                     self.states, metrics = swk.run_walks_fw(
                         self.states, jnp.asarray(chunk),
@@ -930,7 +957,8 @@ class ReplicaRunnerFW:
                         self.log2d_w32, self.skip_lanes, self.cfg,
                         self._mw_pos, self.sparse_wb,
                         self.log2_n_projs, uniform_log2=ul,
-                        on_block=self.on_block)
+                        on_block=self.on_block,
+                        accept_rule=self.accept_rule)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'sweep':
