@@ -1,0 +1,73 @@
+"""Summarize the round-4 quality matrix: per-seed medians over reps.
+
+Reads QUALITY_r4.jsonl (+ optionally the r3/r2 single cells as extra
+draws) and prints one row per (config, seed): device median/min over
+reps vs the CPU-arm median and the reference arm.
+
+Usage::
+
+    python -m benchmarks.summarize_r4 [--in benchmarks/results/...jsonl]
+"""
+
+import argparse
+import json
+import statistics
+from collections import defaultdict
+
+
+def load(paths):
+    cells = []
+    for path in paths:
+        try:
+            with open(path) as f:
+                for line in f:
+                    cells.append(json.loads(line))
+        except OSError:
+            pass
+    return cells
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--in', dest='inputs', action='append', default=None)
+    ap.add_argument('--flagged', action='store_true',
+                    help='include per-rep raw values')
+    args = ap.parse_args()
+    inputs = args.inputs or ['benchmarks/results/QUALITY_r4.jsonl']
+
+    by = defaultdict(lambda: defaultdict(list))
+    for c in load(inputs):
+        key = (c['config'], c['seed'])
+        arm = c.get('arm')
+        val = {'dev': c.get('tpu_best_log2_flops'),
+               'cpu': c.get('cpu_best_log2_flops'),
+               'ref': c.get('ref_best_log2_flops')}.get(arm)
+        if val is not None:
+            by[key][arm].append(float(val))
+
+    print(f"{'config(seed)':<18} {'dev med':>8} {'dev min':>8} "
+          f"{'cpu med':>8} {'ref':>8}  reps")
+    for key in sorted(by):
+        arms = by[key]
+        dev, cpu, ref = arms.get('dev', []), arms.get('cpu', []), \
+            arms.get('ref', [])
+        row = (f"{key[0] + f'({key[1]})':<18} "
+               f"{statistics.median(dev):8.3f} {min(dev):8.3f} "
+               if dev else f"{key[0] + f'({key[1]})':<18} "
+               f"{'—':>8} {'—':>8} ")
+        row += (f"{statistics.median(cpu):8.3f} " if cpu
+                else f"{'—':>8} ")
+        row += (f"{statistics.median(ref):8.3f} " if ref
+                else f"{'—':>8} ")
+        row += f" d{len(dev)}/c{len(cpu)}/r{len(ref)}"
+        print(row)
+        if args.flagged:
+            for arm_name, vals in (('dev', dev), ('cpu', cpu),
+                                   ('ref', ref)):
+                if vals:
+                    print(f"    {arm_name}: "
+                          + ' '.join(f'{v:.3f}' for v in sorted(vals)))
+
+
+if __name__ == '__main__':
+    main()
