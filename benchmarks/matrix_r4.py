@@ -46,8 +46,14 @@ def _phases():
            ('ref', 'sycamore', 3, 0, {})]
     held1 = [(ph, c, 1, 0, {}) for c in ('lattice', 'regular3', 'qaoa')
              for ph in ('dev', 'cpu', 'ref')]
+    # VERDICT r3 item 3: is P=128 (4.3x the proposal rate, applied/s
+    # bar met — FW_SCALE_PROBE_r4.jsonl) non-inferior to P=32 at
+    # 300 s?  Repeated cells at two seeds, same median protocol.
+    p128 = dict(FW_OP, n_walks=128)
+    fw_p128 = [('dev', 'sycamore_fw', s, rep, dict(p128))
+               for s in (0, 2) for rep in (0, 1, 2)]
     return {'fw_dev': fw_dev, 'fw_cpu': fw_cpu, 'im3': im3,
-            'held1': held1}
+            'held1': held1, 'fw_p128': fw_p128}
 
 
 def run_cell(ph, config, seed, rep, kw, seconds):
@@ -70,6 +76,7 @@ def run_cell(ph, config, seed, rep, kw, seconds):
     res['arm'] = ph
     res['seed'] = seed
     res['rep'] = rep
+    res['cell_kw'] = kw
     res['wall_s'] = time.time() - t0
     return res
 

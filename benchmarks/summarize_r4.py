@@ -37,7 +37,11 @@ def main() -> None:
 
     by = defaultdict(lambda: defaultdict(list))
     for c in load(inputs):
-        key = (c['config'], c['seed'])
+        label = c['config']
+        n_walks = (c.get('cell_kw') or {}).get('n_walks')
+        if label == 'sycamore_fw' and n_walks not in (None, 32):
+            label += f':P{n_walks}'
+        key = (label, c['seed'])
         arm = c.get('arm')
         val = {'dev': c.get('tpu_best_log2_flops'),
                'cpu': c.get('cpu_best_log2_flops'),
