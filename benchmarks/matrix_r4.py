@@ -104,8 +104,14 @@ def main() -> None:
             parts = item.strip().split(':')
             ph, config, seed = parts[0], parts[1], int(parts[2])
             rep = int(parts[3]) if len(parts) > 3 else 0
-            kw = dict(FW_OP) if (ph == 'dev' and config == 'sycamore_fw') \
-                else (dict(CPU_KW.get(config, {})) if ph == 'cpu' else {})
+            if ph == 'p128':  # fw_p128 phase cells (VERDICT r3 item 3)
+                ph, kw = 'dev', dict(FW_OP, n_walks=128)
+            elif ph == 'dev' and config == 'sycamore_fw':
+                kw = dict(FW_OP)
+            elif ph == 'cpu':
+                kw = dict(CPU_KW.get(config, {}))
+            else:
+                kw = {}
             todo.append((ph, config, seed, rep, kw))
     else:
         for phase in (args.phase or 'fw_dev').split(','):

@@ -32,10 +32,17 @@ def main() -> None:
     ap.add_argument('--in', dest='inputs', action='append', default=None)
     ap.add_argument('--flagged', action='store_true',
                     help='include per-rep raw values')
+    ap.add_argument('--max-overrun', type=float, default=1.2,
+                    help='exclude device cells whose tpu_time_s '
+                         'exceeded the budget by this factor '
+                         '(tunnel/worker stalls mid-cell violate the '
+                         'fixed-budget protocol); they are listed '
+                         'separately, not silently dropped')
     args = ap.parse_args()
     inputs = args.inputs or ['benchmarks/results/QUALITY_r4.jsonl']
 
     by = defaultdict(lambda: defaultdict(list))
+    excluded = []
     for c in load(inputs):
         label = c['config']
         n_walks = (c.get('cell_kw') or {}).get('n_walks')
@@ -46,8 +53,15 @@ def main() -> None:
         val = {'dev': c.get('tpu_best_log2_flops'),
                'cpu': c.get('cpu_best_log2_flops'),
                'ref': c.get('ref_best_log2_flops')}.get(arm)
-        if val is not None:
-            by[key][arm].append(float(val))
+        if val is None:
+            continue
+        budget, spent = c.get('seconds'), c.get('tpu_time_s')
+        if (arm == 'dev' and budget and spent
+                and spent > args.max_overrun * budget):
+            excluded.append((key, arm, c.get('rep'), float(val),
+                             spent, budget))
+            continue
+        by[key][arm].append(float(val))
 
     print(f"{'config(seed)':<18} {'dev med':>8} {'dev min':>8} "
           f"{'cpu med':>8} {'ref':>8}  reps")
@@ -71,6 +85,10 @@ def main() -> None:
                 if vals:
                     print(f"    {arm_name}: "
                           + ' '.join(f'{v:.3f}' for v in sorted(vals)))
+    for key, arm, rep, val, spent, budget in excluded:
+        print(f"EXCLUDED {key[0]}({key[1]}) {arm} rep{rep} "
+              f"{val:.3f}: tpu_time_s {spent:.0f} on a "
+              f"{budget:.0f} s budget (mid-cell stall)")
 
 
 if __name__ == '__main__':
