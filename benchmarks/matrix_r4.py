@@ -22,9 +22,11 @@ import json
 import os
 import time
 
-# Product defaults everywhere (engine='auto' must deliver the wins);
-# the sycamore_fw cells pin the defended operating point, which is
-# what 'auto' resolves to (kept explicit for the record).
+# Product defaults everywhere (engine='auto' must deliver the wins).
+# FW_OP pins the round-2/3 P=32 operating point for continuity with
+# those rounds' cells; the fw_p128 phase measures the P=128 point that
+# became the product default ('auto' now resolves n_walks=128 for
+# walks-FW) after this matrix showed its medians win where P=32 loses.
 FW_OP = {'n_tpu_replicas': 64, 'n_walks': 32, 'update_slices': 2}
 
 CPU_KW = {

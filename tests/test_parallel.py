@@ -413,9 +413,9 @@ def test_walker_exchange_and_accessors(rng, random_seed):
 
 def test_auto_routing(monkeypatch):
     """'auto' routes large networks to the device walk engines when an
-    accelerator is present (the round-2 quality winners: walker for IM,
-    walks at P=32 for FW — docs/QUALITY.md), and to the native CPU
-    engine otherwise."""
+    accelerator is present (the quality winners: walker for IM, walks
+    at P=128 for FW per the round-4 repeated-cell matrix —
+    docs/QUALITY.md), and to the native CPU engine otherwise."""
     from tnco_tpu import native
     from tnco_tpu.optimize.finite_width import (SimpleCostModel as
                                                 SimpleCostModelFW)
@@ -439,7 +439,7 @@ def test_auto_routing(monkeypatch):
     rfw = ReplicaRunnerFW([ctree], [0],
                           cmodel=SimpleCostModelFW(max_width=30))
     assert rfw.engine == 'walks'
-    assert rfw.n_walks == 32
+    assert rfw.n_walks == 128  # round-4 FW operating point
 
     monkeypatch.setattr(replicas, '_accel_available', lambda: False)
     if native.available():

@@ -132,12 +132,17 @@ def _accel_available() -> bool:
         return False
 
 
-def _resolve_walks(engine: str, n_walks) -> int:
-    """Per-engine default walk count (the defended operating points:
-    docs/QUALITY.md round-2/3 — walker IM at P=8, walks FW at P=32)."""
+def _resolve_walks(engine: str, n_walks, fw: bool = False) -> int:
+    """Per-engine default walk count (the defended operating points,
+    docs/QUALITY.md: walker IM at P=8; walks FW at P=128 — the round-4
+    repeated-cell matrix shows P=128 per-seed medians beat both the
+    P=32 medians and the CPU arm on the seeds where P=32 loses, at
+    4.3x the proposal rate; walks IM keeps P=32, untested at 128)."""
     if n_walks is not None:
         return int(n_walks)
-    return 32 if engine == 'walks' else 8
+    if engine == 'walks':
+        return 128 if fw else 32
+    return 8
 
 
 def _resolve_on_block(on_block, engine: str) -> str:
@@ -679,10 +684,11 @@ class ReplicaRunnerFW:
                   max_number_new_slices == 0 and
                   prob_kind in (None, 'mh')):
                 # Large width-capped networks on a device: the chained
-                # 'walks' engine at P=32 is the device FW winner on the
-                # corrected protocol (docs/QUALITY.md: Sycamore-FW
-                # 300 s 63.805/63.848 vs fixed CPU 63.915/64.059 and
-                # reference 64.358/65.157).
+                # 'walks' engine is the device FW winner; the round-4
+                # repeated-cell matrix moved its default operating
+                # point to P=128 (per-seed 300 s medians 63.46-63.55
+                # beat the CPU arm's 63.97-64.04 on the seeds where
+                # P=32 loses by 2.4-4.2 bits — docs/QUALITY.md).
                 engine = 'walks'
             elif (native.available() and self.sparse_lanes is None and
                   not disable_shared_inds and prob_kind in (None, 'mh')):
@@ -699,7 +705,7 @@ class ReplicaRunnerFW:
                 "cannot partition over a mesh).  Use engine='walks' "
                 "(shard_map path, same chained-walk semantics) or drop "
                 "the mesh.")
-        n_walks = _resolve_walks(engine, n_walks)
+        n_walks = _resolve_walks(engine, n_walks, fw=True)
         if prob_kind is None:
             prob_kind = 'mh_local' if engine == 'sweep' else 'mh'
         if prob_kind == 'mh_local' and engine not in ('sweep', 'walks'):
