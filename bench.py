@@ -10,13 +10,16 @@ import os
 import time
 
 # Persistent compilation cache: makes repeated bench runs start fast.
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+os.environ.setdefault('TNCO_TPU_COMPILE_CACHE',
                       os.path.join(os.path.dirname(__file__) or '.',
                                    '.jax_cache'))
 
 
 def main() -> None:
     import jax
+
+    from tnco_tpu.utils import compile_cache
+    compile_cache.enable()
     import jax.numpy as jnp
     import numpy as np
 

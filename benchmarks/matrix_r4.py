@@ -88,6 +88,8 @@ def main() -> None:
     if platform:
         import jax
         jax.config.update('jax_platforms', platform)
+    from benchmarks.quality import _enable_cache
+    _enable_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument('--phase', default=None,
                     help='comma list of fw_dev,fw_cpu,im3,held1')

@@ -17,6 +17,18 @@ import time
 import numpy as np
 
 
+def _enable_cache() -> None:
+    """Repo-local persistent compile cache for every benchmark cell
+    (VERDICT r4 item 4: fresh-process walk-engine compiles cost minutes;
+    the cache makes only the first process pay)."""
+    from tnco_tpu.utils import compile_cache
+    os.environ.setdefault(
+        'TNCO_TPU_COMPILE_CACHE',
+        os.path.join(os.path.dirname(os.path.dirname(__file__)) or '.',
+                     '.jax_cache'))
+    compile_cache.enable()
+
+
 def run_quality(name: str, seconds: float, seed: int = 0,
                 n_tpu_replicas: int | None = None,
                 n_cpu_replicas: int = 256,
@@ -423,6 +435,7 @@ def main() -> None:
     if platform:
         import jax
         jax.config.update('jax_platforms', platform)
+    _enable_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument('--config', default='lattice')
     parser.add_argument('--seconds', type=float, default=30.0)

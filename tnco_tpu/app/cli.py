@@ -97,6 +97,12 @@ def main(argv=None) -> int:
         import jax
         jax.config.update('jax_platforms', platform)
 
+    # Persistent compilation cache: the large-network walk engines cost
+    # minutes of XLA compile time per fresh process without it (VERDICT
+    # r4 item 4).  TNCO_TPU_COMPILE_CACHE=0 disables.
+    from tnco_tpu.utils import compile_cache
+    compile_cache.enable()
+
     if argv is None:
         argv = sys.argv[1:]
     # Reference-CLI compatibility: python-fire accepts underscore flags
