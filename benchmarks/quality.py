@@ -33,6 +33,10 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                 n_tpu_replicas: int | None = None,
                 n_cpu_replicas: int = 256,
                 exchange_every: int | None = None,
+                exchange_islands: int | None = None,
+                kick: bool | None = None,
+                kick_window: int = 60,
+                kick_delta: float = 0.1,
                 engine: str = 'auto',
                 n_walks: int | None = None,
                 walk_chunk: int = 0,
@@ -61,6 +65,9 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                                seconds, seed, n_tpu_replicas,
                                n_cpu_replicas, engine, n_walks, walk_chunk,
                                exchange_every=exchange_every,
+                               exchange_islands=exchange_islands,
+                               kick=kick, kick_window=kick_window,
+                               kick_delta=kick_delta,
                                tpu_beta_max=tpu_beta_max,
                                update_slices=update_slices,
                                on_block=on_block,
@@ -245,6 +252,10 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                     engine: str = 'auto', n_walks: int | None = None,
                     walk_chunk: int = 0,
                     exchange_every: int | None = None,
+                    exchange_islands: int | None = None,
+                    kick: bool | None = None,
+                    kick_window: int = 60,
+                    kick_delta: float = 0.1,
                     tpu_beta_max: float | None = None,
                     update_slices: int | None = None,
                     on_block: str | None = None,
@@ -294,6 +305,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
     tpu_curve = []
     tpu_setup = None
     ladder = None
+    kicker = None
+    tpu_diag = []
     if n_tpu_replicas:
         setup_t0 = time.perf_counter()
         ctrees = [tree(r) for r in range(n_tpu_replicas)]
@@ -307,6 +320,15 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         tpu_engine = runner.engine
         if exchange_every is None:
             exchange_every = 4 if runner.engine in _LANE_MAJOR else 0
+        # Round-5 product defaults on the FW walk-family path: island
+        # exchange (B//16 islands) + the stall kicker — the fix for the
+        # whole-population collapse mode (docs/QUALITY.md round-5).
+        walk_family = runner.engine in ('multiwalk', 'walker', 'walks')
+        if exchange_islands is None:
+            exchange_islands = (max(1, n_tpu_replicas // 16)
+                                if walk_family else 1)
+        if kick is None:
+            kick = walk_family and runner.states is not None
         if update_slices is None:
             # Walk-family engines count the cadence in iterations (the
             # defended point is 2); sweep-count engines keep the
@@ -328,6 +350,14 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         runner.moves_done = 0
         runner.applied_done = None
         tpu_setup = time.perf_counter() - setup_t0
+        if kick and exchange_islands >= 1 and \
+                n_tpu_replicas % exchange_islands == 0:
+            from tnco_tpu.parallel.stall import IslandStallKicker
+            kicker = IslandStallKicker(runner, exchange_islands,
+                                       window_chunks=kick_window,
+                                       min_delta=kick_delta,
+                                       seed=seed + run_seed_offset)
+        prev_slices = None
         t0 = time.perf_counter()
         n_calls = 0
         while True:
@@ -345,15 +375,41 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
             n_calls += 1
             if ladder is not None:
                 ladder.swap(np.asarray(runner.states.log2_total))
+            if kicker is not None:
+                kicker.observe(n_calls, frac0)
             # See the IM arm: in-run exchange cadences never fire with
             # single-chunk calls, so exchange between calls.
             if (exchange_every and runner.states is not None and
                     n_calls % exchange_every == 0):
                 from tnco_tpu.parallel.replicas import exchange_best_fw
                 if runner.engine in _LANE_MAJOR:
-                    runner.states = exchange_best_fw(runner.states)
+                    runner.states = exchange_best_fw(
+                        runner.states, islands=exchange_islands,
+                        active=(None if kicker is None else
+                                kicker.exchange_active(n_calls)))
             tpu_curve.append([int(runner.moves_done),
                               float(np.min(runner.log2_min_totals()))])
+            # Per-chunk diagnostics (cheap pulls; the round-5 stuck-mode
+            # instrumentation): per-island best-so-far, current-total
+            # spread, applied count, slice-set churn, kick count.
+            if runner.states is not None and exchange_islands >= 1 and \
+                    n_tpu_replicas % exchange_islands == 0:
+                mins = np.asarray(runner.log2_min_totals())
+                lt_cur = np.asarray(runner.states.log2_total)
+                im = mins.reshape(exchange_islands, -1).min(axis=1)
+                sl = np.asarray(runner.states.slices)
+                churn = (int(np.bitwise_count(sl ^ prev_slices).sum())
+                         if prev_slices is not None else 0)
+                prev_slices = sl
+                tpu_diag.append({
+                    't': round(time.perf_counter() - t0, 2),
+                    'im': [round(float(x), 3) for x in im],
+                    'lq': [round(float(lt_cur.min()), 3),
+                           round(float(np.median(lt_cur)), 3)],
+                    'ap': int(runner.applied_done or 0),
+                    'sc': churn,
+                    'kk': 0 if kicker is None else len(kicker.kicks),
+                })
         tpu_time = time.perf_counter() - t0
         tpu_best = float(np.min(runner.log2_min_totals()))
         tpu_moves = runner.moves_done
@@ -418,6 +474,10 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         'tpu_time_s': tpu_time,
         'tpu_setup_s': tpu_setup,
         'tpu_curve': tpu_curve,
+        'tpu_islands': (exchange_islands if n_tpu_replicas else None),
+        'tpu_kicks': (None if not n_tpu_replicas or kicker is None
+                      else kicker.kicks),
+        'tpu_diag': (tpu_diag if n_tpu_replicas else None),
         'tempering_swap_rate': (None if ladder is None else
                                 ladder.swap_rate),
         'cpu_replicas': n_cpu_replicas,
@@ -449,6 +509,21 @@ def main() -> None:
                              'independent runs; default: 4 on device '
                              'engines — the defended flagship cadence '
                              '— else 0).')
+    parser.add_argument('--exchange-islands', type=int, default=None,
+                        help='Exchange topology: N independent islands '
+                             '(FW walk engines default to B//16 — the '
+                             'round-5 collapse fix; 1 = whole '
+                             'population).')
+    parser.add_argument('--kick', dest='kick', default=None,
+                        action='store_true',
+                        help='Island stall kicker (FW walk engines: '
+                             'default on; --no-kick disables).')
+    parser.add_argument('--no-kick', dest='kick', action='store_false')
+    parser.add_argument('--kick-window', type=int, default=60,
+                        help='Stall window in chunks before a kick.')
+    parser.add_argument('--kick-delta', type=float, default=0.1,
+                        help='Minimum bits of island improvement that '
+                             'resets the stall window.')
     parser.add_argument('--engine', default='auto',
                         help="'auto' | 'batched' | 'vmapped' | 'native' "
                              "| 'multiwalk' | 'walker' | 'sweep' "
@@ -486,6 +561,9 @@ def main() -> None:
     res = run_quality(args.config, args.seconds, args.seed,
                       args.tpu_replicas, args.cpu_replicas,
                       exchange_every=args.exchange_every,
+                      exchange_islands=args.exchange_islands,
+                      kick=args.kick, kick_window=args.kick_window,
+                      kick_delta=args.kick_delta,
                       engine=args.engine, n_walks=args.n_walks,
                       walk_chunk=args.walk_chunk,
                       tpu_beta_max=args.tpu_beta_max,

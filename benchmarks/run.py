@@ -31,6 +31,11 @@ def build_config(name: str, seed: int = 0):
         return networks.random_regular(150, 3, 2, seed), None
     if name == 'qaoa':
         return networks.qaoa_tn(26, 4, seed), 30.0  # max_width 2^30
+    if name == 'lattice_fw':
+        # Tiny width-capped config for driver tests (not a BASELINE.md
+        # row): 4x4 lattice under a 2^3 cap exercises the FW protocol
+        # end-to-end in seconds on CPU.
+        return networks.lattice_2d(4, 4), 3.0
     if name == 'sycamore':
         return networks.sycamore_like_tn(20, seed), None
     if name == 'sycamore_fw':

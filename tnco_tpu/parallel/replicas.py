@@ -427,6 +427,7 @@ class ReplicaRunner:
             callback=None,
             exchange_every: int = 0,
             exchange_fraction: float = 0.25,
+            exchange_islands: int = 1,
             exchange_axes=None) -> dict:
         """Runs one sweep per beta, in fixed-size jitted chunks.
 
@@ -560,7 +561,8 @@ class ReplicaRunner:
                         exchange_fraction)
                 else:
                     self.states = exchange_best(self.states,
-                                                exchange_fraction)
+                                                exchange_fraction,
+                                                exchange_islands)
             if callback is not None:
                 callback({
                     'progress': min(pos, n) / n,
@@ -867,6 +869,7 @@ class ReplicaRunnerFW:
             callback=None,
             exchange_every: int = 0,
             exchange_fraction: float = 0.25,
+            exchange_islands: int = 1,
             exchange_axes=None) -> dict:
         if exchange_every and self.engine not in _LANE_MAJOR:
             from warnings import warn
@@ -998,7 +1001,8 @@ class ReplicaRunnerFW:
                         exchange_fraction)
                 else:
                     self.states = exchange_best_fw(self.states,
-                                                   exchange_fraction)
+                                                   exchange_fraction,
+                                                   exchange_islands)
             if callback is not None:
                 callback({
                     'progress': min(pos, n) / n,
@@ -1068,8 +1072,59 @@ class ReplicaRunnerFW:
         return np.asarray(self.states.min_log2_total)
 
 
-def exchange_best(states: 'sb.SABatch', fraction: float = 0.25
-                  ) -> 'sb.SABatch':
+def _island_exchange_plan(lt, fraction: float, islands: int, active):
+    """Shared worst-lane/source computation for the exchange operators.
+
+    With ``islands=G`` the replica axis splits into G equal contiguous
+    groups and the best/worst selection runs PER GROUP: intensification
+    stays within an island while the population keeps G independent
+    chances of landing in a good basin.  Round 4 showed the
+    whole-population topology has a ~1/3 collapse mode on the FW
+    flagship (every lane absorbed into a ~68.3 attractor before any
+    finds <68 — docs/QUALITY.md round-5 diagnosis); islands bound that
+    risk at ~(1/3)^G while each island keeps the measured
+    exchange-cadence-4 intensification.
+
+    ``active`` (optional ``bool[G]``) gates exchange per island — the
+    stall kicker suspends a freshly-kicked island so its re-diversified
+    lanes are not immediately overwritten by the island best.
+
+    Returns ``(worst_mask[B], src_idx[G], best_val[G])``.
+    """
+    b = lt.shape[0]
+    g = max(1, int(islands))
+    if b % g:
+        raise ValueError(f"islands={g} must divide the replica count "
+                         f"{b}.")
+    bg = b // g
+    k = max(1, int(bg * fraction))
+    lt2 = lt.reshape(g, bg)
+    best = jnp.argmin(lt2, axis=1)                           # [G]
+    best_val = jnp.take_along_axis(lt2, best[:, None], axis=1)
+    # Worst-k mask by cost threshold; lanes already tied with their
+    # island best keep their (structurally distinct) trees, matching
+    # the sharded exchange's guard.
+    thresh = jnp.sort(lt2, axis=1)[:, bg - k]
+    worst2 = (lt2 >= thresh[:, None]) & (lt2 > best_val)
+    if active is not None:
+        worst2 = worst2 & jnp.asarray(active).reshape(g, 1)
+    return worst2.reshape(b), best, best_val
+
+
+def _island_mix(cur, worst, best, g):
+    """Copies each island's best lane into its worst lanes (replica
+    axis LAST)."""
+    b = cur.shape[-1]
+    lead = cur.shape[:-1]
+    cur2 = cur.reshape(lead + (g, b // g))
+    idx = best.reshape((1,) * len(lead) + (g, 1))
+    src = jnp.take_along_axis(cur2, idx, axis=-1)
+    mask = worst.reshape((1,) * len(lead) + (g, b // g))
+    return jnp.where(mask, src, cur2).reshape(cur.shape)
+
+
+def exchange_best(states: 'sb.SABatch', fraction: float = 0.25,
+                  islands: int = 1, active=None) -> 'sb.SABatch':
     """Population exchange: restart the worst lanes from the best tree.
 
     Between annealing chunks, replaces the *current* tree of the worst
@@ -1077,31 +1132,22 @@ def exchange_best(states: 'sb.SABatch', fraction: float = 0.25
     replica's current tree; min snapshots are untouched.  This is the
     replica-batch upgrade of the reference's fully-independent runs — on a
     mesh the argmin/broadcast ride ICI collectives.  Lane-major batches
-    only.
+    only.  ``islands``/``active``: per-group topology, see
+    :func:`_island_exchange_plan`.
     """
-    import jax.numpy as jnp
-
     lt = states.log2_total
-    b = lt.shape[0]
-    k = max(1, int(b * fraction))
-    best = jnp.argmin(lt)
-    # Worst-k mask by cost threshold; lanes already tied with the best
-    # keep their (structurally distinct) trees, matching the sharded
-    # exchange's guard.
-    thresh = jnp.sort(lt)[b - k]
-    worst = (lt >= thresh) & (lt > lt[best])
+    g = max(1, int(islands))
+    worst, best, best_val = _island_exchange_plan(lt, fraction, g, active)
 
-    def mix(cur, axis):
-        if axis == -1:
-            src = jnp.take(cur, best, axis=-1)[..., None]
-            mask = worst.reshape((1,) * (cur.ndim - 1) + (b,))
-            return jnp.where(mask, src, cur)
-        return cur
+    def mix(cur):
+        return _island_mix(cur, worst, best, g)
 
+    lt_best = jnp.broadcast_to(best_val,
+                               (g, lt.shape[0] // g)).reshape(-1)
     return sb.SABatch(
-        mix(states.c0, -1), mix(states.c1, -1), mix(states.par, -1),
-        mix(states.inds, -1), mix(states.hyper, -1), mix(states.lcc, -1),
-        jnp.where(worst, lt[best], lt), states.min_log2_total,
+        mix(states.c0), mix(states.c1), mix(states.par),
+        mix(states.inds), mix(states.hyper), mix(states.lcc),
+        jnp.where(worst, lt_best, lt), states.min_log2_total,
         states.min_c0, states.min_c1, states.min_par, states.min_inds,
         states.keys)
 
@@ -1187,31 +1233,29 @@ def exchange_best_sharded(states: 'sb.SABatch', mesh, axis_names=None,
                       states.min_par, states.min_inds, states.keys)
 
 
-def exchange_best_fw(states: 'sfb.SABatchFW', fraction: float = 0.25
-                     ) -> 'sfb.SABatchFW':
+def exchange_best_fw(states: 'sfb.SABatchFW', fraction: float = 0.25,
+                     islands: int = 1, active=None) -> 'sfb.SABatchFW':
     """Finite-width population exchange (slices travel with the tree).
 
     Same contract as :func:`exchange_best`: the worst ``fraction`` of
     lanes (by current total cost) restart from the best lane's current
     tree *and slice set*; lanes tied with the best keep their trees; min
-    snapshots and PRNG keys are untouched.
+    snapshots and PRNG keys are untouched.  ``islands``/``active``:
+    per-group topology, see :func:`_island_exchange_plan`.
     """
     lt = states.log2_total
-    b = lt.shape[0]
-    k = max(1, int(b * fraction))
-    best = jnp.argmin(lt)
-    thresh = jnp.sort(lt)[b - k]
-    worst = (lt >= thresh) & (lt > lt[best])
+    g = max(1, int(islands))
+    worst, best, best_val = _island_exchange_plan(lt, fraction, g, active)
 
     def mix(cur):
-        src = jnp.take(cur, best, axis=-1)[..., None]
-        mask = worst.reshape((1,) * (cur.ndim - 1) + (b,))
-        return jnp.where(mask, src, cur)
+        return _island_mix(cur, worst, best, g)
 
+    lt_best = jnp.broadcast_to(best_val,
+                               (g, lt.shape[0] // g)).reshape(-1)
     return sfb.SABatchFW(
         mix(states.c0), mix(states.c1), mix(states.par), mix(states.inds),
         mix(states.hyper), mix(states.lcc), mix(states.width),
-        mix(states.slices), jnp.where(worst, lt[best], lt),
+        mix(states.slices), jnp.where(worst, lt_best, lt),
         states.min_log2_total, states.min_c0, states.min_c1,
         states.min_par, states.min_inds, states.min_slices, states.keys)
 
@@ -1290,3 +1334,131 @@ def exchange_best_fw_sharded(states: 'sfb.SABatchFW', mesh,
         c0, c1, par, inds, hyper, lcc, width, slices, lt,
         states.min_log2_total, states.min_c0, states.min_c1,
         states.min_par, states.min_inds, states.min_slices, states.keys)
+
+
+def kick_lanes_fw(runner: 'ReplicaRunnerFW', lanes, src: int,
+                  seed: int) -> None:
+    """Slice-kick: restart ``lanes`` from ``src``'s current tree with
+    FORCED fresh slice sets and fresh PRNG streams.
+
+    The FW stuck mode (docs/QUALITY.md round-5 diagnosis) is a joint
+    tree+slice attractor the in-kernel reslice cannot leave: reslice is
+    keep-iff-better (reference finite_width/greedy/optimizer.hpp:359-376
+    semantics), so a slice set that must get temporarily WORSE to
+    unlock blocked tree moves is never adopted.  This operator breaks
+    the gate from outside the kernels, between annealing chunks: each
+    kicked lane gets the source lane's current tree, an UNGATED fresh
+    greedy slice draw (host slicer, per-lane jitter — the same
+    initializer used at batch init), a fresh counter-based key, and a
+    restarted walk position.  Min snapshots are untouched, so the
+    reported best can never regress; per-lane trajectories of
+    non-kicked lanes are bitwise unaffected (pure column mixing).
+
+    Lane-major (``_LANE_MAJOR``) single-mesh runners only; cheap
+    (one [N, W] pull + a few column writes) and rare — drive it from
+    :class:`tnco_tpu.parallel.stall.IslandStallKicker`.
+    """
+    from random import Random
+
+    if runner.engine not in _LANE_MAJOR or runner.states is None:
+        raise ValueError("kick_lanes_fw needs a lane-major device "
+                         f"engine (engine={runner.engine!r}).")
+    s = runner.states
+    b = int(s.log2_total.shape[0])
+    lanes = np.asarray(sorted(set(int(x) for x in lanes)), dtype=np.int64)
+    if lanes.size == 0:
+        return
+    mask = np.zeros(b, dtype=bool)
+    mask[lanes] = True
+    mask_j = jnp.asarray(mask)
+    src = int(src)
+
+    def mix(cur):
+        srcv = jnp.take(cur, src, axis=-1)[..., None]
+        m = mask_j.reshape((1,) * (cur.ndim - 1) + (b,))
+        return jnp.where(m, srcv, cur)
+
+    # Host side: fresh greedy slice sets for the SOURCE tree, one
+    # independent draw per kicked lane, and the (tree, slices)
+    # slice-aware costs — the same recipe as sfb.init_batch_fw (the
+    # engines recompute their own pinned totals at entry, so host
+    # float64 values only need to rank correctly for exchange).
+    inds_src = np.asarray(s.inds[..., src])                  # [N, W]
+    c0_src = np.asarray(s.c0[:, src])
+    c1_src = np.asarray(s.c1[:, src])
+    n, w = inds_src.shape
+    log2d = np.asarray(runner.log2d, dtype=np.float64)       # [w*32]
+    mw = float(runner.max_width)
+    shifts = np.arange(32, dtype=np.uint32)
+
+    def expand(lanes_u32):  # [..., w] -> bool [..., w*32]
+        bits = (lanes_u32[..., :, None] >> shifts) & 1
+        return bits.astype(bool).reshape(*lanes_u32.shape[:-1], w * 32)
+
+    skip_np = np.asarray(runner.skip_lanes, dtype=np.uint32)
+    skip_bits = expand(skip_np) if skip_np.any() else None
+    sparse_bits = None
+    log2_n_projs = runner.log2_n_projs
+    if runner.sparse_lanes is not None:
+        sparse_bits = expand(np.asarray(runner.sparse_lanes,
+                                        dtype=np.uint32))
+
+    def width_of(bits):
+        if sparse_bits is None:
+            return bits @ log2d
+        return ((bits & ~sparse_bits) @ log2d +
+                np.minimum((bits & sparse_bits) @ log2d,
+                           float(log2_n_projs)))
+
+    k = lanes.size
+    new_slices = np.empty((w, k), dtype=np.uint32)
+    for j, lane in enumerate(lanes):
+        new_slices[:, j] = saf.greedy_slices_host(
+            inds_src, log2d, mw, Random((seed * 1000003 + int(lane))
+                                        & 0x7FFFFFFF),
+            skip_bits=skip_bits, sparse_bits=sparse_bits,
+            log2_n_projs=log2_n_projs)
+
+    internal = c0_src >= 0
+    gather = np.take_along_axis
+    inds_c0 = gather(inds_src, np.where(internal, c0_src, 0)[:, None],
+                     axis=0)
+    inds_c1 = gather(inds_src, np.where(internal, c1_src, 0)[:, None],
+                     axis=0)
+    dtype = np.asarray(s.lcc).dtype
+    n_leaves = runner.template.n_leaves
+    new_lcc = np.empty((n, k), dtype=np.float64)
+    new_lt = np.empty(k, dtype=np.float64)
+    for j in range(k):
+        union = expand(inds_c0 | inds_c1 | new_slices[None, :, j])
+        lcc_j = np.where(internal, width_of(union), -np.inf)
+        new_lcc[:, j] = lcc_j
+        tail = lcc_j[n_leaves:]
+        if tail.size:
+            m = tail.max()
+            new_lt[j] = m + np.log2(np.exp2(tail - m).sum())
+        else:
+            new_lt[j] = -np.inf
+
+    # Fresh keys: PRNGKey(seed')-split-once, the init_batch_fw key
+    # discipline, with a per-(kick, lane) counter-derived seed.
+    seeds_new = np.asarray(
+        [(seed * 2654435761 + 7919 * int(lane)) & 0xFFFFFFFF
+         for lane in lanes], dtype=np.uint32)
+    keys0 = jnp.stack([jnp.zeros_like(jnp.asarray(seeds_new)),
+                       jnp.asarray(seeds_new)], axis=1)
+    keys_new = jax.vmap(lambda kk: jax.random.split(kk)[0])(keys0)
+
+    lanes_j = jnp.asarray(lanes)
+    runner.states = sfb.SABatchFW(
+        mix(s.c0), mix(s.c1), mix(s.par), mix(s.inds), mix(s.hyper),
+        s.lcc.at[:, lanes_j].set(jnp.asarray(new_lcc.astype(dtype))),
+        mix(s.width),
+        s.slices.at[:, lanes_j].set(jnp.asarray(new_slices)),
+        s.log2_total.at[lanes_j].set(
+            jnp.asarray(new_lt.astype(dtype))),
+        s.min_log2_total, s.min_c0, s.min_c1, s.min_par, s.min_inds,
+        s.min_slices, s.keys.at[lanes_j].set(keys_new))
+    if runner._mw_pos is not None:
+        runner._mw_pos = jnp.where(mask_j[None, :], jnp.int32(-1),
+                                   runner._mw_pos)
