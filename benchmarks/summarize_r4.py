@@ -69,6 +69,13 @@ def main() -> None:
         arms = by[key]
         dev, cpu, ref = arms.get('dev', []), arms.get('cpu', []), \
             arms.get('ref', [])
+        # ':P<n>' device variants share the base config's CPU/ref
+        # baselines (ADVICE r4 #3: the P=128 rows printed '—' and the
+        # headline comparison needed manual cross-row reading).
+        if ':' in key[0] and not (cpu or ref):
+            fallback = by.get((key[0].split(':')[0], key[1]), {})
+            cpu = cpu or fallback.get('cpu', [])
+            ref = ref or fallback.get('ref', [])
         row = (f"{key[0] + f'({key[1]})':<18} "
                f"{statistics.median(dev):8.3f} {min(dev):8.3f} "
                if dev else f"{key[0] + f'({key[1]})':<18} "
