@@ -347,9 +347,6 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
         # Warm-up compile outside the budget; ``tpu_setup_s`` reports it.
         runner.run(np.zeros(chunk_sweeps, dtype=np.float32),
                    chunk_size=chunk_sweeps, update_slices=update_slices)
-        runner.moves_done = 0
-        runner.applied_done = None
-        tpu_setup = time.perf_counter() - setup_t0
         if kick and exchange_islands >= 1 and \
                 n_tpu_replicas % exchange_islands == 0:
             from tnco_tpu.parallel.stall import IslandStallKicker
@@ -357,6 +354,34 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                                        window_chunks=kick_window,
                                        min_delta=kick_delta,
                                        seed=seed + run_seed_offset)
+        # Warm the exchange/kick op sets outside the budget too: over a
+        # tunneled backend every new eager op shape pays a one-time
+        # compile (measured 18 s for the first island exchange and 30 s
+        # for the first kick at Sycamore shapes — 16% of a 300 s budget
+        # if paid in-run).  State mutation here is harmless: the
+        # warm-up run above already advances the beta-0 random state,
+        # and a kick only redraws width-valid slices on one lane.
+        if (exchange_every and runner.states is not None and
+                runner.engine in _LANE_MAJOR and exchange_islands >= 1
+                and n_tpu_replicas % exchange_islands == 0):
+            from tnco_tpu.parallel.replicas import exchange_best_fw
+            runner.states = exchange_best_fw(
+                runner.states, islands=exchange_islands,
+                active=(None if kicker is None else
+                        kicker.exchange_active(0)))
+        if kicker is not None:
+            # Use the kicker's REAL victim count: the op shapes depend
+            # on it, and a different count at warm time re-pays the
+            # op compiles on the first in-run kick (measured 11.6 s).
+            from tnco_tpu.parallel.replicas import kick_lanes_fw
+            bg = n_tpu_replicas // exchange_islands
+            victims = list(range(kicker.keep_top, bg))
+            kick_lanes_fw(runner, victims, 0,
+                          seed=seed + run_seed_offset)
+            np.asarray(runner.states.log2_total)  # flush dispatches
+        runner.moves_done = 0
+        runner.applied_done = None
+        tpu_setup = time.perf_counter() - setup_t0
         prev_slices = None
         t0 = time.perf_counter()
         n_calls = 0
@@ -375,8 +400,13 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
             n_calls += 1
             if ladder is not None:
                 ladder.swap(np.asarray(runner.states.log2_total))
+            # ONE device pull per chunk, shared by the curve, the stall
+            # watchdog and the island diagnostics (pulls ride the
+            # tunnel; keeping the per-chunk RPC count at the round-4
+            # level keeps cells comparable across rounds).
+            mins = np.asarray(runner.log2_min_totals())
             if kicker is not None:
-                kicker.observe(n_calls, frac0)
+                kicker.observe(n_calls, frac0, mins=mins)
             # See the IM arm: in-run exchange cadences never fire with
             # single-chunk calls, so exchange between calls.
             if (exchange_every and runner.states is not None and
@@ -388,28 +418,30 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                         active=(None if kicker is None else
                                 kicker.exchange_active(n_calls)))
             tpu_curve.append([int(runner.moves_done),
-                              float(np.min(runner.log2_min_totals()))])
-            # Per-chunk diagnostics (cheap pulls; the round-5 stuck-mode
-            # instrumentation): per-island best-so-far, current-total
-            # spread, applied count, slice-set churn, kick count.
+                              float(mins.min())])
+            # Round-5 stuck-mode instrumentation: per-island
+            # best-so-far every chunk (free — reuses ``mins``);
+            # current-total spread and slice churn every 8th chunk
+            # (each an extra tunnel pull).
             if runner.states is not None and exchange_islands >= 1 and \
                     n_tpu_replicas % exchange_islands == 0:
-                mins = np.asarray(runner.log2_min_totals())
-                lt_cur = np.asarray(runner.states.log2_total)
                 im = mins.reshape(exchange_islands, -1).min(axis=1)
-                sl = np.asarray(runner.states.slices)
-                churn = (int(np.bitwise_count(sl ^ prev_slices).sum())
-                         if prev_slices is not None else 0)
-                prev_slices = sl
-                tpu_diag.append({
+                entry = {
                     't': round(time.perf_counter() - t0, 2),
                     'im': [round(float(x), 3) for x in im],
-                    'lq': [round(float(lt_cur.min()), 3),
-                           round(float(np.median(lt_cur)), 3)],
                     'ap': int(runner.applied_done or 0),
-                    'sc': churn,
                     'kk': 0 if kicker is None else len(kicker.kicks),
-                })
+                }
+                if n_calls % 8 == 1:
+                    lt_cur = np.asarray(runner.states.log2_total)
+                    sl = np.asarray(runner.states.slices)
+                    entry['lq'] = [round(float(lt_cur.min()), 3),
+                                   round(float(np.median(lt_cur)), 3)]
+                    entry['sc'] = (
+                        int(np.bitwise_count(sl ^ prev_slices).sum())
+                        if prev_slices is not None else 0)
+                    prev_slices = sl
+                tpu_diag.append(entry)
         tpu_time = time.perf_counter() - t0
         tpu_best = float(np.min(runner.log2_min_totals()))
         tpu_moves = runner.moves_done

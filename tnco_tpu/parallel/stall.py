@@ -82,15 +82,21 @@ class IslandStallKicker:
         """bool[G]: which islands may exchange at this chunk."""
         return np.asarray(chunk >= self._suspend_until)
 
-    def observe(self, chunk: int, frac: float) -> list[int]:
+    def observe(self, chunk: int, frac: float,
+                mins=None) -> list[int]:
         """Update per-island progress marks; kick stalled islands.
 
-        Returns the indices of islands kicked at this observation.
+        ``mins``: optionally the already-pulled per-lane
+        ``log2_min_totals()`` (chunked drivers share one device pull
+        per chunk between the curve, the watchdog and diagnostics —
+        device pulls ride a network tunnel here).  Returns the indices
+        of islands kicked at this observation.
         """
         from tnco_tpu.parallel.replicas import kick_lanes_fw
 
         g, bg = self.islands, self._bg
-        mins = np.asarray(self.runner.log2_min_totals())
+        if mins is None:
+            mins = np.asarray(self.runner.log2_min_totals())
         mins_g = mins.reshape(g, bg).min(axis=1)
         improved = mins_g <= self._mark - self.min_delta
         self._mark = np.where(improved, mins_g, self._mark)
