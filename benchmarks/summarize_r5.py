@@ -37,7 +37,15 @@ def load(paths):
 
 def dev_variant(c):
     if c.get('round') == 5:
-        return 'r5'
+        if c['config'] != 'sycamore_fw':
+            return 'r5'
+        # Product default = periodic kick (window 10 / delta 10); the
+        # early round-5 cells ran the stall-triggered point (window 60
+        # / delta 0.1) before the A/B promoted the periodic one.
+        kw = c.get('cell_kw') or {}
+        kp = c.get('tpu_kick_params') or {}
+        window = kw.get('kick_window', kp.get('window', 60))
+        return 'r5' if window == 10 else 'r5w60'
     n_walks = (c.get('cell_kw') or {}).get('n_walks')
     if c['config'] == 'sycamore_fw':
         return f'P{n_walks}' if n_walks else 'P32'

@@ -53,6 +53,13 @@ class IslandStallKicker:
     ``frac_guard`` of the budget (a late restart cannot re-anneal).
     False positives are cheap by construction: leaders and min
     snapshots survive every kick.
+
+    Setting ``min_delta`` high (e.g. 10 bits over a 10-chunk window)
+    turns the watchdog into PERIODIC re-diversification — every island
+    is kicked once per cooldown regardless of progress.  That is the
+    round-5 flagship product default: its 300 s A/B matched the
+    stall-triggered medians with a far tighter tail (6-rep worst 63.73
+    vs 65.54 — docs/QUALITY.md round-5 matrix).
     """
 
     runner: object
