@@ -37,6 +37,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                 kick: bool | None = None,
                 kick_window: int = 10,
                 kick_delta: float = 10.0,
+                fw_slicer: str | None = None,
                 engine: str = 'auto',
                 n_walks: int | None = None,
                 walk_chunk: int = 0,
@@ -68,6 +69,7 @@ def run_quality(name: str, seconds: float, seed: int = 0,
                                exchange_islands=exchange_islands,
                                kick=kick, kick_window=kick_window,
                                kick_delta=kick_delta,
+                               fw_slicer=fw_slicer,
                                tpu_beta_max=tpu_beta_max,
                                update_slices=update_slices,
                                on_block=on_block,
@@ -256,6 +258,7 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                     kick: bool | None = None,
                     kick_window: int = 10,
                     kick_delta: float = 10.0,
+                    fw_slicer: str | None = None,
                     tpu_beta_max: float | None = None,
                     update_slices: int | None = None,
                     on_block: str | None = None,
@@ -315,7 +318,8 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                                  cmodel=cmodel, engine=engine,
                                  n_walks=n_walks, walk_chunk=walk_chunk,
                                  on_block=on_block,
-                                 accept_rule=accept_rule)
+                                 accept_rule=accept_rule,
+                                 fw_slicer=fw_slicer)
         from tnco_tpu.parallel.replicas import _LANE_MAJOR
         tpu_engine = runner.engine
         if exchange_every is None:
@@ -588,6 +592,11 @@ def main() -> None:
                         help="Walk scheduling on conflict discard "
                              "('advance' | 'restart' | 'dedup'; "
                              "multiwalk/walks engines).")
+    parser.add_argument('--fw-slicer', default=None,
+                        help="walks-FW reslice path: 'plane' "
+                             "(incremental union planes) | 'ref' "
+                             "(reference-shaped slow path, no union "
+                             "planes in the state) | default auto.")
     parser.add_argument('--accept-rule', default=None,
                         help="Walk-engine acceptance rule ('round' | "
                              "'chained'; chained tests each walk "
@@ -603,6 +612,7 @@ def main() -> None:
                       exchange_islands=args.exchange_islands,
                       kick=args.kick, kick_window=args.kick_window,
                       kick_delta=args.kick_delta,
+                      fw_slicer=args.fw_slicer,
                       engine=args.engine, n_walks=args.n_walks,
                       walk_chunk=args.walk_chunk,
                       tpu_beta_max=args.tpu_beta_max,

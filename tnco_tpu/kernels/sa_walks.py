@@ -706,17 +706,25 @@ def _iter_walks_fw(carry, beta, update_slices, max_width, log2d_w32,
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'claim', 'on_block',
                                        'accept_rule', 'uniform_log2',
-                                       'interpret'))
+                                       'interpret', 'slicer'))
 def run_walks_fw(batch, betas, update_slices_mask, max_width, log2d_w32,
                  skip_wb, cfg: SweepConfig, pos, sparse_wb=None,
                  log2_n_projs=None, *, claim='sequential',
                  on_block='advance', accept_rule='round',
-                 uniform_log2=None, interpret=None):
+                 uniform_log2=None, interpret=None, slicer=None):
     """Finite-width chained multi-walk rounds (one per beta).
 
     Width-capped proposals against the shared slice lanes + the
     periodic greedy reslice-if-better, mirroring the other FW engines'
     cadence semantics.
+
+    ``slicer``: None = auto (plane-layout incremental path when dims
+    are uniform powers of two), ``'plane'`` = require it, ``'ref'`` =
+    force the reference-shaped slow path.  The plane path carries W
+    union planes through every apply scatter and snapshot — a
+    throughput trade that pays at reslice cadence 2 but costs
+    state-streaming width at sparse cadences (round-5 probe thread,
+    docs/ROADMAP.md).
     """
     from tnco_tpu.kernels.sa_finite_batched import SABatchFW
 
@@ -740,6 +748,15 @@ def run_walks_fw(batch, betas, update_slices_mask, max_width, log2d_w32,
     # scatter).  Gate matches _greedy_slices_b's fast-path condition.
     fast_slicer = (uniform_log2 is not None and sparse_wb is None
                    and float(uniform_log2).is_integer())
+    if slicer == 'ref':
+        fast_slicer = False
+    elif slicer == 'plane':
+        if not fast_slicer:
+            raise ValueError("slicer='plane' needs uniform power-of-two "
+                             "dims and no sparse indices.")
+    elif slicer is not None:
+        raise ValueError(f"slicer must be None, 'plane' or 'ref', "
+                         f"got {slicer!r}.")
     u = w if fast_slicer else 0
     if fast_slicer:
         c0_pad = _i32(S[w])                              # [B, N_pad]
@@ -804,12 +821,14 @@ def _batch_specs(batch, axes):
 
 @fts.partial(jax.jit, static_argnames=('cfg', 'mesh', 'log2_n_projs',
                                        'claim', 'on_block', 'accept_rule',
-                                       'uniform_log2', 'interpret'))
+                                       'uniform_log2', 'interpret',
+                                       'slicer'))
 def run_walks_sharded(batch, betas, log2d_w32, cfg: SweepConfig, pos,
                       mesh, sparse_wb=None, log2_n_projs=None, *,
                       claim='sequential', on_block='advance',
                       accept_rule='round',
-                      uniform_log2=None, interpret=None, fw_args=None):
+                      uniform_log2=None, interpret=None, fw_args=None,
+                      slicer=None):
     """Replica-sharded chained walks over a ``jax.sharding.Mesh``.
 
     ``shard_map`` gives every device its local replica shard and runs
@@ -858,7 +877,7 @@ def run_walks_sharded(batch, betas, log2d_w32, cfg: SweepConfig, pos,
                                   on_block=on_block,
                                   accept_rule=accept_rule,
                                   uniform_log2=uniform_log2,
-                                  interpret=interpret)
+                                  interpret=interpret, slicer=slicer)
         m = dict(m)
         m['moves'] = jax.lax.psum(m['moves'], axes)
         m['applied'] = jax.lax.psum(m['applied'], axes)

@@ -652,6 +652,7 @@ class ReplicaRunnerFW:
                  walk_chunk: int = 0,
                  on_block: str | None = None,
                  accept_rule: str | None = None,
+                 fw_slicer: str | None = None,
                  dtype=jnp.float32) -> None:
         ctrees = list(ctrees)
         seeds = list(seeds)
@@ -660,6 +661,10 @@ class ReplicaRunnerFW:
         shapes = {(len(c), c.inds_array.shape[1]) for c in ctrees}
         if len(shapes) != 1:
             raise ValueError("All replicas must share the tree shape.")
+
+        # walks-FW slicer path override (None = auto; 'plane' | 'ref'
+        # — see sa_walks.run_walks_fw).
+        self.fw_slicer = fw_slicer
 
         self.template = ctrees[0]
         n_lanes = self.template.inds_array.shape[1]
@@ -958,7 +963,8 @@ class ReplicaRunnerFW:
                         self.sparse_wb, self.log2_n_projs,
                         uniform_log2=ul, fw_args=fw_args,
                         on_block=self.on_block,
-                        accept_rule=self.accept_rule)
+                        accept_rule=self.accept_rule,
+                        slicer=self.fw_slicer)
                 else:
                     self.states, metrics = swk.run_walks_fw(
                         self.states, jnp.asarray(chunk),
@@ -967,7 +973,8 @@ class ReplicaRunnerFW:
                         self._mw_pos, self.sparse_wb,
                         self.log2_n_projs, uniform_log2=ul,
                         on_block=self.on_block,
-                        accept_rule=self.accept_rule)
+                        accept_rule=self.accept_rule,
+                        slicer=self.fw_slicer)
                 self._mw_pos = metrics['pos']
                 last_min = self.states.min_log2_total
             elif self.engine == 'sweep':
