@@ -45,7 +45,11 @@ def dev_variant(c):
         kw = c.get('cell_kw') or {}
         kp = c.get('tpu_kick_params') or {}
         window = kw.get('kick_window', kp.get('window', 60))
-        return 'r5' if window == 10 else 'r5w60'
+        base = 'r5' if window == 10 else 'r5w60'
+        n_walks = kw.get('n_walks')
+        if n_walks and n_walks != 128:
+            base += f':P{n_walks}'
+        return base
     n_walks = (c.get('cell_kw') or {}).get('n_walks')
     if c['config'] == 'sycamore_fw':
         return f'P{n_walks}' if n_walks else 'P32'
