@@ -37,8 +37,9 @@ def load(paths):
 
 def dev_variant(c):
     if c.get('round') == 5:
+        exch = (c.get('cell_kw') or {}).get('exchange_every')
         if c['config'] != 'sycamore_fw':
-            return 'r5'
+            return f'r5:x{exch}' if exch is not None else 'r5'
         # Product default = periodic kick (window 10 / delta 10); the
         # early round-5 cells ran the stall-triggered point (window 60
         # / delta 0.1) before the A/B promoted the periodic one.
