@@ -137,7 +137,11 @@ def _resolve_walks(engine: str, n_walks, fw: bool = False) -> int:
     docs/QUALITY.md: walker IM at P=8; walks FW at P=128 — the round-4
     repeated-cell matrix shows P=128 per-seed medians beat both the
     P=32 medians and the CPU arm on the seeds where P=32 loses, at
-    4.3x the proposal rate; walks IM keeps P=32, untested at 128)."""
+    4.3x the proposal rate.  walks IM keeps P=32: the round-5 P=128
+    probe reads 4.0e6 proposals/s / 1.5e6 applied/s with a 60 s best
+    of 63.39 on Sycamore — competitive, but 'walker' remains the IM
+    product winner at 300 s, so the IM walks default is unchanged;
+    FW_SCALE_PROBE_r5.jsonl `im_walks_p128`)."""
     if n_walks is not None:
         return int(n_walks)
     if engine == 'walks':
