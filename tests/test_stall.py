@@ -144,10 +144,14 @@ def test_exchange_islands_im_batch(rng, random_seed):
                                       before[:, 4])
 
 
-def test_kick_lanes_fw(rng, random_seed):
+@pytest.mark.parametrize('slicer', ['device', 'host'])
+def test_kick_lanes_fw(rng, random_seed, slicer):
     """Kick contract: victims carry the source tree + fresh valid
     slices + fresh keys; others (and all min snapshots) are bitwise
-    untouched; walk positions restart."""
+    untouched; walk positions restart.  Both slicer paths (the
+    fixed-shape device slicer and the per-victim host slicer) honor
+    the same contract — including the exact-cost audit of the written
+    totals against the actually-written slice sets."""
     runner, (ts_inds, output_inds, dims, order) = _fw_runner(
         rng, random_seed, n_replicas=8, engine='walks', n_walks=4)
     betas = np.linspace(0, 8, 20).astype(np.float32)
@@ -156,7 +160,7 @@ def test_kick_lanes_fw(rng, random_seed):
     before = _leaves(runner.states)
     pos_before = np.asarray(runner._mw_pos)
     victims, src = [2, 3, 6], 1
-    kick_lanes_fw(runner, victims, src, seed=7)
+    kick_lanes_fw(runner, victims, src, seed=7, slicer=slicer)
     after = _leaves(runner.states)
 
     untouched = [i for i in range(8) if i not in victims]

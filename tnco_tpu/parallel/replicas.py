@@ -1347,8 +1347,56 @@ def exchange_best_fw_sharded(states: 'sfb.SABatchFW', mesh,
         states.min_par, states.min_inds, states.min_slices, states.keys)
 
 
+def _kick_cols_fw(c0, c1, inds, width, seeds, src, log2d_w32, skip_wb,
+                  sparse_wb, *, max_width, log2_n_projs, uniform_log2,
+                  n_leaves):
+    """Device half of the slice-kick: fresh greedy slices + costs for
+    ALL ``B`` columns restarted from column ``src``'s tree.
+
+    Runs the in-kernel device slicer (``sfb._greedy_slices_b`` — the
+    same ranking the reslice cadence uses) on the source tree broadcast
+    across the full lane axis, one independent jitter key per lane, and
+    re-derives the slice-aware ``lcc`` and the pinned log2 total.  The
+    caller writes only the victim columns; computing every lane keeps
+    the program shape FIXED at ``[N, W, B]`` so one compile serves every
+    kick regardless of the victim count (the per-victim host slicer it
+    replaces cost ~0.25 s/lane + tunnel round-trips — ~2.2 s/kick,
+    ~18% of a 300 s quality cell at the product kick rate).
+
+    ``src`` is a traced scalar (changing the source lane never
+    recompiles).  Key discipline matches ``sfb.init_batch_fw``: the
+    carried key is ``split(PRNGKey-like([0, seed]))[0]`` — bitwise the
+    host path's keys — and the slicer consumes ``split(...)[1]``.
+    """
+    from tnco_tpu.ops import costs as costs_ops
+
+    n, w, b = inds.shape
+    inds_k = jnp.broadcast_to(jnp.take(inds, src, axis=-1)[:, :, None],
+                              (n, w, b))
+    c0_k = jnp.broadcast_to(jnp.take(c0, src, axis=-1)[:, None], (n, b))
+    c1_k = jnp.broadcast_to(jnp.take(c1, src, axis=-1)[:, None], (n, b))
+    width_k = jnp.broadcast_to(jnp.take(width, src, axis=-1)[:, None],
+                               (n, b))
+    keys0 = jnp.stack([jnp.zeros_like(seeds), seeds], axis=1)
+    pair = jax.vmap(jax.random.split)(keys0)            # [b, 2, 2]
+    slices = sfb._greedy_slices_b(
+        c0_k, inds_k, width_k, pair[:, 1], max_width, log2d_w32,
+        skip_wb, sparse_wb, log2_n_projs, uniform_log2=uniform_log2)
+    lcc = sfb._lcc_fw_b(c0_k, c1_k, inds_k, slices, log2d_w32,
+                        sparse_wb, log2_n_projs,
+                        uniform_log2=uniform_log2)
+    lt = costs_ops.log2_total_from_lcc(lcc, n_leaves)
+    return slices, lcc, lt, pair[:, 0]
+
+
+_kick_cols_fw = jax.jit(
+    _kick_cols_fw,
+    static_argnames=('max_width', 'log2_n_projs', 'uniform_log2',
+                     'n_leaves'))
+
+
 def kick_lanes_fw(runner: 'ReplicaRunnerFW', lanes, src: int,
-                  seed: int) -> None:
+                  seed: int, *, slicer: str = 'device') -> None:
     """Slice-kick: restart ``lanes`` from ``src``'s current tree with
     FORCED fresh slice sets and fresh PRNG streams.
 
@@ -1359,21 +1407,30 @@ def kick_lanes_fw(runner: 'ReplicaRunnerFW', lanes, src: int,
     unlock blocked tree moves is never adopted.  This operator breaks
     the gate from outside the kernels, between annealing chunks: each
     kicked lane gets the source lane's current tree, an UNGATED fresh
-    greedy slice draw (host slicer, per-lane jitter — the same
-    initializer used at batch init), a fresh counter-based key, and a
-    restarted walk position.  Min snapshots are untouched, so the
+    greedy slice draw (per-lane jitter), a fresh counter-based key, and
+    a restarted walk position.  Min snapshots are untouched, so the
     reported best can never regress; per-lane trajectories of
     non-kicked lanes are bitwise unaffected (pure column mixing).
 
-    Lane-major (``_LANE_MAJOR``) single-mesh runners only; cheap
-    (one [N, W] pull + a few column writes) and rare — drive it from
-    :class:`tnco_tpu.parallel.stall.IslandStallKicker`.
+    ``slicer`` picks where the fresh draw runs: ``'device'`` (default)
+    uses the in-kernel batched slicer via :func:`_kick_cols_fw` at a
+    FIXED program shape (~0.1 s/kick after the one-time compile, which
+    the quality driver pays in its warm-up); ``'host'`` is the original
+    per-victim host slicer (no compile, ~0.25 s/victim — the right
+    tool for one-off kicks in short-lived processes).  Both draw
+    width-valid greedy slice sets; they differ only in jitter stream.
+
+    Lane-major (``_LANE_MAJOR``) single-mesh runners only; rare —
+    drive it from :class:`tnco_tpu.parallel.stall.IslandStallKicker`.
     """
     from random import Random
 
     if runner.engine not in _LANE_MAJOR or runner.states is None:
         raise ValueError("kick_lanes_fw needs a lane-major device "
                          f"engine (engine={runner.engine!r}).")
+    if slicer not in ('device', 'host'):
+        raise ValueError(f"slicer must be 'device' or 'host', "
+                         f"got {slicer!r}.")
     s = runner.states
     b = int(s.log2_total.shape[0])
     lanes = np.asarray(sorted(set(int(x) for x in lanes)), dtype=np.int64)
@@ -1388,6 +1445,41 @@ def kick_lanes_fw(runner: 'ReplicaRunnerFW', lanes, src: int,
         srcv = jnp.take(cur, src, axis=-1)[..., None]
         m = mask_j.reshape((1,) * (cur.ndim - 1) + (b,))
         return jnp.where(m, srcv, cur)
+
+    if slicer == 'device':
+        from tnco_tpu.kernels import sa_fullsweep as sfs
+
+        ul = sfs.uniform_log2_dim(runner.template.log2_dims_array)
+        # The per-(kick, lane) seed formula matches the host path, so
+        # a victim's carried key is bitwise the same under either
+        # slicer; non-victim seeds are computed but discarded (the
+        # fixed all-lane shape is what buys compile reuse).
+        seeds_all = jnp.asarray(np.fromiter(
+            ((seed * 2654435761 + 7919 * lane) & 0xFFFFFFFF
+             for lane in range(b)), dtype=np.uint32, count=b))
+        slices_all, lcc_all, lt_all, keys_all = _kick_cols_fw(
+            s.c0, s.c1, s.inds, s.width, seeds_all, jnp.int32(src),
+            runner.log2d_w32, runner.skip_lanes, runner.sparse_wb,
+            max_width=float(runner.max_width),
+            log2_n_projs=(None if runner.log2_n_projs is None
+                          else float(runner.log2_n_projs)),
+            uniform_log2=None if ul is None else float(ul),
+            n_leaves=int(runner.template.n_leaves))
+        runner.states = sfb.SABatchFW(
+            mix(s.c0), mix(s.c1), mix(s.par), mix(s.inds), mix(s.hyper),
+            jnp.where(mask_j[None, :], lcc_all.astype(s.lcc.dtype),
+                      s.lcc),
+            mix(s.width),
+            jnp.where(mask_j[None, :], slices_all, s.slices),
+            jnp.where(mask_j, lt_all.astype(s.log2_total.dtype),
+                      s.log2_total),
+            s.min_log2_total, s.min_c0, s.min_c1, s.min_par,
+            s.min_inds, s.min_slices,
+            jnp.where(mask_j[:, None], keys_all, s.keys))
+        if runner._mw_pos is not None:
+            runner._mw_pos = jnp.where(mask_j[None, :], jnp.int32(-1),
+                                       runner._mw_pos)
+        return
 
     # Host side: fresh greedy slice sets for the SOURCE tree, one
     # independent draw per kicked lane, and the (tree, slices)
