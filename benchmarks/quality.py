@@ -374,9 +374,10 @@ def _run_quality_fw(name, ts_inds, output_inds, dims, max_width,
                 active=(None if kicker is None else
                         kicker.exchange_active(0)))
         if kicker is not None:
-            # Use the kicker's REAL victim count: the op shapes depend
-            # on it, and a different count at warm time re-pays the
-            # op compiles on the first in-run kick (measured 11.6 s).
+            # The device-slicer kick compiles at a FIXED [N, W, B]
+            # shape, so one warm call covers every in-run kick
+            # regardless of victim count; still use the kicker's real
+            # victims so the column-write op shapes are warmed too.
             from tnco_tpu.parallel.replicas import kick_lanes_fw
             bg = n_tpu_replicas // exchange_islands
             victims = list(range(kicker.keep_top, bg))

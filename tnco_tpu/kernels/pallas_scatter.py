@@ -51,14 +51,34 @@ def scatter_supported(b: int, q: int) -> bool:
             _pad_to(b, 8) * _pad_to(q, _LANES) * 4 <= _MAX_VMEM_BLOCK)
 
 
-def _inv_kernel(ids_ref, out_ref, *, q):
+def _inv_kernel(ids_ref, out_ref, *, q_chunk):
+    """One (node-block, id-chunk) grid step of the inversion.
+
+    The id axis lives in the GRID (inner dimension), not in an
+    unrolled in-kernel loop: the unrolled form's scoped-VMEM
+    temporaries grow linearly with Q and blow the 16 MB scoped limit
+    at walks-engine P=384 shapes (Q = 2P = 768 ids measured 16.46 MB
+    scoped).  Gridding bounds the live range at one ``q_chunk`` unroll
+    (~2.7 MB at b_pad=64) for any Q; the out block is revisited across
+    consecutive id-chunk steps (same block index), accumulating in
+    VMEM, and ascending (qb, j) order preserves the last-q-wins tie
+    rule.  Padded ids (-1) never match a lane id, so running over the
+    padded id range needs no masking.
+    """
     base = pl.program_id(0) * _LANES
+    qb = pl.program_id(1)
     b_pad = ids_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (b_pad, _LANES), 1) + base
-    acc = jnp.full((b_pad, _LANES), -1, jnp.int32)
-    for qi in range(q):
-        idc = ids_ref[:, qi:qi + 1]  # [b_pad, 1]
-        acc = jnp.where(idc == lane, qi, acc)
+
+    @pl.when(qb == 0)
+    def _():
+        out_ref[...] = jnp.full((b_pad, _LANES), -1, jnp.int32)
+
+    acc = out_ref[...]
+    off = qb * q_chunk
+    for j in range(q_chunk):
+        idc = ids_ref[:, j:j + 1]  # [b_pad, 1]
+        acc = jnp.where(idc == lane, off + j, acc)
     out_ref[...] = acc
 
 
@@ -94,17 +114,17 @@ def inv_ids(ids_bq, n: int, *, interpret=None):
     ids_p = jnp.pad(ids_bq, ((0, b_pad - b), (0, q_pad - q)),
                     constant_values=-1)
     out = pl.pallas_call(
-        fts.partial(_inv_kernel, q=q),
-        grid=(n_pad // _LANES,),
+        fts.partial(_inv_kernel, q_chunk=_LANES),
+        grid=(n_pad // _LANES, q_pad // _LANES),
         in_specs=[
-            pl.BlockSpec((b_pad, q_pad), lambda nb: (0, 0),
+            pl.BlockSpec((b_pad, _LANES), lambda nb, qb: (0, qb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b_pad, _LANES), lambda nb: (0, nb),
+        out_specs=pl.BlockSpec((b_pad, _LANES), lambda nb, qb: (0, nb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',)),
+            dimension_semantics=('arbitrary', 'arbitrary')),
         interpret=interpret,
     )(ids_p)
     return out[:b, :n]
